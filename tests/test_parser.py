@@ -1,0 +1,254 @@
+"""Parser unit tests — grammar cases modeled on the reference parser's
+behavior (vendor/.../promql/parse.go)."""
+
+import math
+
+import pytest
+
+from timbala_spark.promql import (
+    AggregateExpr,
+    BinaryExpr,
+    Call,
+    MatchType,
+    MatrixSelector,
+    NumberLiteral,
+    ParenExpr,
+    PromQLSyntaxError,
+    StringLiteral,
+    UnaryExpr,
+    VectorMatchCardinality,
+    VectorSelector,
+    parse,
+    parse_duration_ms,
+)
+
+
+def unwrap(e):
+    while isinstance(e, ParenExpr):
+        e = e.expr
+    return e
+
+
+class TestLiterals:
+    def test_number(self):
+        assert parse("1").value == 1.0
+        assert parse("+Inf").value == math.inf
+        assert parse("-Inf").value == -math.inf
+        assert math.isnan(parse("NaN").value)
+        assert parse("0x1f").value == 31.0
+        assert parse("3.5e-2").value == 0.035
+        assert parse(".5").value == 0.5
+
+    def test_unary_fold(self):
+        assert parse("-1").value == -1.0
+        assert parse("+7").value == 7.0
+
+    def test_string(self):
+        assert parse("'single'").value == "single"
+        assert parse('"dou\\"ble"').value == 'dou"ble'
+        assert parse("`raw\\n`").value == "raw\\n"
+
+
+class TestSelectors:
+    def test_bare_metric(self):
+        e = parse("http_requests_total")
+        assert isinstance(e, VectorSelector)
+        assert e.name == "http_requests_total"
+        assert e.matchers[0].name == "__name__"
+
+    def test_metric_with_colons(self):
+        e = parse("job:rate:sum5m")
+        assert e.name == "job:rate:sum5m"
+
+    def test_matchers(self):
+        e = parse('m{a="1", b!="2", c=~"x.*", d!~"y"}')
+        types = {m.name: m.type for m in e.matchers}
+        assert types["a"] == MatchType.EQ
+        assert types["b"] == MatchType.NEQ
+        assert types["c"] == MatchType.RE
+        assert types["d"] == MatchType.NRE
+
+    def test_nameless(self):
+        e = parse('{a="b"}')
+        assert e.name is None
+        assert len(e.matchers) == 1
+
+    def test_empty_matcher_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse('{a=~".*"}')
+        with pytest.raises(PromQLSyntaxError):
+            parse("{}")
+
+    def test_keyword_label_name(self):
+        e = parse('m{on="x"}')
+        assert any(m.name == "on" for m in e.matchers)
+
+    def test_matrix(self):
+        e = parse("m[5m]")
+        assert isinstance(e, MatrixSelector)
+        assert e.range_ms == 300_000
+
+    def test_offset(self):
+        e = parse("m offset 1h")
+        assert e.offset_ms == 3_600_000
+        e = parse("m[5m] offset 30s")
+        assert e.range_ms == 300_000 and e.offset_ms == 30_000
+
+    def test_trailing_comma(self):
+        e = parse('m{a="1",}')
+        assert e.name == "m"
+
+    def test_name_twice_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse('m{__name__="x"}')
+
+
+class TestBinary:
+    def test_precedence(self):
+        e = parse("1 + 2 * 3")
+        assert e.op == "+"
+        assert e.rhs.op == "*"
+
+    def test_pow_right_assoc(self):
+        e = parse("2 ^ 3 ^ 2")
+        assert e.op == "^"
+        assert isinstance(e.lhs, NumberLiteral)
+        assert e.rhs.op == "^"
+
+    def test_unary_binds_looser_than_pow(self):
+        e = parse("-1 ^ 2")
+        assert isinstance(e, UnaryExpr)
+        assert e.expr.op == "^"
+
+    def test_comparison_requires_bool_scalar(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("1 > 2")
+        e = parse("1 > bool 2")
+        assert e.return_bool
+
+    def test_set_op_on_scalar_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("1 and 1")
+        with pytest.raises(PromQLSyntaxError):
+            parse("m and 2")
+
+    def test_matching(self):
+        e = parse('a / on(x, y) group_left(z) b')
+        m = e.matching
+        assert m.on and m.matching_labels == ["x", "y"]
+        assert m.card == VectorMatchCardinality.MANY_TO_ONE
+        assert m.include == ["z"]
+
+    def test_ignoring(self):
+        e = parse("a * ignoring(c) b")
+        assert not e.matching.on
+        assert e.matching.matching_labels == ["c"]
+
+    def test_set_ops(self):
+        for op in ("and", "or", "unless"):
+            e = parse(f"a {op} b")
+            assert e.op == op
+            assert e.matching is None or e.matching.card == VectorMatchCardinality.MANY_TO_MANY
+
+    def test_set_op_grouping_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("a and on(x) group_left b")
+
+    def test_on_group_overlap_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("a / on(x) group_left(x) b")
+
+    def test_or_precedence_lowest(self):
+        e = parse("a or b and c")
+        assert e.op == "or"
+        assert e.rhs.op == "and"
+
+
+class TestAggregations:
+    def test_basic(self):
+        e = parse("sum(m)")
+        assert isinstance(e, AggregateExpr) and e.op == "sum"
+        assert not e.grouping
+
+    def test_by_prefix_and_suffix(self):
+        for q in ("sum by (a, b) (m)", "sum(m) by (a, b)"):
+            e = parse(q)
+            assert e.grouping == ["a", "b"] and not e.without
+
+    def test_without(self):
+        e = parse("avg without (x) (m)")
+        assert e.without and e.grouping == ["x"]
+
+    def test_param(self):
+        e = parse("topk(5, m)")
+        assert e.op == "topk" and e.param.value == 5.0
+        e = parse('count_values("ver", m)')
+        assert isinstance(e.param, StringLiteral)
+        e = parse("quantile(0.9, m)")
+        assert e.param.value == 0.9
+
+    def test_param_type_enforced(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse('topk("x", m)')
+        with pytest.raises(PromQLSyntaxError):
+            parse("count_values(5, m)")
+
+    def test_agg_of_scalar_rejected(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("sum(1)")
+
+
+class TestCalls:
+    def test_rate(self):
+        e = parse("rate(m[5m])")
+        assert isinstance(e, Call) and e.func.name == "rate"
+        assert isinstance(e.args[0], MatrixSelector)
+
+    def test_rate_requires_matrix(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("rate(m)")
+
+    def test_unknown_function(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse("no_such_fn(m)")
+
+    def test_optional_args(self):
+        parse("round(m)")
+        parse("round(m, 0.5)")
+        with pytest.raises(PromQLSyntaxError):
+            parse("round(m, 1, 2)")
+        parse("time()")
+        parse("hour()")
+        parse("hour(m)")
+
+    def test_variadic(self):
+        parse('label_join(m, "dst", "-", "a")')
+        parse('label_join(m, "dst", "-", "a", "b", "c")')
+        with pytest.raises(PromQLSyntaxError):
+            parse('label_join(m, "dst", "-")')
+
+    def test_nested(self):
+        e = parse("sum by (job) (rate(http_requests_total{code=~'5..'}[5m]))")
+        assert e.op == "sum"
+        assert unwrap(e.expr).func.name == "rate"
+
+    def test_function_name_as_metric(self):
+        # a function name not followed by '(' is a metric selector
+        e = parse("rate")
+        assert isinstance(e, VectorSelector) and e.name == "rate"
+
+
+class TestDurations:
+    def test_units(self):
+        assert parse_duration_ms("1s") == 1000
+        assert parse_duration_ms("2ms") == 2
+        assert parse_duration_ms("1h") == 3_600_000
+        assert parse_duration_ms("1d") == 86_400_000
+        assert parse_duration_ms("1w") == 7 * 86_400_000
+        assert parse_duration_ms("1h30m") == 5_400_000
+
+    def test_invalid(self):
+        with pytest.raises(PromQLSyntaxError):
+            parse_duration_ms("5")
+        with pytest.raises(PromQLSyntaxError):
+            parse_duration_ms("0s")

@@ -1,0 +1,476 @@
+"""PromQL parser: precedence-climbing over the lexer's token stream.
+
+Re-implements the grammar of the reference's recursive-descent parser
+(``vendor/.../prometheus/promql/parse.go:442-540`` binary expressions,
+``:596-622`` selectors, ``:704-759`` aggregations, ``:814-894``
+matchers) and the typecheck pass (``parse.go:984-1121``).  No
+subqueries and no ``@`` modifier — those do not exist in the vendored
+engine version (SURVEY.md §2.5 scope note).
+"""
+
+from __future__ import annotations
+
+from .ast import (
+    AGGREGATORS,
+    AGGREGATORS_WITH_PARAM,
+    ARITHMETIC_OPS,
+    COMPARISON_OPS,
+    SET_OPS,
+    AggregateExpr,
+    BinaryExpr,
+    Call,
+    Expr,
+    LabelMatcher,
+    MatchType,
+    MatrixSelector,
+    NumberLiteral,
+    ParenExpr,
+    StringLiteral,
+    UnaryExpr,
+    ValueType,
+    VectorMatchCardinality,
+    VectorMatching,
+    VectorSelector,
+    walk,
+)
+from .functions import get_function
+from .lexer import (
+    COMMA,
+    DURATION,
+    EOF,
+    IDENT,
+    LBRACE,
+    LBRACKET,
+    LPAREN,
+    NUMBER,
+    RBRACE,
+    RBRACKET,
+    RPAREN,
+    STRING,
+    PromQLSyntaxError,
+    Token,
+    number_value,
+    parse_duration_ms,
+    tokenize,
+)
+
+# precedence table (lex.go:95-112); ^ is right-associative (:114-122)
+PRECEDENCE = {
+    "or": 1,
+    "and": 2,
+    "unless": 2,
+    "==": 3,
+    "!=": 3,
+    "<=": 3,
+    "<": 3,
+    ">=": 3,
+    ">": 3,
+    "+": 4,
+    "-": 4,
+    "*": 5,
+    "/": 5,
+    "%": 5,
+    "^": 6,
+}
+RIGHT_ASSOC = {"^"}
+UNARY_PREC = 6  # `-1^2` parses as `-(1^2)`
+
+BINARY_OPS = ARITHMETIC_OPS | COMPARISON_OPS | SET_OPS
+
+METRIC_NAME_LABEL = "__name__"
+
+_MATCH_TYPES = {
+    "=": MatchType.EQ,
+    "!=": MatchType.NEQ,
+    "=~": MatchType.RE,
+    "!~": MatchType.NRE,
+}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.pos = 0
+
+    # -- token helpers -------------------------------------------------
+    def peek(self) -> Token:
+        return self.toks[self.pos]
+
+    def next(self) -> Token:
+        t = self.toks[self.pos]
+        if t.kind != EOF:
+            self.pos += 1
+        return t
+
+    def expect(self, kind: str) -> Token:
+        t = self.peek()
+        if t.kind != kind:
+            raise PromQLSyntaxError(
+                f"expected {kind!r}, got {t.kind!r} ({t.text!r}) at {t.pos}"
+            )
+        return self.next()
+
+    def accept(self, kind: str) -> Token | None:
+        if self.peek().kind == kind:
+            return self.next()
+        return None
+
+    def accept_keyword(self, word: str) -> bool:
+        t = self.peek()
+        if t.kind == IDENT and t.text == word:
+            self.next()
+            return True
+        return False
+
+    # -- entry ---------------------------------------------------------
+    def parse_expr(self) -> Expr:
+        e = self.parse_binary(0)
+        t = self.peek()
+        if t.kind != EOF:
+            raise PromQLSyntaxError(
+                f"could not parse remaining input {t.text!r} at {t.pos}"
+            )
+        typecheck(e)
+        return e
+
+    # -- binary expressions (precedence climbing) ----------------------
+    def parse_binary(self, min_prec: int) -> Expr:
+        lhs = self.parse_unary()
+        while True:
+            t = self.peek()
+            op = t.text if t.kind == IDENT else t.kind
+            if op not in BINARY_OPS or PRECEDENCE[op] < min_prec:
+                return lhs
+            self.next()
+            return_bool = False
+            if self.accept_keyword("bool"):
+                return_bool = True
+            matching = self.parse_matching()
+            nxt = PRECEDENCE[op] if op in RIGHT_ASSOC else PRECEDENCE[op] + 1
+            rhs = self.parse_binary(nxt)
+            lhs = BinaryExpr(op, lhs, rhs, matching=matching, return_bool=return_bool)
+
+    def parse_matching(self) -> VectorMatching | None:
+        """`on(...)` / `ignoring(...)` [group_left/right(...)]
+        (parse.go:475-495)."""
+        matching = None
+        if self.peek().kind == IDENT and self.peek().text in ("on", "ignoring"):
+            kw = self.next().text
+            labels = self.parse_label_list()
+            matching = VectorMatching(
+                matching_labels=labels, on=(kw == "on")
+            )
+        t = self.peek()
+        if t.kind == IDENT and t.text in ("group_left", "group_right"):
+            self.next()
+            if matching is None:
+                matching = VectorMatching()
+            matching.card = (
+                VectorMatchCardinality.MANY_TO_ONE
+                if t.text == "group_left"
+                else VectorMatchCardinality.ONE_TO_MANY
+            )
+            if self.peek().kind == LPAREN:
+                matching.include = self.parse_label_list()
+        if matching is not None:
+            if matching.on:
+                dup = set(matching.matching_labels) & set(matching.include)
+                if dup:
+                    raise PromQLSyntaxError(
+                        f"label {sorted(dup)[0]!r} must not occur in ON and GROUP clause at once"
+                    )
+        return matching
+
+    def parse_label_list(self) -> list[str]:
+        self.expect(LPAREN)
+        labels: list[str] = []
+        if self.peek().kind != RPAREN:
+            while True:
+                t = self.expect(IDENT)
+                if ":" in t.text:
+                    raise PromQLSyntaxError(f"invalid label name {t.text!r}")
+                labels.append(t.text)
+                if not self.accept(COMMA):
+                    break
+        self.expect(RPAREN)
+        return labels
+
+    # -- unary / atoms ---------------------------------------------------
+    def parse_unary(self) -> Expr:
+        t = self.peek()
+        if t.kind in ("+", "-"):
+            self.next()
+            operand = self.parse_binary(UNARY_PREC)
+            # constant-fold unary minus on number literals (parse.go:552-558)
+            if isinstance(operand, NumberLiteral):
+                return NumberLiteral(
+                    -operand.value if t.kind == "-" else operand.value
+                )
+            return UnaryExpr(t.kind, operand)
+        return self.parse_postfix(self.parse_atom())
+
+    def parse_postfix(self, e: Expr) -> Expr:
+        """Range `[5m]` and `offset 5m` suffixes."""
+        if self.peek().kind == LBRACKET:
+            if not isinstance(e, VectorSelector):
+                raise PromQLSyntaxError(
+                    "range specification must follow a vector selector"
+                )
+            self.next()
+            d = self.expect(DURATION)
+            self.expect(RBRACKET)
+            e = MatrixSelector(
+                e.name, e.matchers, range_ms=parse_duration_ms(d.text)
+            )
+        if self.peek().kind == IDENT and self.peek().text == "offset":
+            self.next()
+            d = self.expect(DURATION)
+            off = parse_duration_ms(d.text)
+            if isinstance(e, (VectorSelector, MatrixSelector)):
+                e.offset_ms = off
+            else:
+                raise PromQLSyntaxError("offset modifier must follow a selector")
+        return e
+
+    def parse_atom(self) -> Expr:
+        t = self.peek()
+        if t.kind == NUMBER:
+            self.next()
+            return NumberLiteral(number_value(t.text))
+        if t.kind == STRING:
+            self.next()
+            return StringLiteral(t.text)
+        if t.kind == LPAREN:
+            self.next()
+            e = self.parse_binary(0)
+            self.expect(RPAREN)
+            return ParenExpr(e)
+        if t.kind == LBRACE:
+            return self.parse_selector(None)
+        if t.kind == IDENT:
+            if t.text in AGGREGATORS:
+                return self.parse_aggregate()
+            fn = get_function(t.text)
+            if fn is not None and self.toks[self.pos + 1].kind == LPAREN:
+                return self.parse_call()
+            self.next()
+            return self.parse_selector(t.text)
+        raise PromQLSyntaxError(
+            f"no valid expression found at position {t.pos} ({t.text!r})"
+        )
+
+    # -- aggregations (parse.go:704-759) -------------------------------
+    def parse_aggregate(self) -> Expr:
+        op = self.next().text
+        grouping: list[str] = []
+        without = False
+        seen_mod = False
+        if self.peek().kind == IDENT and self.peek().text in ("by", "without"):
+            without = self.next().text == "without"
+            grouping = self.parse_label_list()
+            seen_mod = True
+        self.expect(LPAREN)
+        param = None
+        if op in AGGREGATORS_WITH_PARAM:
+            param = self.parse_binary(0)
+            self.expect(COMMA)
+        e = self.parse_binary(0)
+        self.expect(RPAREN)
+        if (
+            not seen_mod
+            and self.peek().kind == IDENT
+            and self.peek().text in ("by", "without")
+        ):
+            without = self.next().text == "without"
+            grouping = self.parse_label_list()
+        return AggregateExpr(op, e, param=param, grouping=grouping, without=without)
+
+    # -- function calls --------------------------------------------------
+    def parse_call(self) -> Expr:
+        name = self.next().text
+        fn = get_function(name)
+        self.expect(LPAREN)
+        args: list[Expr] = []
+        if self.peek().kind != RPAREN:
+            while True:
+                args.append(self.parse_binary(0))
+                if not self.accept(COMMA):
+                    break
+        self.expect(RPAREN)
+        min_args = len(fn.arg_types) - fn.optional
+        if fn.variadic:
+            if len(args) < len(fn.arg_types):
+                raise PromQLSyntaxError(
+                    f"expected at least {len(fn.arg_types)} argument(s) in call to {name!r}, got {len(args)}"
+                )
+        elif not (min_args <= len(args) <= len(fn.arg_types)):
+            raise PromQLSyntaxError(
+                f"expected {len(fn.arg_types)} argument(s) in call to {name!r}, got {len(args)}"
+            )
+        return Call(fn, args)
+
+    # -- selectors (parse.go:596-622, 814-894) --------------------------
+    def parse_selector(self, name: str | None) -> Expr:
+        matchers: list[LabelMatcher] = []
+        if self.peek().kind == LBRACE:
+            self.next()
+            if self.peek().kind != RBRACE:
+                while True:
+                    ln = self.peek()
+                    if ln.kind not in (IDENT,) and ln.text not in BINARY_OPS:
+                        raise PromQLSyntaxError(
+                            f"expected label name, got {ln.text!r} at {ln.pos}"
+                        )
+                    # keywords are valid label names inside braces
+                    lname = self.next().text
+                    opt = self.peek()
+                    if opt.kind not in _MATCH_TYPES:
+                        raise PromQLSyntaxError(
+                            f"expected label matching operator at {opt.pos}"
+                        )
+                    self.next()
+                    val = self.expect(STRING)
+                    matchers.append(
+                        LabelMatcher(_MATCH_TYPES[opt.kind], lname, val.text)
+                    )
+                    if not self.accept(COMMA):
+                        break
+                    if self.peek().kind == RBRACE:
+                        break
+            self.expect(RBRACE)
+        if name is not None:
+            for m in matchers:
+                if m.name == METRIC_NAME_LABEL:
+                    raise PromQLSyntaxError(
+                        f"metric name must not be set twice: {name!r} or {m.value!r}"
+                    )
+            matchers.append(
+                LabelMatcher(MatchType.EQ, METRIC_NAME_LABEL, name)
+            )
+        if not matchers:
+            raise PromQLSyntaxError(
+                "vector selector must contain label matchers or metric name"
+            )
+        # at least one matcher must not match the empty string
+        # (parse.go:879-894)
+        if all(m.matches_empty() for m in matchers):
+            raise PromQLSyntaxError(
+                "vector selector must contain at least one non-empty matcher"
+            )
+        return VectorSelector(name, matchers)
+
+
+# -- typecheck (parse.go:984-1121) --------------------------------------
+
+
+def typecheck(e: Expr) -> None:
+    if isinstance(e, BinaryExpr):
+        typecheck(e.lhs)
+        typecheck(e.rhs)
+        lt, rt = e.lhs.type, e.rhs.type
+        if lt not in (ValueType.SCALAR, ValueType.VECTOR) or rt not in (
+            ValueType.SCALAR,
+            ValueType.VECTOR,
+        ):
+            raise PromQLSyntaxError(
+                "binary expression must contain only scalar and instant vector types"
+            )
+        if e.return_bool and e.op not in COMPARISON_OPS:
+            raise PromQLSyntaxError("bool modifier can only be used on comparison operators")
+        if (
+            e.op in COMPARISON_OPS
+            and lt == ValueType.SCALAR
+            and rt == ValueType.SCALAR
+            and not e.return_bool
+        ):
+            raise PromQLSyntaxError(
+                "comparisons between scalars must use BOOL modifier"
+            )
+        if e.op in SET_OPS and (lt == ValueType.SCALAR or rt == ValueType.SCALAR):
+            raise PromQLSyntaxError(
+                f"set operator {e.op!r} not allowed in binary scalar expression"
+            )
+        if lt == ValueType.SCALAR or rt == ValueType.SCALAR:
+            if e.matching is not None and (
+                e.matching.on or e.matching.matching_labels
+            ):
+                raise PromQLSyntaxError(
+                    "vector matching only allowed between instant vectors"
+                )
+        if lt == ValueType.VECTOR and rt == ValueType.VECTOR and e.matching:
+            if e.op in SET_OPS:
+                if e.matching.card != VectorMatchCardinality.ONE_TO_ONE:
+                    raise PromQLSyntaxError(
+                        "no grouping allowed for set operations"
+                    )
+                e.matching.card = VectorMatchCardinality.MANY_TO_MANY
+        if (
+            e.matching is not None
+            and e.matching.card
+            in (
+                VectorMatchCardinality.MANY_TO_ONE,
+                VectorMatchCardinality.ONE_TO_MANY,
+            )
+            and e.op in SET_OPS
+        ):
+            raise PromQLSyntaxError("no grouping allowed for set operations")
+    elif isinstance(e, UnaryExpr):
+        typecheck(e.expr)
+        if e.expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
+            raise PromQLSyntaxError(
+                "only scalar and instant vector types allowed in unary expression"
+            )
+    elif isinstance(e, ParenExpr):
+        typecheck(e.expr)
+    elif isinstance(e, AggregateExpr):
+        typecheck(e.expr)
+        if e.expr.type != ValueType.VECTOR:
+            raise PromQLSyntaxError(
+                "aggregation operator expects an instant vector"
+            )
+        if e.param is not None:
+            typecheck(e.param)
+            want = (
+                ValueType.STRING if e.op == "count_values" else ValueType.SCALAR
+            )
+            if e.param.type != want:
+                raise PromQLSyntaxError(
+                    f"expected type {want.value} in aggregation parameter"
+                )
+    elif isinstance(e, Call):
+        for a in e.args:
+            typecheck(a)
+        n_fixed = len(e.func.arg_types)
+        for i, a in enumerate(e.args):
+            want = e.func.arg_types[min(i, n_fixed - 1)]
+            if a.type != want:
+                raise PromQLSyntaxError(
+                    f"expected type {want.value} in call to function {e.func.name!r},"
+                    f" got {a.type.value}"
+                )
+
+
+def parse(src: str) -> Expr:
+    """Parse a PromQL expression string into a typechecked AST."""
+    return Parser(src).parse_expr()
+
+
+def parse_metric_selector(src: str) -> list[LabelMatcher]:
+    """Parse a bare series selector (used by the /series API path,
+    reference ``promql/parse.go:79-90``)."""
+    e = Parser(src).parse_expr()
+    inner = e
+    while isinstance(inner, ParenExpr):
+        inner = inner.expr
+    if not isinstance(inner, VectorSelector) or inner.offset_ms:
+        raise PromQLSyntaxError("expected a metric selector")
+    return inner.matchers
+
+
+__all__ = [
+    "parse",
+    "parse_metric_selector",
+    "Parser",
+    "PromQLSyntaxError",
+    "walk",
+]
