@@ -1,0 +1,586 @@
+"""Golden-DSL correctness corpus.
+
+Written in the reference's test-script format (vendor/.../promql/test.go)
+— `load <step>` fixtures + `eval instant at <t>` assertions at relative
+ε=1e-6. Expected values derive from documented PromQL semantics.
+"""
+
+import pytest
+
+from timbala_spark.testdsl import run_golden
+
+AGG_FIXTURE = """
+load 5m
+  http_requests{job="api-server", instance="0", group="production"} 0+10x10
+  http_requests{job="api-server", instance="1", group="production"} 0+20x10
+  http_requests{job="api-server", instance="0", group="canary"} 0+30x10
+  http_requests{job="api-server", instance="1", group="canary"} 0+40x10
+  http_requests{job="app-server", instance="0", group="production"} 0+50x10
+  http_requests{job="app-server", instance="1", group="production"} 0+60x10
+  http_requests{job="app-server", instance="0", group="canary"} 0+70x10
+  http_requests{job="app-server", instance="1", group="canary"} 0+80x10
+"""
+
+
+def test_aggregators_sum_avg_count(spark):
+    run_golden(spark, AGG_FIXTURE + """
+eval instant at 50m sum by (group) (http_requests)
+  {group="canary"} 2200
+  {group="production"} 1400
+
+eval instant at 50m sum by (group) (http_requests{job="api-server"})
+  {group="canary"} 700
+  {group="production"} 300
+
+eval instant at 50m sum without (instance) (http_requests)
+  {job="api-server", group="production"} 300
+  {job="api-server", group="canary"} 700
+  {job="app-server", group="production"} 1100
+  {job="app-server", group="canary"} 1500
+
+eval instant at 50m avg by (job) (http_requests)
+  {job="api-server"} 250
+  {job="app-server"} 650
+
+eval instant at 50m count by (group) (http_requests)
+  {group="canary"} 4
+  {group="production"} 4
+
+eval instant at 50m sum(http_requests)
+  {} 3600
+""")
+
+
+def test_aggregators_minmax_stddev_quantile(spark):
+    run_golden(spark, AGG_FIXTURE + """
+eval instant at 50m min by (job) (http_requests)
+  {job="api-server"} 100
+  {job="app-server"} 500
+
+eval instant at 50m max by (job) (http_requests)
+  {job="api-server"} 400
+  {job="app-server"} 800
+
+eval instant at 50m stddev by (job) (http_requests)
+  {job="api-server"} 111.80339887498948
+  {job="app-server"} 111.80339887498948
+
+eval instant at 50m stdvar by (job) (http_requests)
+  {job="api-server"} 12500
+  {job="app-server"} 12500
+
+eval instant at 50m quantile(0.5, http_requests)
+  {} 450
+
+eval instant at 50m quantile by (job) (0.25, http_requests)
+  {job="api-server"} 175
+  {job="app-server"} 575
+
+eval instant at 50m quantile(-1, http_requests)
+  {} -Inf
+
+eval instant at 50m quantile(1.5, http_requests)
+  {} +Inf
+""")
+
+
+def test_aggregators_topk_bottomk(spark):
+    run_golden(spark, AGG_FIXTURE + """
+eval instant at 50m topk(1, http_requests)
+  http_requests{group="canary", instance="1", job="app-server"} 800
+
+eval instant at 50m topk by (group) (1, http_requests)
+  http_requests{group="canary", instance="1", job="app-server"} 800
+  http_requests{group="production", instance="1", job="app-server"} 600
+
+eval instant at 50m bottomk(2, http_requests)
+  http_requests{group="production", instance="0", job="api-server"} 100
+  http_requests{group="production", instance="1", job="api-server"} 200
+
+eval_ordered instant at 50m sort_desc(http_requests{job="api-server"})
+  http_requests{group="canary", instance="1", job="api-server"} 400
+  http_requests{group="canary", instance="0", job="api-server"} 300
+  http_requests{group="production", instance="1", job="api-server"} 200
+  http_requests{group="production", instance="0", job="api-server"} 100
+
+eval_ordered instant at 50m sort(http_requests{job="api-server"})
+  http_requests{group="production", instance="0", job="api-server"} 100
+  http_requests{group="production", instance="1", job="api-server"} 200
+  http_requests{group="canary", instance="0", job="api-server"} 300
+  http_requests{group="canary", instance="1", job="api-server"} 400
+""")
+
+
+def test_count_values(spark):
+    run_golden(spark, """
+load 5m
+  version{job="a", instance="0"} 6
+  version{job="a", instance="1"} 6
+  version{job="b", instance="0"} 7.5
+
+eval instant at 0m count_values("version", version)
+  {version="6"} 2
+  {version="7.5"} 1
+
+eval instant at 0m count_values by (job) ("v", version)
+  {job="a", v="6"} 2
+  {job="b", v="7.5"} 1
+""")
+
+
+BINOP_FIXTURE = """
+load 5m
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+  bar{job="api", instance="0"} 2
+  baz{job="api", instance="2"} 5
+  one{job="api", role="primary"} 100
+"""
+
+
+def test_binop_arithmetic(spark):
+    run_golden(spark, BINOP_FIXTURE + """
+eval instant at 0m foo + bar
+  {job="api", instance="0"} 12
+
+eval instant at 0m foo * 2
+  {job="api", instance="0"} 20
+  {job="api", instance="1"} 40
+
+eval instant at 0m 2 * foo
+  {job="api", instance="0"} 20
+  {job="api", instance="1"} 40
+
+eval instant at 0m foo - foo
+  {job="api", instance="0"} 0
+  {job="api", instance="1"} 0
+
+eval instant at 0m foo / ignoring(instance) group_left bar
+  {job="api", instance="0"} 5
+  {job="api", instance="1"} 10
+
+eval instant at 0m foo * on(job) group_left(role) one
+  {job="api", instance="0", role="primary"} 1000
+  {job="api", instance="1", role="primary"} 2000
+
+eval instant at 0m foo % 3
+  {job="api", instance="0"} 1
+  {job="api", instance="1"} 2
+
+eval instant at 0m foo ^ 2
+  {job="api", instance="0"} 100
+  {job="api", instance="1"} 400
+
+eval instant at 0m foo / 0
+  {job="api", instance="0"} +Inf
+  {job="api", instance="1"} +Inf
+
+eval_fail instant at 0m foo + ignoring(instance) bar
+"""
+    )
+
+
+def test_binop_scalar_scalar(spark):
+    run_golden(spark, """
+load 5m
+  trivial 1
+
+eval instant at 0m 1 + 1
+  2
+
+eval instant at 0m 2 ^ 3 ^ 2
+  512
+
+eval instant at 0m -1 ^ 2
+  -1
+
+eval instant at 0m 17 % 5
+  2
+
+eval instant at 0m -17 % 5
+  -2
+
+eval instant at 0m 1 / 0
+  +Inf
+
+eval instant at 0m -1 / 0
+  -Inf
+
+eval instant at 0m 0 / 0
+  NaN
+
+eval instant at 0m 1 > bool 0
+  1
+
+eval instant at 0m 1 >= bool 1
+  1
+
+eval instant at 0m 1 < bool 0
+  0
+
+eval instant at 0m (2 + 3) * 4
+  20
+""")
+
+
+def test_binop_comparisons(spark):
+    run_golden(spark, BINOP_FIXTURE + """
+eval instant at 0m foo > 15
+  foo{job="api", instance="1"} 20
+
+eval instant at 0m foo > bool 15
+  {job="api", instance="0"} 0
+  {job="api", instance="1"} 1
+
+eval instant at 0m foo == 10
+  foo{job="api", instance="0"} 10
+
+eval instant at 0m foo != 10
+  foo{job="api", instance="1"} 20
+
+eval instant at 0m foo <= 20
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+
+eval instant at 0m foo > ignoring(instance) group_left bar
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+""")
+
+
+def test_set_ops(spark):
+    run_golden(spark, BINOP_FIXTURE + """
+eval instant at 0m foo and bar
+  foo{job="api", instance="0"} 10
+
+eval instant at 0m foo or baz
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+  baz{job="api", instance="2"} 5
+
+eval instant at 0m foo unless bar
+  foo{job="api", instance="1"} 20
+
+eval instant at 0m foo unless on(job) baz
+
+eval instant at 0m foo unless on(instance) baz
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+
+eval instant at 0m foo and on(instance) baz
+
+eval instant at 0m foo and on(job) baz
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+""")
+
+
+def test_selectors_staleness(spark):
+    run_golden(spark, """
+load 1m
+  metric 0+1x10
+  sparse 1 _ _ _ _ _ _ 7
+
+eval instant at 10m metric
+  metric 10
+
+eval instant at 13m metric
+  metric 10
+
+eval instant at 16m metric
+
+eval instant at 5m metric offset 3m
+  metric 2
+
+eval instant at 2m {__name__=~"met.*"}
+  metric 2
+
+eval instant at 2m {__name__=~".+", __name__!="sparse"}
+  metric 2
+
+eval instant at 3m sparse
+  sparse 1
+
+eval instant at 8m sparse
+  sparse 7
+
+eval instant at 5m sparse
+  sparse 1
+
+eval instant at 7m metric[3m]
+  metric 4
+  metric 5
+  metric 6
+  metric 7
+""")
+
+
+def test_rate_family(spark):
+    run_golden(spark, """
+load 30s
+  ctr 0+10x20
+  reset_ctr 0 10 20 0 10 20
+
+eval instant at 10m rate(ctr[5m])
+  {} 0.3333333333333333
+
+eval instant at 10m increase(ctr[5m])
+  {} 100
+
+eval instant at 10m delta(ctr[5m])
+  {} 100
+
+eval instant at 10m irate(ctr[5m])
+  {} 0.3333333333333333
+
+eval instant at 10m idelta(ctr[5m])
+  {} 10
+
+eval instant at 2m30s rate(reset_ctr[5m])
+  {} 0.13333333333333333
+
+eval instant at 2m30s resets(reset_ctr[5m])
+  {} 1
+
+eval instant at 2m30s changes(reset_ctr[5m])
+  {} 5
+
+eval instant at 10m resets(ctr[5m])
+  {} 0
+
+eval instant at 10m deriv(ctr[5m])
+  {} 0.3333333333333333
+
+eval instant at 10m predict_linear(ctr[5m], 300)
+  {} 300
+""")
+
+
+def test_over_time(spark):
+    run_golden(spark, """
+load 1m
+  g 2 4 6 8 10 _ 20
+
+eval instant at 4m avg_over_time(g[5m])
+  {} 6
+
+eval instant at 4m min_over_time(g[5m])
+  {} 2
+
+eval instant at 4m max_over_time(g[5m])
+  {} 10
+
+eval instant at 4m sum_over_time(g[5m])
+  {} 30
+
+eval instant at 4m count_over_time(g[5m])
+  {} 5
+
+eval instant at 4m stddev_over_time(g[5m])
+  {} 2.8284271247461903
+
+eval instant at 4m stdvar_over_time(g[5m])
+  {} 8
+
+eval instant at 4m quantile_over_time(0.5, g[5m])
+  {} 6
+
+eval instant at 6m g
+  g 20
+
+eval instant at 6m count_over_time(g[2m])
+  {} 2
+""")
+
+
+def test_math_functions(spark):
+    run_golden(spark, """
+load 5m
+  trivial 1
+
+eval instant at 0m ln(vector(1))
+  {} 0
+
+eval instant at 0m ln(vector(0))
+  {} -Inf
+
+eval instant at 0m ln(vector(-1))
+  {} NaN
+
+eval instant at 0m exp(vector(0))
+  {} 1
+
+eval instant at 0m sqrt(vector(4))
+  {} 2
+
+eval instant at 0m log2(vector(8))
+  {} 3
+
+eval instant at 0m log10(vector(100))
+  {} 2
+
+eval instant at 0m abs(vector(-3.5))
+  {} 3.5
+
+eval instant at 0m ceil(vector(1.2))
+  {} 2
+
+eval instant at 0m floor(vector(1.8))
+  {} 1
+
+eval instant at 0m round(vector(1.5))
+  {} 2
+
+eval instant at 0m round(vector(2.5))
+  {} 3
+
+eval instant at 0m round(vector(-0.5))
+  {} 0
+
+eval instant at 0m round(vector(1.2345), 0.01)
+  {} 1.23
+
+eval instant at 0m clamp_max(vector(5), 3)
+  {} 3
+
+eval instant at 0m clamp_min(vector(5), 7)
+  {} 7
+
+eval instant at 0m scalar(vector(3))
+  3
+
+eval instant at 1m vector(time())
+  {} 60
+""")
+
+
+def test_histogram_quantile(spark):
+    run_golden(spark, """
+load 5m
+  h{le="0.1"} 0+1x10
+  h{le="0.5"} 0+4x10
+  h{le="1"} 0+5x10
+  h{le="+Inf"} 0+10x10
+  hh{job="a", le="1"} 0+10x10
+  hh{job="a", le="+Inf"} 0+10x10
+  noinf{le="1"} 0+10x10
+
+eval instant at 50m histogram_quantile(0.5, h)
+  {} 1
+
+eval instant at 50m histogram_quantile(0.9, h)
+  {} 1
+
+eval instant at 50m histogram_quantile(0.2, h)
+  {} 0.23333333333333334
+
+eval instant at 50m histogram_quantile(0.05, h)
+  {} 0.05
+
+eval instant at 50m histogram_quantile(0.5, hh)
+  {job="a"} 0.5
+
+eval instant at 50m histogram_quantile(-1, h)
+  {} -Inf
+
+eval instant at 50m histogram_quantile(2, h)
+  {} +Inf
+
+eval instant at 50m histogram_quantile(0.5, noinf)
+  {} NaN
+""")
+
+
+def test_label_functions(spark):
+    run_golden(spark, """
+load 5m
+  m{job="api-server", src="a-b"} 1
+
+eval instant at 0m label_replace(m, "dst", "$1", "job", "(.*)-server")
+  m{job="api-server", src="a-b", dst="api"} 1
+
+eval instant at 0m label_replace(m, "job", "$1", "job", "(.*)-server")
+  m{job="api", src="a-b"} 1
+
+eval instant at 0m label_replace(m, "dst", "$1", "job", "nomatch-(.*)")
+  m{job="api-server", src="a-b"} 1
+
+eval instant at 0m label_replace(m, "job", "", "job", "(.*)")
+  m{src="a-b"} 1
+
+eval instant at 0m label_join(m, "dst", "-", "job", "src")
+  m{job="api-server", src="a-b", dst="api-server-a-b"} 1
+
+eval_fail instant at 0m label_replace(m, "0bad", "$1", "job", "(.*)")
+""")
+
+
+def test_date_functions(spark):
+    run_golden(spark, """
+load 5m
+  trivial 1
+
+eval instant at 0m day_of_week()
+  {} 4
+
+eval instant at 0m day_of_month()
+  {} 1
+
+eval instant at 0m days_in_month()
+  {} 31
+
+eval instant at 0m month()
+  {} 1
+
+eval instant at 0m year()
+  {} 1970
+
+eval instant at 0m hour(vector(3600))
+  {} 1
+
+eval instant at 0m minute(vector(120))
+  {} 2
+
+eval instant at 0m days_in_month(vector(951782400))
+  {} 29
+
+eval instant at 0m timestamp(vector(1))
+  {} 0
+""")
+
+
+def test_absent(spark):
+    run_golden(spark, """
+load 5m
+  metric 1
+
+eval instant at 0m absent(nonexistent)
+  {} 1
+
+eval instant at 0m absent(nonexistent{job="myjob", instance="x"})
+  {job="myjob", instance="x"} 1
+
+eval instant at 0m absent(metric)
+
+eval instant at 10m absent(metric)
+  {} 1
+""")
+
+
+def test_unary_and_name_drop(spark):
+    run_golden(spark, """
+load 5m
+  m{a="1"} 5
+
+eval instant at 0m -m
+  {a="1"} -5
+
+eval instant at 0m m + m
+  {a="1"} 10
+
+eval instant at 0m timestamp(m)
+  {a="1"} 0
+
+eval instant at 0m abs(m)
+  {a="1"} 5
+""")

@@ -1,0 +1,213 @@
+"""Data-pipeline operator tests over the driver's sf0.001 tables."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextOps:
+    def test_token_count(self, spark, documents):
+        from timbala_spark.pipeline import with_token_count
+
+        got = with_token_count(documents).select("doc_id", "n_tokens").collect()
+        py = {
+            r["doc_id"]: len(r["text"].split())
+            for r in documents.select("doc_id", "text").collect()
+        }
+        assert all(r["n_tokens"] == py[r["doc_id"]] for r in got)
+
+    def test_quality_features(self, spark, documents):
+        from timbala_spark.pipeline import with_quality_features
+
+        row = (
+            with_quality_features(documents)
+            .orderBy("doc_id")
+            .select("doc_id", "n_tokens", "mean_token_len", "alpha_ratio", "stopword_ratio")
+            .first()
+        )
+        assert row["n_tokens"] > 0
+        assert 0 <= row["alpha_ratio"] <= 1
+        assert 0 <= row["stopword_ratio"] <= 1
+
+    def test_language_id_deterministic(self, spark, documents):
+        from timbala_spark.pipeline import with_language_id
+
+        a = with_language_id(documents).select("doc_id", "pred_lang").collect()
+        b = with_language_id(documents).select("doc_id", "pred_lang").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        langs = {r["pred_lang"] for r in a}
+        assert langs <= {"de", "en", "es", "fr", "zh"}
+
+    def test_fingerprint(self, spark, documents):
+        from timbala_spark.pipeline import with_fingerprint
+
+        fp = with_fingerprint(documents).select("doc_id", "fingerprint")
+        rows = fp.collect()
+        assert all(r["fingerprint"] is not None for r in rows)
+        # identical text ⇒ identical fingerprint
+        dup = documents.limit(1).union(documents.limit(1))
+        fps = with_fingerprint(dup).select("fingerprint").collect()
+        assert fps[0][0] == fps[1][0]
+
+
+class TestDedup:
+    def test_exact_dedup_finds_injected_dups(self, spark, documents):
+        from timbala_spark.pipeline import exact_dedup
+
+        dup = documents.union(
+            documents.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        out = exact_dedup(dup, ["text"], "doc_id")
+        n_docs = documents.count()
+        assert out.count() == n_docs
+        assert out.filter(F.col("n_dups") == 2).count() == 5
+        # representative is the min id
+        assert out.agg(F.max("doc_id")).first()[0] < 100000
+
+    def test_ngram_jaccard_self_pairs(self, spark, documents):
+        from timbala_spark.pipeline import ngram_jaccard_pairs
+
+        dup = documents.limit(20).union(
+            documents.limit(3).withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        pairs = ngram_jaccard_pairs(dup, threshold=0.99).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(0, 1000), (1, 1001), (2, 1002)} <= got
+        assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in pairs if r["id_b"] >= 1000 and r["id_a"] == r["id_b"] - 1000)
+
+    def test_minhash_lsh_finds_exact_dups(self, spark, documents):
+        from timbala_spark.pipeline import minhash_lsh_pairs
+
+        dup = documents.limit(30).union(
+            documents.limit(3).withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        pairs = minhash_lsh_pairs(dup, threshold=0.9).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(0, 1000), (1, 1001), (2, 1002)} <= got
+
+    def test_simhash(self, spark, documents):
+        from timbala_spark.pipeline import simhash_pairs, with_simhash
+
+        h = with_simhash(documents.limit(10)).select("doc_id", "simhash").collect()
+        assert len({r["simhash"] for r in h}) > 1
+        dup = documents.limit(20).union(
+            documents.limit(2).withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        pairs = simhash_pairs(dup, max_hamming=0).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert {(0, 1000), (1, 1001)} <= got
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, spark, embeddings):
+        import numpy as np
+
+        from timbala_spark.pipeline import cosine_topk
+
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        corpus = embeddings.filter(F.col("vec_id") >= 3)
+        got = cosine_topk(corpus, queries, k=5).collect()
+
+        rows = embeddings.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        for qid in range(3):
+            qv = vecs[qid]
+            sims = sorted(
+                (
+                    (float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), -nid)
+                    for nid, v in vecs.items()
+                    if nid >= 3
+                ),
+                reverse=True,
+            )[:5]
+            want = [-nid for _, nid in sims]
+            mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
+            assert mine == want, (qid, mine, want)
+
+    def test_lsh_recall(self, spark, embeddings):
+        from timbala_spark.pipeline import cosine_topk, lsh_cosine_topk
+
+        queries = embeddings.filter(F.col("vec_id") < 3)
+        corpus = embeddings.filter(F.col("vec_id") >= 3)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(corpus, queries, k=3).collect()
+        }
+        # random gaussian corpus → top neighbors sit near cos≈0.4, so
+        # per-table hit prob ≈ (1-θ/π)^planes; 4 planes × 16 tables
+        # gives expected recall ≈ 0.9
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_cosine_topk(
+                corpus, queries, k=3, n_planes=4, n_tables=16
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, recall
+
+    def test_ivf(self, spark, embeddings):
+        from timbala_spark.pipeline import ivf_topk
+
+        queries = embeddings.filter(F.col("vec_id") < 2)
+        corpus = embeddings.filter(F.col("vec_id") >= 2)
+        got = ivf_topk(corpus, queries, k=3, n_cells=8, n_probe=3).collect()
+        assert len(got) == 6
+        for qid in (0, 1):
+            ranks = [r["rank"] for r in got if r["query_id"] == qid]
+            assert sorted(ranks) == [1, 2, 3]
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self, spark, documents):
+        from timbala_spark.pipeline.multimodal import (
+            DecoderNotAvailable,
+            decode_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, documents, n=6)
+        with pytest.raises(Exception):
+            decode_features(media, fake=False).collect()
+
+    def test_fake_decode_plumbing(self, spark, documents):
+        from timbala_spark.pipeline.multimodal import (
+            decode_features,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, documents, n=9)
+        out = decode_features(media, fake=True).collect()
+        assert len(out) == 9
+        for r in out:
+            assert r["width"] >= 16 and r["height"] >= 16
+            assert len(r["features"]) == 8
+            if r["media_type"] == "image":
+                assert r["n_frames"] == 1
+        # deterministic
+        out2 = decode_features(media, fake=True).collect()
+        assert sorted(r["media_id"] for r in out) == sorted(
+            r["media_id"] for r in out2
+        )
+
+    def test_frame_sample_plan(self, spark, documents):
+        from timbala_spark.pipeline.multimodal import (
+            frame_sample_plan,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, documents, n=12)
+        plan = frame_sample_plan(media, every_n=5).collect()
+        assert all(r["frame_idx"] % 5 == 0 for r in plan)

@@ -1,0 +1,1537 @@
+"""PromQL AST → Spark DataFrame plan compiler.
+
+The single biggest architectural divergence from the reference (and the
+reason this design scales): the reference evaluates a range query by
+looping a tree-walking interpreter once per step timestamp
+(``promql/engine.go:412-462``); we compile the whole query to ONE
+declarative DataFrame plan evaluated set-at-a-time over the step grid,
+and let Catalyst/Tungsten/AQE pick the physical strategy.
+
+Evaluation grid
+---------------
+A range query (start, end, step) defines ``n`` step timestamps.  Every
+sample is mapped — with pure column arithmetic, no join — to the
+contiguous run of step indexes it can serve:
+
+* instant (vector selector) visibility: ``step_t - lookback <= t' <= step_t``
+  (5 m staleness lookback, reference ``engine.go:766-806,1469-1471``)
+* range (matrix selector) visibility:  ``step_t - range   <= t' <= step_t``
+  (reference ``engine.go:836-892``)
+
+both of which are ``step_idx ∈ [ceil((t'-start)/step), floor((t'+W-start)/step)]``
+for window ``W``.  ``explode(sequence(lo, hi))`` expands map-side, then a
+single hash aggregation per ``(series_id, step_t)`` computes the
+operator kernel.  Expansion factor is bounded by ``min(W/step, n)``.
+
+Value model (reference ``promql/value.go:36-46``)
+-------------------------------------------------
+* instant vector → DataFrame ``(step_t, labels, v, sample_t)``
+* scalar         → Python float (constant-folded) or DataFrame ``(step_t, v)``
+* range vector   → never materialized standalone: fused into the
+  consuming function's grouped aggregation
+* string         → Python str
+
+Everything runs in native Spark SQL expressions (whole-stage codegen);
+the only Python UDF in the module is the Go-float formatter used by
+``count_values`` label stringification (``engine.go:1283-1284``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .model import (
+    DEFAULT_LOOKBACK_MS,
+    METRIC_NAME_LABEL,
+    canonical_labels_expr,
+    label_get,
+    restrict_labels_expr,
+    signature_expr,
+)
+from .promql.ast import (
+    ARITHMETIC_OPS,
+    COMPARISON_OPS,
+    SET_OPS,
+    AggregateExpr,
+    BinaryExpr,
+    Call,
+    Expr,
+    LabelMatcher,
+    MatchType,
+    MatrixSelector,
+    NumberLiteral,
+    ParenExpr,
+    StringLiteral,
+    UnaryExpr,
+    ValueType,
+    VectorMatchCardinality,
+    VectorMatching,
+    VectorSelector,
+)
+
+NAN = float("nan")
+INF = float("inf")
+
+_LABEL_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+class PromQLEvalError(ValueError):
+    """Semantic evaluation error (reference errors propagate by
+    panic/recover, ``engine.go:588-614``)."""
+
+
+# ---------------------------------------------------------------------------
+# values
+
+
+@dataclass
+class VectorValue:
+    df: DataFrame  # (step_t long, labels map<str,str>, v double, sample_t long)
+    ordered: bool = False  # True after sort()/sort_desc(): keep row order
+
+
+@dataclass
+class ScalarValue:
+    df: DataFrame | None = None  # (step_t long, v double)
+    const: float | None = None
+
+
+@dataclass
+class StringValue:
+    s: str
+
+
+Value = VectorValue | ScalarValue | StringValue
+
+
+# ---------------------------------------------------------------------------
+# context
+
+
+class EvalContext:
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        start_ms: int,
+        end_ms: int,
+        step_ms: int,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+        strict: bool = True,
+    ):
+        if end_ms < start_ms:
+            raise PromQLEvalError("end timestamp must not be before start time")
+        if step_ms <= 0:
+            raise PromQLEvalError("zero or negative query resolution step")
+        self.spark = spark
+        self.samples = samples
+        self.start = int(start_ms)
+        self.end = int(end_ms)
+        self.step = int(step_ms)
+        self.lookback = int(lookback_ms)
+        self.strict = strict
+        self.n_steps = (self.end - self.start) // self.step + 1
+        self._steps: DataFrame | None = None
+
+    @property
+    def steps(self) -> DataFrame:
+        """The step grid (step_t long). Tiny (≤ points cap) → always
+        broadcast when joined."""
+        if self._steps is None:
+            self._steps = self.spark.range(self.n_steps).select(
+                (F.lit(self.start) + F.col("id") * F.lit(self.step))
+                .cast("long")
+                .alias("step_t")
+            )
+        return self._steps
+
+    def scalar_df(self, sv: ScalarValue) -> DataFrame:
+        """Materialize a scalar value as a per-step DataFrame."""
+        if sv.df is not None:
+            return sv.df
+        return self.steps.withColumn("v", F.lit(float(sv.const)).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# small helpers
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    """Exact floor division of a long expression by a positive int."""
+    bl = F.lit(int(b))
+    return ((a - F.pmod(a, bl)) / bl).cast("long")
+
+
+def _ceildiv(a: Column, b: int) -> Column:
+    return -_floordiv(-a, b)
+
+
+def _nan_lit() -> Column:
+    return F.lit(NAN).cast("double")
+
+
+def _ieee_cmp(op: str, l: Column, r: Column) -> Column:
+    """IEEE-754 comparison semantics (Go), not Spark SQL's NaN-as-largest
+    total ordering: any comparison with NaN is false except ``!=``."""
+    either_nan = F.isnan(l) | F.isnan(r)
+    raw = {
+        "==": l == r,
+        "!=": l != r,
+        ">": l > r,
+        "<": l < r,
+        ">=": l >= r,
+        "<=": l <= r,
+    }[op]
+    if op == "!=":
+        return either_nan | ((l != r) & ~either_nan)
+    return ~either_nan & raw
+
+
+def _arith_col(op: str, l: Column, r: Column) -> Column:
+    """Arithmetic on doubles with Go float semantics.
+
+    ``%`` is Go ``math.Mod`` == Java ``%`` on doubles; ``^`` is
+    ``math.Pow`` (reference ``engine.go:1198-1227``).  Division and mod
+    by zero follow IEEE-754 (±Inf / NaN), which Spark's ANSI mode would
+    otherwise reject — the zero-divisor branch is guarded so the raw
+    operator never sees a zero.
+    """
+    if op == "+":
+        return l + r
+    if op == "-":
+        return l - r
+    if op == "*":
+        return l * r
+    if op == "/":
+        zero_case = (
+            F.when(F.isnan(l) | (l == 0), _nan_lit())
+            .when(l > 0, F.lit(INF))
+            .otherwise(F.lit(-INF))
+        )
+        return F.when(r == 0, zero_case).otherwise(l / F.when(r != 0, r))
+    if op == "%":
+        return F.when(r == 0, _nan_lit()).otherwise(l % F.when(r != 0, r))
+    if op == "^":
+        return F.power(l, r)
+    raise PromQLEvalError(f"operator {op} not allowed")
+
+
+def _py_arith(op: str, l: float, r: float) -> float:
+    import numpy as np
+
+    with np.errstate(all="ignore"):
+        a, b = np.float64(l), np.float64(r)
+        if op == "+":
+            v = a + b
+        elif op == "-":
+            v = a - b
+        elif op == "*":
+            v = a * b
+        elif op == "/":
+            v = a / b
+        elif op == "%":
+            v = np.fmod(a, b)
+        elif op == "^":
+            v = np.power(a, b)
+        else:
+            raise PromQLEvalError(f"operator {op} not allowed")
+    return float(v)
+
+
+def _py_cmp(op: str, l: float, r: float) -> bool:
+    return {
+        "==": l == r,
+        "!=": l != r,
+        ">": l > r,
+        "<": l < r,
+        ">=": l >= r,
+        "<=": l <= r,
+    }[op]
+
+
+def _map_set_conditional(m: Column, key: str, val: Column) -> Column:
+    """labels[key] := val, deleting the key when val == '' (PromQL treats
+    empty label values as absent — ``engine.go:1096-1130``)."""
+    base = F.map_filter(m, lambda k, _v: k != key)
+    empty = F.array().cast("array<string>")
+    keys = F.when(val != "", F.array(F.lit(key))).otherwise(empty)
+    vals = F.when(val != "", F.array(val)).otherwise(empty)
+    return F.map_concat(base, F.map_from_arrays(keys, vals))
+
+
+def _vv(df: DataFrame) -> DataFrame:
+    return df.select("step_t", "labels", "v", "sample_t")
+
+
+def _anchored(regex: str) -> str:
+    """PromQL regexes are fully anchored (``pkg/labels/matcher.go:62``)."""
+    return "^(?:" + regex + ")$"
+
+
+def matcher_expr(m: LabelMatcher) -> Column:
+    val = F.coalesce(label_get(F.col("labels"), m.name), F.lit(""))
+    if m.type == MatchType.EQ:
+        return val == F.lit(m.value)
+    if m.type == MatchType.NEQ:
+        return val != F.lit(m.value)
+    if m.type == MatchType.RE:
+        return val.rlike(_anchored(m.value))
+    return ~val.rlike(_anchored(m.value))
+
+
+def _raise_if(cond: Column, value: Column, message: str) -> Column:
+    """Distributed lazy error: evaluates to `value` unless `cond` holds
+    somewhere in the data, in which case the Spark job fails with
+    `message` — the DataFrame analog of the reference's panic/recover
+    error propagation (``engine.go:588-614``)."""
+    return F.when(cond, F.raise_error(F.lit(message))).otherwise(value)
+
+
+_GO_FMT_UDF = None
+
+
+def _go_fmt(col: Column) -> Column:
+    """Go ``strconv.FormatFloat(v, 'f', -1, 64)`` — shortest round-trip
+    decimal, never exponent notation (``engine.go:1283-1284``)."""
+    global _GO_FMT_UDF
+    if _GO_FMT_UDF is None:
+        import decimal
+
+        def _one(x):
+            if x is None:
+                return None
+            if math.isnan(x):
+                return "NaN"
+            if math.isinf(x):
+                return "+Inf" if x > 0 else "-Inf"
+            txt = format(decimal.Decimal(repr(x)), "f")
+            if "." in txt:
+                txt = txt.rstrip("0").rstrip(".")
+            return txt if txt not in ("", "-") else "0"
+
+        def go_fmt(it):
+            for s in it:
+                yield s.map(_one)
+
+        _GO_FMT_UDF = F.pandas_udf(
+            go_fmt, "string", F.PandasUDFType.SCALAR_ITER
+        )
+    return _GO_FMT_UDF(col)
+
+
+# ---------------------------------------------------------------------------
+# selectors
+
+
+def _base_scan(ctx: EvalContext, name, matchers, lo_t, hi_t) -> DataFrame:
+    """Matcher + time-bound pushdown: equivalent of the engine computing
+    widened bounds and pushing matchers into ``Querier.Select``
+    (``engine.go:492-560``). Catalyst pushes the name/time filters into
+    the parquet scan."""
+    df = ctx.samples
+    if name is not None:
+        df = df.filter(F.col("name") == name)
+    for m in matchers:
+        if m.name == METRIC_NAME_LABEL and name is not None:
+            continue
+        df = df.filter(matcher_expr(m))
+    # window bounds are INCLUSIVE on both ends in the vendored engine
+    # (`t >= mint`, engine.go:796,869) — modern Prometheus later made the
+    # lower bound exclusive; we match the reference.
+    return df.filter((F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+
+
+def _explode_grid(
+    ctx: EvalContext, df: DataFrame, offset_ms: int, window_ms: int
+) -> DataFrame:
+    """Map each sample to the step indexes whose window ``[step_t - W,
+    step_t]`` (both ends inclusive, matching the vendored engine) contains
+    the (offset-shifted) sample time. Adds ``ts`` (shifted sample time)
+    and ``step_t``."""
+    ts = (F.col("t") + F.lit(int(offset_ms))).cast("long")
+    df = df.withColumn("ts", ts)
+    i_lo = F.greatest(_ceildiv(F.col("ts") - F.lit(ctx.start), ctx.step), F.lit(0))
+    i_hi = F.least(
+        _floordiv(
+            F.col("ts") + F.lit(int(window_ms)) - F.lit(ctx.start), ctx.step
+        ),
+        F.lit(ctx.n_steps - 1),
+    )
+    df = (
+        df.withColumn("_ilo", i_lo)
+        .withColumn("_ihi", i_hi)
+        .filter(F.col("_ilo") <= F.col("_ihi"))
+        .withColumn("step_idx", F.explode(F.sequence(F.col("_ilo"), F.col("_ihi"))))
+    )
+    return df.withColumn(
+        "step_t",
+        (F.lit(ctx.start) + F.col("step_idx") * F.lit(ctx.step)).cast("long"),
+    )
+
+
+def compile_vector_selector(vs: VectorSelector, ctx: EvalContext) -> VectorValue:
+    """Instant vector selector: most recent sample per series in the
+    lookback window at each step (``engine.go:766-806``)."""
+    lo = ctx.start - ctx.lookback - vs.offset_ms
+    hi = ctx.end - vs.offset_ms
+    base = _base_scan(ctx, vs.name, vs.matchers, lo, hi)
+    g = _explode_grid(ctx, base, vs.offset_ms, ctx.lookback)
+    out = (
+        g.groupBy("series_id", "step_t")
+        .agg(F.max_by(F.struct("t", "v", "labels"), "t").alias("s"))
+        .select(
+            "step_t",
+            F.col("s.labels").alias("labels"),
+            F.col("s.v").alias("v"),
+            F.col("s.t").alias("sample_t"),
+        )
+    )
+    return VectorValue(out)
+
+
+def _matrix_grouped(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
+    """Range-selector samples exploded onto the grid; NOT yet aggregated.
+
+    Columns: series_id, step_t, ts (shifted time), v, labels.
+    """
+    lo = ctx.start - ms.range_ms - ms.offset_ms
+    hi = ctx.end - ms.offset_ms
+    base = _base_scan(ctx, ms.name, ms.matchers, lo, hi)
+    return _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
+
+
+_DROP_NAME = lambda: restrict_labels_expr(F.col("labels"), drop_name=True)  # noqa: E731
+
+
+def _matrix_agg(
+    ms: MatrixSelector, ctx: EvalContext, aggs: dict[str, Column]
+) -> DataFrame:
+    """Aggregate a range selector per (series, step) with plain
+    aggregate expressions (enables Spark's partial aggregation).
+
+    Result: step_t, labels (metric name dropped), plus one column per
+    entry in ``aggs``.
+    """
+    g = _matrix_grouped(ms, ctx)
+    agg_cols = [v.alias(k) for k, v in aggs.items()]
+    out = g.groupBy("series_id", "step_t").agg(
+        F.max_by("labels", "ts").alias("_labels"), *agg_cols
+    )
+    return out.withColumn(
+        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
+    ).drop("_labels")
+
+
+def _matrix_points(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
+    """Collect the per-(series, step) window as a time-sorted array of
+    (t, v) structs, for sequential kernels (rate family, holt_winters).
+
+    The array is bounded by the samples-per-range-window count; partial
+    aggregation still applies to collect_list. Result columns:
+    step_t, labels (name dropped), pts array<struct<t:long,v:double>>.
+    """
+    g = _matrix_grouped(ms, ctx)
+    out = g.groupBy("series_id", "step_t").agg(
+        F.max_by("labels", "ts").alias("_labels"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("v").alias("v")))
+        ).alias("pts"),
+    )
+    return out.withColumn(
+        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
+    ).drop("_labels")
+
+
+# ---------------------------------------------------------------------------
+# range-vector function kernels (all pure Spark SQL expressions)
+
+
+def _counter_correction(pts: Column, first_v: Column) -> Column:
+    """Sum of pre-reset values: += prev whenever v drops below the
+    previous sample (``extrapolatedRate``, ``functions.go:50-127``)."""
+    n = F.size(pts)
+    rest = F.slice(pts, 2, F.greatest(n - 1, F.lit(0)))
+    init = F.struct(
+        first_v.cast("double").alias("prev"), F.lit(0.0).cast("double").alias("corr")
+    )
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            x["v"].cast("double").alias("prev"),
+            (
+                acc["corr"]
+                + F.when(x["v"] < acc["prev"], acc["prev"]).otherwise(F.lit(0.0))
+            ).alias("corr"),
+        ),
+    )
+    return folded["corr"]
+
+
+def _extrapolated_rate_expr(
+    pts: Column, step_t: Column, range_ms: int, is_counter: bool, is_rate: bool
+) -> Column:
+    """Bit-for-bit port of the extrapolation formula at
+    ``functions.go:99-119`` (see SURVEY.md §2.5): linear extrapolation to
+    the window edges, limited to half the average sample spacing beyond
+    the first/last sample, with the counter zero-point clamp."""
+    n = F.size(pts)
+    first = F.get(pts, 0)
+    last = F.get(pts, n - 1)
+    range_start = (step_t - F.lit(int(range_ms))).cast("double")
+    range_end = step_t.cast("double")
+    first_t = first["t"].cast("double")
+    last_t = last["t"].cast("double")
+    dur_start = (first_t - range_start) / F.lit(1000.0)
+    dur_end = (range_end - last_t) / F.lit(1000.0)
+    sampled = (last_t - first_t) / F.lit(1000.0)
+    avg_between = sampled / (n - 1).cast("double")
+    if is_counter:
+        base = last["v"] - first["v"] + _counter_correction(pts, first["v"])
+    else:
+        base = last["v"] - first["v"]
+    if is_counter:
+        dur_zero = sampled * (first["v"] / base)
+        dur_start = F.when(
+            (base > 0) & (first["v"] >= 0) & (dur_zero < dur_start), dur_zero
+        ).otherwise(dur_start)
+    threshold = avg_between * F.lit(1.1)
+    extrap = (
+        sampled
+        + F.when(dur_start < threshold, dur_start).otherwise(avg_between / 2)
+        + F.when(dur_end < threshold, dur_end).otherwise(avg_between / 2)
+    )
+    result = base * (extrap / sampled)
+    if is_rate:
+        result = result / F.lit(range_ms / 1000.0)
+    return F.when(n >= 2, result)  # <2 samples → null → row dropped
+
+
+def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
+    """Double exponential smoothing, returning the last smoothed value
+    (``functions.go:193-285``). A left fold: s0/s1/b carried through
+    ``aggregate`` with trend b = tf·(s1−s0) + (1−tf)·b from step 2 on."""
+    n = F.size(pts)
+    first = F.get(pts, 0)
+    second = F.get(pts, 1)
+    rest = F.slice(pts, 3, F.greatest(n - 2, F.lit(0)))
+
+    def merge(acc, x):
+        b_new = F.when(acc["i"] == 1, acc["b"]).otherwise(
+            F.lit(tf) * (acc["s1"] - acc["s0"]) + F.lit(1.0 - tf) * acc["b"]
+        )
+        s1_new = F.lit(sf) * x["v"] + F.lit(1.0 - sf) * (acc["s1"] + b_new)
+        return F.struct(
+            acc["s1"].alias("s0"),
+            s1_new.alias("s1"),
+            b_new.alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    # seed: process samples[1] with i=1 (trend index 0 → b unchanged)
+    init0 = F.struct(
+        F.lit(0.0).cast("double").alias("s0"),
+        first["v"].cast("double").alias("s1"),
+        (second["v"] - first["v"]).cast("double").alias("b"),
+        F.lit(1).cast("int").alias("i"),
+    )
+    seeded = merge(init0, second)
+    folded = F.aggregate(rest, seeded, merge)
+    return F.when(n >= 2, folded["s1"])
+
+
+def _fold_count(pts: Column, count_fn) -> Column:
+    """Count over consecutive sample pairs (resets/changes,
+    ``functions.go:730-776``)."""
+    n = F.size(pts)
+    rest = F.slice(pts, 2, F.greatest(n - 1, F.lit(0)))
+    first = F.get(pts, 0)
+    init = F.struct(
+        first["v"].cast("double").alias("prev"),
+        F.lit(0.0).cast("double").alias("cnt"),
+    )
+    folded = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            x["v"].cast("double").alias("prev"),
+            (acc["cnt"] + count_fn(acc["prev"], x["v"])).alias("cnt"),
+        ),
+    )
+    return F.when(n >= 1, folded["cnt"])
+
+
+# ---------------------------------------------------------------------------
+# compiler
+
+
+class Compiler:
+    def __init__(self, ctx: EvalContext):
+        self.ctx = ctx
+
+    # -- entry --------------------------------------------------------
+    def compile(self, node: Expr) -> Value:
+        if isinstance(node, NumberLiteral):
+            return ScalarValue(const=node.value)
+        if isinstance(node, StringLiteral):
+            return StringValue(node.value)
+        if isinstance(node, ParenExpr):
+            return self.compile(node.expr)
+        if isinstance(node, VectorSelector):
+            return compile_vector_selector(node, self.ctx)
+        if isinstance(node, MatrixSelector):
+            raise PromQLEvalError(
+                "range vector can only be used as a function argument"
+            )
+        if isinstance(node, UnaryExpr):
+            return self._unary(node)
+        if isinstance(node, BinaryExpr):
+            return self._binary(node)
+        if isinstance(node, AggregateExpr):
+            return self._aggregate(node)
+        if isinstance(node, Call):
+            return self._call(node)
+        raise PromQLEvalError(f"unhandled node {type(node).__name__}")
+
+    # -- unary --------------------------------------------------------
+    def _unary(self, node: UnaryExpr) -> Value:
+        val = self.compile(node.expr)
+        if node.op == "+":
+            return val
+        if isinstance(val, ScalarValue):
+            if val.const is not None:
+                return ScalarValue(const=-val.const)
+            return ScalarValue(df=val.df.withColumn("v", -F.col("v")))
+        df = val.df.withColumn("v", -F.col("v")).withColumn("labels", _DROP_NAME())
+        return VectorValue(_vv(df))
+
+    # -- binary -------------------------------------------------------
+    def _binary(self, node: BinaryExpr) -> Value:
+        lv = self.compile(node.lhs)
+        rv = self.compile(node.rhs)
+        op = node.op
+        if isinstance(lv, ScalarValue) and isinstance(rv, ScalarValue):
+            return self._scalar_scalar(op, lv, rv, node.return_bool)
+        if isinstance(lv, VectorValue) and isinstance(rv, ScalarValue):
+            return self._vector_scalar(op, lv, rv, node.return_bool, swapped=False)
+        if isinstance(lv, ScalarValue) and isinstance(rv, VectorValue):
+            return self._vector_scalar(op, rv, lv, node.return_bool, swapped=True)
+        if op in SET_OPS:
+            return self._set_op(op, lv, rv, node.matching)
+        return self._vector_vector(node, lv, rv)
+
+    def _scalar_scalar(
+        self, op: str, lv: ScalarValue, rv: ScalarValue, return_bool: bool
+    ) -> ScalarValue:
+        if lv.const is not None and rv.const is not None:
+            if op in COMPARISON_OPS:
+                return ScalarValue(
+                    const=1.0 if _py_cmp(op, lv.const, rv.const) else 0.0
+                )
+            return ScalarValue(const=_py_arith(op, lv.const, rv.const))
+        l = self.ctx.scalar_df(lv).withColumnRenamed("v", "_l")
+        r = self.ctx.scalar_df(rv).withColumnRenamed("v", "_r")
+        j = l.join(r, "step_t")
+        if op in COMPARISON_OPS:
+            # scalar comparisons always carry `bool` (typecheck enforces)
+            col = F.when(_ieee_cmp(op, F.col("_l"), F.col("_r")), 1.0).otherwise(0.0)
+        else:
+            col = _arith_col(op, F.col("_l"), F.col("_r"))
+        return ScalarValue(df=j.select("step_t", col.cast("double").alias("v")))
+
+    def _vector_scalar(
+        self,
+        op: str,
+        vec: VectorValue,
+        sc: ScalarValue,
+        return_bool: bool,
+        swapped: bool,
+    ) -> VectorValue:
+        """vector∘scalar / scalar∘vector (``engine.go:1132-1161``).
+        ``swapped`` means the scalar was the LHS."""
+        df = vec.df
+        if sc.const is not None:
+            s_col = F.lit(float(sc.const)).cast("double")
+        else:
+            sdf = self.ctx.scalar_df(sc).withColumnRenamed("v", "_s")
+            df = df.join(F.broadcast(sdf), "step_t")
+            s_col = F.col("_s")
+        l, r = (s_col, F.col("v")) if swapped else (F.col("v"), s_col)
+        if op in COMPARISON_OPS:
+            pred = _ieee_cmp(op, l, r)
+            if return_bool:
+                out = df.withColumn(
+                    "v", F.when(pred, 1.0).otherwise(0.0).cast("double")
+                ).withColumn("labels", _DROP_NAME())
+            else:
+                out = df.filter(pred)
+        else:
+            out = df.withColumn("v", _arith_col(op, l, r)).withColumn(
+                "labels", _DROP_NAME()
+            )
+        return VectorValue(_vv(out))
+
+    def _set_op(
+        self, op: str, lv: VectorValue, rv: VectorValue, matching
+    ) -> VectorValue:
+        """and/or/unless as semi/union-anti/anti joins on the label
+        signature (``engine.go:894-957``)."""
+        on = matching.matching_labels if (matching and matching.on) else None
+        ignoring = matching.matching_labels if (matching and not matching.on) else ()
+        sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
+        l = lv.df.withColumn("_sig", sig)
+        r = rv.df.withColumn("_sig", sig)
+        if op == "and":
+            out = l.join(
+                r.select("step_t", "_sig").distinct(), ["step_t", "_sig"], "left_semi"
+            )
+        elif op == "unless":
+            out = l.join(
+                r.select("step_t", "_sig").distinct(), ["step_t", "_sig"], "left_anti"
+            )
+        else:  # or: all lhs + rhs samples whose signature is absent from lhs
+            rhs_only = r.join(
+                l.select("step_t", "_sig").distinct(), ["step_t", "_sig"], "left_anti"
+            )
+            out = l.unionByName(rhs_only)
+        return VectorValue(_vv(out))
+
+    def _vector_vector(
+        self, node: BinaryExpr, lv: VectorValue, rv: VectorValue
+    ) -> VectorValue:
+        """Hash equi-join on the label-set signature
+        (``engine.go:959-1049``)."""
+        op = node.op
+        matching = node.matching or VectorMatching()
+        card = matching.card
+        swap = card == VectorMatchCardinality.ONE_TO_MANY  # group_right
+        many, one = (lv, rv) if not swap else (rv, lv)
+
+        on = matching.matching_labels if matching.on else None
+        ignoring = matching.matching_labels if not matching.on else ()
+        sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
+
+        mdf = many.df.withColumn("_sig", sig)
+        odf = one.df.withColumn("_sig", sig)
+
+        if self.ctx.strict:
+            w = Window.partitionBy("step_t", "_sig")
+            side = "right" if not swap else "left"
+            odf = odf.withColumn("_cnt", F.count(F.lit(1)).over(w))
+            odf = odf.withColumn(
+                "v",
+                _raise_if(
+                    F.col("_cnt") > 1,
+                    F.col("v"),
+                    "found duplicate series for the match group on the "
+                    f"{side} hand-side of the operation",
+                ),
+            ).drop("_cnt")
+            if card == VectorMatchCardinality.ONE_TO_ONE:
+                wm = Window.partitionBy("step_t", "_sig")
+                mdf = mdf.withColumn("_cnt", F.count(F.lit(1)).over(wm))
+                mdf = mdf.withColumn(
+                    "v",
+                    _raise_if(
+                        F.col("_cnt") > 1,
+                        F.col("v"),
+                        "found duplicate series for the match group on the "
+                        f"{'left' if not swap else 'right'} hand-side of the operation",
+                    ),
+                ).drop("_cnt")
+
+        o_sel = odf.select(
+            "step_t",
+            "_sig",
+            F.col("v").alias("_ov"),
+            F.col("labels").alias("_olabels"),
+        )
+        j = mdf.join(o_sel, ["step_t", "_sig"], "inner")
+
+        many_v, one_v = F.col("v"), F.col("_ov")
+        l_col, r_col = (many_v, one_v) if not swap else (one_v, many_v)
+
+        drop_name = op in ARITHMETIC_OPS or (op in COMPARISON_OPS and node.return_bool)
+        result_labels = F.col("labels")
+        if card == VectorMatchCardinality.ONE_TO_ONE:
+            if matching.on:
+                result_labels = restrict_labels_expr(
+                    F.col("labels"), keep=matching.matching_labels
+                )
+            else:
+                result_labels = restrict_labels_expr(
+                    F.col("labels"),
+                    drop=matching.matching_labels,
+                    drop_name=drop_name,
+                )
+        elif drop_name:
+            result_labels = restrict_labels_expr(F.col("labels"), drop_name=True)
+        for ln in matching.include:
+            result_labels = _map_set_conditional(
+                result_labels,
+                ln,
+                F.coalesce(label_get(F.col("_olabels"), ln), F.lit("")),
+            )
+
+        if op in COMPARISON_OPS:
+            pred = _ieee_cmp(op, l_col, r_col)
+            if node.return_bool:
+                j = j.withColumn("_rv", F.when(pred, 1.0).otherwise(0.0))
+            else:
+                j = j.filter(pred).withColumn("_rv", many_v)
+        else:
+            j = j.withColumn("_rv", _arith_col(op, l_col, r_col))
+
+        out = j.select(
+            "step_t",
+            result_labels.alias("labels"),
+            F.col("_rv").cast("double").alias("v"),
+            "sample_t",
+        )
+        if self.ctx.strict and card != VectorMatchCardinality.ONE_TO_ONE:
+            # duplicate *output* series detection (engine.go:1023-1039)
+            wout = Window.partitionBy(
+                "step_t", canonical_labels_expr(F.col("labels"))
+            )
+            out = out.withColumn("_ocnt", F.count(F.lit(1)).over(wout))
+            out = out.withColumn(
+                "v",
+                _raise_if(
+                    F.col("_ocnt") > 1,
+                    F.col("v"),
+                    "multiple matches for labels: grouping labels must "
+                    "ensure unique matches",
+                ),
+            ).drop("_ocnt")
+        return VectorValue(out)
+
+    # -- aggregations (engine.go:1244-1448) ---------------------------
+    def _aggregate(self, node: AggregateExpr) -> VectorValue:
+        inner = self.compile(node.expr)
+        assert isinstance(inner, VectorValue)
+        df = inner.df
+
+        if node.without:
+            result_map = restrict_labels_expr(
+                F.col("labels"), drop=node.grouping, drop_name=True
+            )
+        else:
+            result_map = restrict_labels_expr(F.col("labels"), keep=node.grouping)
+        sig = canonical_labels_expr(result_map)
+        df = df.withColumn("_gmap", result_map).withColumn("_gsig", sig)
+
+        op = node.op
+        if op in ("topk", "bottomk"):
+            k = self._const_param(node.param, "topk/bottomk")
+            k = int(k)
+            if k < 1:
+                return VectorValue(
+                    self.ctx.spark.createDataFrame([], _vv(df).schema)
+                )
+            order = (
+                [F.isnan(F.col("v")).asc(), F.col("v").desc()]
+                if op == "topk"
+                else [F.isnan(F.col("v")).asc(), F.col("v").asc()]
+            )
+            w = Window.partitionBy("step_t", "_gsig").orderBy(*order)
+            out = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn", "_gmap", "_gsig")
+            )
+            return VectorValue(_vv(out))
+
+        if op == "count_values":
+            if not isinstance(node.param, StringLiteral):
+                raise PromQLEvalError("count_values label must be a string literal")
+            lbl = node.param.value
+            if not _LABEL_NAME_RE.match(lbl):
+                raise PromQLEvalError(f"invalid label name {lbl!r}")
+            df = df.withColumn("_vstr", _go_fmt(F.col("v")))
+            grouped = df.groupBy("step_t", "_gsig", "_vstr").agg(
+                F.first("_gmap").alias("_gmap"),
+                F.count(F.lit(1)).cast("double").alias("v"),
+            )
+            out = grouped.select(
+                "step_t",
+                _map_set_conditional(F.col("_gmap"), lbl, F.col("_vstr")).alias(
+                    "labels"
+                ),
+                "v",
+                F.lit(None).cast("long").alias("sample_t"),
+            )
+            return VectorValue(out)
+
+        agg_expr = self._agg_value_expr(node)
+        grouped = df.groupBy("step_t", "_gsig").agg(
+            F.first("_gmap").alias("labels"), agg_expr.alias("v")
+        )
+        out = grouped.select(
+            "step_t",
+            "labels",
+            F.col("v").cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
+        )
+        return VectorValue(out)
+
+    def _agg_value_expr(self, node: AggregateExpr) -> Column:
+        v = F.col("v")
+        op = node.op
+        if op == "sum":
+            return F.sum(v)
+        if op == "avg":
+            return F.avg(v)
+        if op == "count":
+            return F.count(F.lit(1)).cast("double")
+        if op in ("min", "max"):
+            # NaN loses to any number (engine.go:1346-1353); Spark treats
+            # NaN as largest, so exclude NaNs then re-introduce when all-NaN
+            clean = F.when(~F.isnan(v), v)
+            agg = F.min(clean) if op == "min" else F.max(clean)
+            return F.coalesce(agg, _nan_lit())
+        if op == "stddev":
+            return F.coalesce(F.stddev_pop(v), _nan_lit())
+        if op == "stdvar":
+            return F.coalesce(F.var_pop(v), _nan_lit())
+        if op == "quantile":
+            q = self._const_param(node.param, "quantile")
+            if q < 0:
+                return F.max(F.lit(-INF)).cast("double")
+            if q > 1:
+                return F.max(F.lit(INF)).cast("double")
+            return F.percentile(v, F.lit(q))
+        raise PromQLEvalError(f"unknown aggregation {op!r}")
+
+    def _const_param(self, param: Expr | None, what: str) -> float:
+        val = self.compile(param)
+        if not isinstance(val, ScalarValue) or val.const is None:
+            raise PromQLEvalError(
+                f"{what} parameter must be a constant scalar expression"
+            )
+        return float(val.const)
+
+    # -- function calls ----------------------------------------------
+    def _call(self, node: Call) -> Value:
+        name = node.func.name
+        handler = getattr(self, "_fn_" + name, None)
+        if handler is None:
+            raise PromQLEvalError(f"function {name!r} not implemented")
+        return handler(node)
+
+    # ---- elementwise math -------------------------------------------
+    def _elementwise(self, node: Call, colfn) -> VectorValue:
+        arg = self.compile(node.args[0])
+        assert isinstance(arg, VectorValue)
+        df = arg.df.withColumn("v", colfn(F.col("v")).cast("double")).withColumn(
+            "labels", _DROP_NAME()
+        )
+        return VectorValue(_vv(df))
+
+    def _fn_abs(self, node):
+        return self._elementwise(node, F.abs)
+
+    def _fn_ceil(self, node):
+        return self._elementwise(node, F.ceil)
+
+    def _fn_floor(self, node):
+        return self._elementwise(node, F.floor)
+
+    def _fn_exp(self, node):
+        return self._elementwise(node, F.exp)
+
+    def _fn_sqrt(self, node):
+        return self._elementwise(node, F.sqrt)
+
+    @staticmethod
+    def _go_log(logfn):
+        """Go math.Log semantics: log(0) = -Inf, log(<0) = NaN (Spark's
+        log returns NULL for both)."""
+
+        def f(v):
+            return (
+                F.when(v > 0, logfn(v))
+                .when(v == 0, F.lit(-INF))
+                .otherwise(_nan_lit())
+            )
+
+        return f
+
+    def _fn_ln(self, node):
+        return self._elementwise(node, self._go_log(F.log))
+
+    def _fn_log2(self, node):
+        return self._elementwise(node, self._go_log(F.log2))
+
+    def _fn_log10(self, node):
+        return self._elementwise(node, self._go_log(F.log10))
+
+    def _fn_round(self, node):
+        nearest = (
+            self._const_param(node.args[1], "round") if len(node.args) == 2 else 1.0
+        )
+        inv = 1.0 / nearest
+        # ties round up, via floor(v·inv + 0.5)/inv (functions.go:331-350)
+        return self._elementwise(
+            node, lambda v: F.floor(v * F.lit(inv) + F.lit(0.5)) / F.lit(inv)
+        )
+
+    def _clamp(self, node, is_max: bool):
+        arg = self.compile(node.args[0])
+        sc = self.compile(node.args[1])
+        assert isinstance(arg, VectorValue) and isinstance(sc, ScalarValue)
+        df = arg.df
+        if sc.const is not None:
+            s_col = F.lit(float(sc.const)).cast("double")
+        else:
+            sdf = self.ctx.scalar_df(sc).withColumnRenamed("v", "_s")
+            df = df.join(F.broadcast(sdf), "step_t")
+            s_col = F.col("_s")
+        v = F.col("v")
+        # Go math.Min/Max propagate NaN; Spark least/greatest order NaN largest
+        bound = F.least(v, s_col) if is_max else F.greatest(v, s_col)
+        newv = F.when(F.isnan(v) | F.isnan(s_col), _nan_lit()).otherwise(bound)
+        out = df.withColumn("v", newv.cast("double")).withColumn(
+            "labels", _DROP_NAME()
+        )
+        return VectorValue(_vv(out))
+
+    def _fn_clamp_max(self, node):
+        return self._clamp(node, True)
+
+    def _fn_clamp_min(self, node):
+        return self._clamp(node, False)
+
+    # ---- sorting -----------------------------------------------------
+    def _fn_sort(self, node):
+        arg = self.compile(node.args[0])
+        return VectorValue(_vv(arg.df.orderBy(F.col("v").asc())), ordered=True)
+
+    def _fn_sort_desc(self, node):
+        arg = self.compile(node.args[0])
+        # NaN last despite descending (comparator functions.go:1251-1278)
+        return VectorValue(
+            _vv(arg.df.orderBy(F.isnan(F.col("v")).asc(), F.col("v").desc())),
+            ordered=True,
+        )
+
+    # ---- presence / conversion --------------------------------------
+    def _fn_absent(self, node):
+        inner_expr = node.args[0]
+        while isinstance(inner_expr, ParenExpr):
+            inner_expr = inner_expr.expr
+        inner = self.compile(node.args[0])
+        assert isinstance(inner, VectorValue)
+        present = inner.df.select("step_t").distinct()
+        missing = self.ctx.steps.join(present, "step_t", "left_anti")
+        pairs: list[Column] = []
+        if isinstance(inner_expr, VectorSelector):
+            # equality matchers only, __name__ excluded (functions.go:511-531)
+            for m in inner_expr.matchers:
+                if m.type == MatchType.EQ and m.name != METRIC_NAME_LABEL:
+                    pairs.extend([F.lit(m.name), F.lit(m.value)])
+        labels = (
+            F.create_map(*pairs)
+            if pairs
+            else F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+        )
+        out = missing.select(
+            "step_t",
+            labels.alias("labels"),
+            F.lit(1.0).cast("double").alias("v"),
+            F.col("step_t").alias("sample_t"),
+        )
+        return VectorValue(out)
+
+    def _fn_scalar(self, node):
+        inner = self.compile(node.args[0])
+        assert isinstance(inner, VectorValue)
+        g = inner.df.groupBy("step_t").agg(
+            F.count(F.lit(1)).alias("_n"), F.first("v").alias("_v")
+        )
+        out = self.ctx.steps.join(F.broadcast(g), "step_t", "left").select(
+            "step_t",
+            F.when(F.col("_n") == 1, F.col("_v")).otherwise(_nan_lit()).alias("v"),
+        )
+        return ScalarValue(df=out)
+
+    def _fn_vector(self, node):
+        sc = self.compile(node.args[0])
+        assert isinstance(sc, ScalarValue)
+        sdf = self.ctx.scalar_df(sc)
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        out = sdf.select(
+            "step_t",
+            empty_map.alias("labels"),
+            F.col("v").cast("double").alias("v"),
+            F.col("step_t").alias("sample_t"),
+        )
+        return VectorValue(out)
+
+    def _fn_time(self, node):
+        if self.ctx.n_steps == 1:
+            return ScalarValue(const=self.ctx.start / 1000.0)
+        return ScalarValue(
+            df=self.ctx.steps.withColumn(
+                "v", (F.col("step_t") / F.lit(1000.0)).cast("double")
+            )
+        )
+
+    def _fn_timestamp(self, node):
+        arg = self.compile(node.args[0])
+        assert isinstance(arg, VectorValue)
+        df = arg.df.withColumn(
+            "v", (F.col("sample_t") / F.lit(1000.0)).cast("double")
+        ).withColumn("labels", _DROP_NAME())
+        return VectorValue(_vv(df))
+
+    # ---- label manipulation ------------------------------------------
+    def _fn_label_replace(self, node):
+        arg = self.compile(node.args[0])
+        dst = self._str_arg(node.args[1], "label_replace")
+        repl = self._str_arg(node.args[2], "label_replace")
+        src = self._str_arg(node.args[3], "label_replace")
+        regex = self._str_arg(node.args[4], "label_replace")
+        if not _LABEL_NAME_RE.match(dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_replace(): {dst!r}"
+            )
+        try:
+            re.compile(regex)
+        except re.error as e:
+            raise PromQLEvalError(
+                f"invalid regular expression in label_replace(): {regex!r}"
+            ) from e
+        src_val = F.coalesce(label_get(F.col("labels"), src), F.lit(""))
+        matched = src_val.rlike(_anchored(regex))
+        new_val = F.regexp_replace(src_val, _anchored(regex), repl)
+        new_labels = F.when(
+            matched, _map_set_conditional(F.col("labels"), dst, new_val)
+        ).otherwise(F.col("labels"))
+        out = arg.df.withColumn("labels", new_labels)
+        if self.ctx.strict:
+            w = Window.partitionBy("step_t", canonical_labels_expr(F.col("labels")))
+            out = out.withColumn("_c", F.count(F.lit(1)).over(w))
+            out = out.withColumn(
+                "v",
+                _raise_if(
+                    F.col("_c") > 1,
+                    F.col("v"),
+                    "duplicate label set in output of label_replace()",
+                ),
+            ).drop("_c")
+        return VectorValue(_vv(out))
+
+    def _fn_label_join(self, node):
+        arg = self.compile(node.args[0])
+        dst = self._str_arg(node.args[1], "label_join")
+        sep = self._str_arg(node.args[2], "label_join")
+        srcs = [self._str_arg(a, "label_join") for a in node.args[3:]]
+        if not _LABEL_NAME_RE.match(dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_join(): {dst!r}"
+            )
+        for s in srcs:
+            if not _LABEL_NAME_RE.match(s):
+                raise PromQLEvalError(
+                    f"invalid source label name in label_join(): {s!r}"
+                )
+        parts = [
+            F.coalesce(label_get(F.col("labels"), s), F.lit("")) for s in srcs
+        ]
+        joined = F.concat_ws(sep, *parts) if parts else F.lit("")
+        out = arg.df.withColumn(
+            "labels", _map_set_conditional(F.col("labels"), dst, joined)
+        )
+        return VectorValue(_vv(out))
+
+    def _str_arg(self, node: Expr, fn: str) -> str:
+        while isinstance(node, ParenExpr):
+            node = node.expr
+        if not isinstance(node, StringLiteral):
+            raise PromQLEvalError(f"{fn} argument must be a string literal")
+        return node.value
+
+    # ---- date functions (value = epoch seconds, UTC) -----------------
+    def _date_fn(self, node, colfn):
+        """dateWrapper (functions.go:885-906): interprets the sample
+        VALUE as a Unix epoch in seconds UTC, truncated toward zero;
+        zero-arg form defaults to vector(time())."""
+        if node.args:
+            arg = self.compile(node.args[0])
+            assert isinstance(arg, VectorValue)
+            df = arg.df
+        else:
+            df = self._fn_vector_of_time()
+        ts = F.timestamp_seconds(F.col("v").cast("long"))
+        out = df.withColumn("v", colfn(ts).cast("double")).withColumn(
+            "labels", _DROP_NAME()
+        )
+        return VectorValue(_vv(out))
+
+    def _fn_vector_of_time(self) -> DataFrame:
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+        return self.ctx.steps.select(
+            "step_t",
+            empty_map.alias("labels"),
+            (F.col("step_t") / F.lit(1000.0)).cast("double").alias("v"),
+            F.col("step_t").alias("sample_t"),
+        )
+
+    def _fn_minute(self, node):
+        return self._date_fn(node, F.minute)
+
+    def _fn_hour(self, node):
+        return self._date_fn(node, F.hour)
+
+    def _fn_month(self, node):
+        return self._date_fn(node, F.month)
+
+    def _fn_year(self, node):
+        return self._date_fn(node, F.year)
+
+    def _fn_day_of_month(self, node):
+        return self._date_fn(node, F.dayofmonth)
+
+    def _fn_day_of_week(self, node):
+        # Go: 0 = Sunday; Spark dayofweek: 1 = Sunday
+        return self._date_fn(node, lambda ts: F.dayofweek(ts) - 1)
+
+    def _fn_days_in_month(self, node):
+        return self._date_fn(node, lambda ts: F.dayofmonth(F.last_day(ts)))
+
+    # ---- *_over_time -------------------------------------------------
+    def _over_time(self, node, agg: dict[str, Column], final: Column) -> VectorValue:
+        ms = self._matrix_arg(node.args[0] if node.func.name != "quantile_over_time" else node.args[1])
+        df = _matrix_agg(ms, self.ctx, agg)
+        out = df.select(
+            "step_t",
+            "labels",
+            final.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
+        )
+        return VectorValue(out)
+
+    def _matrix_arg(self, node: Expr) -> MatrixSelector:
+        while isinstance(node, ParenExpr):
+            node = node.expr
+        if not isinstance(node, MatrixSelector):
+            raise PromQLEvalError("expected range vector selector argument")
+        return node
+
+    def _fn_avg_over_time(self, node):
+        return self._over_time(node, {"_v": F.avg("v")}, F.col("_v"))
+
+    def _fn_sum_over_time(self, node):
+        return self._over_time(node, {"_v": F.sum("v")}, F.col("_v"))
+
+    def _fn_count_over_time(self, node):
+        return self._over_time(
+            node, {"_v": F.count(F.lit(1)).cast("double")}, F.col("_v")
+        )
+
+    def _fn_min_over_time(self, node):
+        # Go math.Min: NaN if ANY sample is NaN (unlike the `min` aggregator)
+        return self._over_time(
+            node,
+            {
+                "_v": F.min("v"),
+                "_nan": F.max(F.isnan(F.col("v")).cast("int")),
+            },
+            F.when(F.col("_nan") == 1, _nan_lit()).otherwise(F.col("_v")),
+        )
+
+    def _fn_max_over_time(self, node):
+        return self._over_time(
+            node,
+            {
+                "_v": F.max(F.when(~F.isnan(F.col("v")), F.col("v"))),
+                "_nan": F.max(F.isnan(F.col("v")).cast("int")),
+            },
+            F.when(F.col("_nan") == 1, _nan_lit()).otherwise(F.col("_v")),
+        )
+
+    def _fn_stddev_over_time(self, node):
+        return self._over_time(node, {"_v": F.stddev_pop("v")}, F.col("_v"))
+
+    def _fn_stdvar_over_time(self, node):
+        return self._over_time(node, {"_v": F.var_pop("v")}, F.col("_v"))
+
+    def _fn_quantile_over_time(self, node):
+        q = self._const_param(node.args[0], "quantile_over_time")
+        if q < 0:
+            final = F.lit(-INF).cast("double")
+        elif q > 1:
+            final = F.lit(INF).cast("double")
+        else:
+            final = F.col("_v")
+        return self._over_time(node, {"_v": F.percentile(F.col("v"), F.lit(q))}, final)
+
+    # ---- rate family -------------------------------------------------
+    def _rate_like(self, node, is_counter: bool, is_rate: bool) -> VectorValue:
+        ms = self._matrix_arg(node.args[0])
+        df = _matrix_points(ms, self.ctx)
+        val = _extrapolated_rate_expr(
+            F.col("pts"), F.col("step_t"), ms.range_ms, is_counter, is_rate
+        )
+        out = (
+            df.withColumn("v", val.cast("double"))
+            .filter(F.col("v").isNotNull())
+            .select(
+                "step_t",
+                "labels",
+                "v",
+                F.lit(None).cast("long").alias("sample_t"),
+            )
+        )
+        return VectorValue(out)
+
+    def _fn_rate(self, node):
+        return self._rate_like(node, is_counter=True, is_rate=True)
+
+    def _fn_increase(self, node):
+        return self._rate_like(node, is_counter=True, is_rate=False)
+
+    def _fn_delta(self, node):
+        return self._rate_like(node, is_counter=False, is_rate=False)
+
+    def _instant_pair(self, node, is_rate: bool) -> VectorValue:
+        """irate/idelta from the last two samples (functions.go:144-191)."""
+        ms = self._matrix_arg(node.args[0])
+        df = _matrix_points(ms, self.ctx)
+        n = F.size(F.col("pts"))
+        last = F.get(F.col("pts"), n - 1)
+        prev = F.get(F.col("pts"), n - 2)
+        dt_ms = last["t"] - prev["t"]
+        if is_rate:
+            dv = F.when(last["v"] < prev["v"], last["v"]).otherwise(
+                last["v"] - prev["v"]
+            )
+            val = dv / (dt_ms.cast("double") / F.lit(1000.0))
+        else:
+            val = last["v"] - prev["v"]
+        val = F.when((n >= 2) & (dt_ms != 0), val)
+        out = (
+            df.withColumn("v", val.cast("double"))
+            .filter(F.col("v").isNotNull())
+            .select(
+                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
+            )
+        )
+        return VectorValue(out)
+
+    def _fn_irate(self, node):
+        return self._instant_pair(node, is_rate=True)
+
+    def _fn_idelta(self, node):
+        return self._instant_pair(node, is_rate=False)
+
+    def _fn_resets(self, node):
+        ms = self._matrix_arg(node.args[0])
+        df = _matrix_points(ms, self.ctx)
+        cnt = _fold_count(
+            F.col("pts"),
+            lambda prev, cur: F.when(cur < prev, 1.0).otherwise(0.0),
+        )
+        out = df.withColumn("v", cnt.cast("double")).filter(
+            F.col("v").isNotNull()
+        )
+        return VectorValue(
+            out.select(
+                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
+            )
+        )
+
+    def _fn_changes(self, node):
+        ms = self._matrix_arg(node.args[0])
+        df = _matrix_points(ms, self.ctx)
+        cnt = _fold_count(
+            F.col("pts"),
+            lambda prev, cur: F.when(
+                (cur != prev) & ~(F.isnan(cur) & F.isnan(prev)), 1.0
+            ).otherwise(0.0),
+        )
+        out = df.withColumn("v", cnt.cast("double")).filter(
+            F.col("v").isNotNull()
+        )
+        return VectorValue(
+            out.select(
+                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
+            )
+        )
+
+    def _fn_holt_winters(self, node):
+        ms = self._matrix_arg(node.args[0])
+        sf = self._const_param(node.args[1], "holt_winters smoothing factor")
+        tf = self._const_param(node.args[2], "holt_winters trend factor")
+        if not (0 < sf < 1):
+            raise PromQLEvalError(
+                f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
+            )
+        if not (0 < tf < 1):
+            raise PromQLEvalError(
+                f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
+            )
+        df = _matrix_points(ms, self.ctx)
+        val = _holt_winters_expr(F.col("pts"), sf, tf)
+        out = (
+            df.withColumn("v", val.cast("double"))
+            .filter(F.col("v").isNotNull())
+            .select(
+                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
+            )
+        )
+        return VectorValue(out)
+
+    # ---- regression --------------------------------------------------
+    def _linreg(self, node, predict_seconds: Expr | None) -> VectorValue:
+        """deriv / predict_linear via least squares
+        (``linearRegression``, functions.go:617-688). slope/intercept are
+        computed with shift-invariant covariance/variance aggregates —
+        numerically equivalent, fully partial-aggregatable."""
+        ms = self._matrix_arg(node.args[0])
+        # x in seconds relative to the window start (conditioning only)
+        aggs = {
+            "_n": F.count(F.lit(1)),
+            "_cov": F.covar_pop(F.col("_x"), F.col("v")),
+            "_var": F.var_pop(F.col("_x")),
+            "_avgx": F.avg(F.col("_x")),
+            "_avgv": F.avg(F.col("v")),
+        }
+        g = _matrix_grouped(ms, self.ctx).withColumn(
+            "_x",
+            (
+                (F.col("ts") - F.col("step_t")).cast("double") / F.lit(1000.0)
+            ),
+        )
+        out = g.groupBy("series_id", "step_t").agg(
+            F.max_by("labels", "ts").alias("_labels"),
+            *[v.alias(k) for k, v in aggs.items()],
+        )
+        slope = F.col("_cov") / F.col("_var")
+        if predict_seconds is None:
+            val = slope
+        else:
+            k = self._const_param(predict_seconds, "predict_linear")
+            intercept = F.col("_avgv") - slope * F.col("_avgx")
+            val = slope * F.lit(k) + intercept
+        out = (
+            out.withColumn("v", F.when(F.col("_n") >= 2, val).cast("double"))
+            .filter(F.col("v").isNotNull())
+            .select(
+                "step_t",
+                restrict_labels_expr(F.col("_labels"), drop_name=True).alias(
+                    "labels"
+                ),
+                "v",
+                F.lit(None).cast("long").alias("sample_t"),
+            )
+        )
+        return VectorValue(out)
+
+    def _fn_deriv(self, node):
+        return self._linreg(node, None)
+
+    def _fn_predict_linear(self, node):
+        return self._linreg(node, node.args[1])
+
+    # ---- histogram_quantile ------------------------------------------
+    def _fn_histogram_quantile(self, node):
+        q = self._const_param(node.args[0], "histogram_quantile")
+        inner = self.compile(node.args[1])
+        assert isinstance(inner, VectorValue)
+        df = inner.df
+        le_raw = F.coalesce(label_get(F.col("labels"), "le"), F.lit(""))
+        le = (
+            F.when(F.lower(le_raw).isin("+inf", "inf"), F.lit(INF))
+            .when(F.lower(le_raw) == "-inf", F.lit(-INF))
+            .otherwise(le_raw.try_cast("double"))
+        )
+        grp_map = restrict_labels_expr(
+            F.col("labels"), drop=["le"], drop_name=True
+        )
+        df = (
+            df.withColumn("_le", le)
+            .filter(F.col("_le").isNotNull())  # unparseable bounds skipped
+            .withColumn("_gmap", grp_map)
+            .withColumn("_gsig", canonical_labels_expr(F.col("_gmap")))
+        )
+        g = df.groupBy("step_t", "_gsig").agg(
+            F.first("_gmap").alias("labels"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_le").alias("le"), F.col("v")))
+            ).alias("bk"),
+        )
+        val = self._bucket_quantile_expr(F.col("bk"), q)
+        out = g.select(
+            "step_t",
+            "labels",
+            val.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
+        )
+        return VectorValue(out)
+
+    @staticmethod
+    def _bucket_quantile_expr(bk: Column, q: float) -> Column:
+        """``bucketQuantile`` + ``ensureMonotonic``
+        (``promql/quantile.go:49-153``) as a pure SQL expression."""
+        if q < 0:
+            return F.lit(-INF)
+        if q > 1:
+            return F.lit(INF)
+        n = F.size(bk)
+        # ensureMonotonic: running max of cumulative counts
+        empty = F.array().cast("array<struct<le:double,v:double>>")
+        mono = F.aggregate(
+            bk,
+            empty,
+            lambda acc, b: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        b["le"].alias("le"),
+                        F.greatest(
+                            b["v"],
+                            F.coalesce(
+                                F.get(acc, F.size(acc) - 1)["v"], F.lit(-INF)
+                            ),
+                        ).alias("v"),
+                    )
+                ),
+            ),
+        )
+        total = F.get(mono, n - 1)["v"]
+        rank = F.lit(q) * total
+        # counts are non-decreasing after ensureMonotonic, so the buckets
+        # with count >= rank form a suffix: first match = n - |suffix|
+        idxed = F.filter(mono, lambda b: b["v"] >= rank)
+        b_le = F.get(idxed, 0)["le"]
+        b_idx = n - F.size(idxed)  # 0-based index of the located bucket
+        prev = F.get(mono, b_idx - 1)
+        bucket_start = F.when(b_idx > 0, prev["le"]).otherwise(F.lit(0.0))
+        count_in = F.get(mono, b_idx)["v"] - F.when(b_idx > 0, prev["v"]).otherwise(
+            F.lit(0.0)
+        )
+        rank_in = rank - F.when(b_idx > 0, prev["v"]).otherwise(F.lit(0.0))
+        interp = bucket_start + (b_le - bucket_start) * (rank_in / count_in)
+        return (
+            F.when(n < 2, _nan_lit())
+            .when(F.get(bk, n - 1)["le"] != F.lit(INF), _nan_lit())
+            .when(b_idx == n - 1, F.get(mono, n - 2)["le"])
+            .when((b_idx == 0) & (F.get(mono, 0)["le"] <= 0), F.get(mono, 0)["le"])
+            .otherwise(interp)
+        )
+
+
+def compile_query(expr: Expr, ctx: EvalContext) -> Value:
+    return Compiler(ctx).compile(expr)

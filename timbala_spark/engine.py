@@ -1,0 +1,158 @@
+"""Engine: the public query API.
+
+Mirrors the reference's two evaluation entry points
+(``internal/api/v1/api.go:142-250``):
+
+* ``query(promql, ts)``           — instant query at one timestamp
+* ``query_range(promql, start, end, step)`` — range query over a step grid
+
+Both return a DataFrame ``(labels map<string,string>, t long-ms,
+v double)``; scalars come back as a single (or per-step) row with empty
+labels.  Timestamps are Unix **seconds** (float ok) like the HTTP API;
+milliseconds internally like the reference engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .compiler import (
+    EvalContext,
+    PromQLEvalError,
+    ScalarValue,
+    StringValue,
+    VectorValue,
+    _base_scan,
+    compile_query,
+)
+from .model import DEFAULT_LOOKBACK_MS, canonical_labels_expr, prepare_samples
+from .promql.ast import MatrixSelector, ParenExpr, ValueType
+from .promql.parser import parse
+
+#: Range-query guard: ≤11,000 points per series
+#: (reference ``internal/api/v1/api.go:211-216``).
+MAX_POINTS_PER_SERIES = 11000
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples: DataFrame,
+        lookback_ms: int = DEFAULT_LOOKBACK_MS,
+        strict: bool = True,
+        max_points: int = MAX_POINTS_PER_SERIES,
+        prepare: bool = False,
+    ):
+        """``samples`` must be in the canonical long format
+        (``model.SAMPLES_SCHEMA``); pass ``prepare=True`` to normalize an
+        arbitrary (labels, t, v) frame."""
+        self.spark = spark
+        self.samples = prepare_samples(samples) if prepare else samples
+        self.lookback_ms = lookback_ms
+        self.strict = strict
+        self.max_points = max_points
+
+    # -- public API ----------------------------------------------------
+    def query(self, promql: str, ts: float) -> DataFrame:
+        """Instant query at unix-seconds ``ts`` (api.go:142-185)."""
+        expr = parse(promql)
+        t_ms = _to_ms(ts)
+        ctx = self._ctx(t_ms, t_ms, 1)
+        inner = _unparen(expr)
+        if isinstance(inner, MatrixSelector):
+            return self._matrix_result(inner, ctx)
+        val = compile_query(expr, ctx)
+        return self._shape(val, ctx)
+
+    def query_range(
+        self, promql: str, start: float, end: float, step: float
+    ) -> DataFrame:
+        """Range query; ``step`` in seconds (api.go:187-250)."""
+        expr = parse(promql)
+        if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
+            raise PromQLEvalError(
+                "invalid expression type for range query, must be scalar or instant vector"
+            )
+        start_ms, end_ms, step_ms = _to_ms(start), _to_ms(end), _to_ms(step)
+        if step_ms <= 0:
+            raise PromQLEvalError("zero or negative query resolution step")
+        if (end_ms - start_ms) // step_ms + 1 > self.max_points:
+            raise PromQLEvalError(
+                "exceeded maximum resolution of "
+                f"{self.max_points} points per timeseries"
+            )
+        ctx = self._ctx(start_ms, end_ms, step_ms)
+        val = compile_query(expr, ctx)
+        return self._shape(val, ctx)
+
+    def explain(self, promql: str, start: float, end: float, step: float) -> None:
+        """Print the physical plan for a range query (debug/perf tool)."""
+        self.query_range(promql, start, end, step).explain("formatted")
+
+    # -- internals ------------------------------------------------------
+    def _ctx(self, start_ms: int, end_ms: int, step_ms: int) -> EvalContext:
+        return EvalContext(
+            self.spark,
+            self.samples,
+            start_ms,
+            end_ms,
+            step_ms,
+            lookback_ms=self.lookback_ms,
+            strict=self.strict,
+        )
+
+    def _shape(self, val, ctx: EvalContext) -> DataFrame:
+        if isinstance(val, VectorValue):
+            out = val.df.select(
+                F.col("labels"),
+                F.col("step_t").alias("t"),
+                F.col("v").cast("double").alias("v"),
+            )
+            if val.ordered:  # sort()/sort_desc() define the output order
+                return out
+            return out.orderBy(canonical_labels_expr(F.col("labels")), F.col("t"))
+        if isinstance(val, ScalarValue):
+            sdf = ctx.scalar_df(val)
+            empty_map = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            )
+            return sdf.select(
+                empty_map.alias("labels"),
+                F.col("step_t").alias("t"),
+                F.col("v").cast("double").alias("v"),
+            ).orderBy("t")
+        if isinstance(val, StringValue):
+            raise PromQLEvalError(
+                "string results are driver-side values; use parse() directly"
+            )
+        raise PromQLEvalError(f"unexpected value {type(val).__name__}")
+
+    def _matrix_result(self, ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
+        """Top-level `m[5m]` instant query → raw samples in the window
+        (engine.go:836-892)."""
+        lo = ctx.start - ms.range_ms - ms.offset_ms
+        hi = ctx.end - ms.offset_ms
+        base = _base_scan(ctx, ms.name, ms.matchers, lo, hi)
+        out = base.select(
+            "labels",
+            (F.col("t") + F.lit(ms.offset_ms)).alias("t"),
+            F.col("v").cast("double").alias("v"),
+        )
+        return out.orderBy(canonical_labels_expr(F.col("labels")), F.col("t"))
+
+    # convenience for tests / smoke checks
+    def query_values(self, promql: str, ts: float):
+        """Instant query → list of (labels dict, value) pairs."""
+        rows = self.query(promql, ts).collect()
+        return [(dict(r["labels"]), r["v"]) for r in rows]
+
+
+def _to_ms(ts: float) -> int:
+    return int(round(float(ts) * 1000))
+
+
+def _unparen(e):
+    while isinstance(e, ParenExpr):
+        e = e.expr
+    return e

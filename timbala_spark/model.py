@@ -58,6 +58,13 @@ SAMPLES_SCHEMA = StructType(
 DEFAULT_LOOKBACK_MS = 5 * 60 * 1000
 
 
+def label_get(labels: Column, key: str | Column) -> Column:
+    """Null-safe label lookup (ANSI-mode `map[key]` raises on a missing
+    key; PromQL treats a missing label as the empty string upstream)."""
+    k = F.lit(key) if isinstance(key, str) else key
+    return F.try_element_at(labels, k)
+
+
 def canonical_labels_expr(labels: Column) -> Column:
     """Deterministic string serialization of a label map.
 
@@ -98,7 +105,7 @@ def signature_expr(
         if not on:
             return F.lit("")
         parts = [
-            F.concat(F.lit(k + SEP_KV), F.coalesce(labels[k], F.lit("")))
+            F.concat(F.lit(k + SEP_KV), F.coalesce(label_get(labels, k), F.lit("")))
             for k in sorted(set(on))
         ]
         return F.concat_ws(SEP_PAIR, *parts)
@@ -147,7 +154,7 @@ def prepare_samples(df: DataFrame) -> DataFrame:
     else:
         df = df.withColumn("t", F.col("t").cast("long"))
     if "name" not in cols:
-        df = df.withColumn("name", F.col("labels")[METRIC_NAME_LABEL])
+        df = df.withColumn("name", label_get(F.col("labels"), METRIC_NAME_LABEL))
     if "series_id" not in cols:
         df = df.withColumn("series_id", series_id_expr(F.col("labels")))
     return df.select(

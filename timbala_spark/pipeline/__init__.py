@@ -1,0 +1,14 @@
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    with_simhash,
+)
+from .similarity import cosine_topk, ivf_topk, lsh_cosine_topk  # noqa: F401
+from .text import (  # noqa: F401
+    with_fingerprint,
+    with_language_id,
+    with_quality_features,
+    with_token_count,
+)

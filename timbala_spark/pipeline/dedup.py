@@ -1,0 +1,290 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of running these on Spark):
+
+* exact dedup — one hash aggregation on a digest column; fully
+  partial-aggregatable, no skew risk beyond genuinely hot digests.
+* n-gram Jaccard — exact pairwise similarity via an inverted index
+  (explode shingles → self-join on shingle → count shared).  The join
+  key is the shingle, so posting-list length controls the blow-up; the
+  ``max_postings`` guard drops degenerate stop-shingles, which is what
+  keeps this feasible at 100 TB (quadratic only within a posting list).
+* MinHash+LSH — the scale path: constant-size signatures per doc,
+  band-bucket join generates candidates, exact Jaccard verifies.
+* SimHash — 64-bit sketch via per-bit majority vote of token hashes;
+  near-dup = small Hamming distance on the sketch.
+
+All expression-only (xxhash64, higher-order functions): no Python in
+the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens_expr
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str
+) -> DataFrame:
+    """One representative row (min id) per distinct value of ``cols``;
+    adds ``n_dups``. Digest-based so wide text never becomes the
+    shuffle key."""
+    digest = F.sha2(F.concat_ws("\x1e", *[F.col(c) for c in cols]), 256)
+    return (
+        df.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .drop("_digest")
+    )
+
+
+def word_shingles_expr(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a document."""
+    toks = tokens_expr(text)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.2,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram sets for every pair of
+    documents sharing at least one shingle.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    sizes = sh.select("_id", "_n")
+    posting = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_postings is not None:
+        hot = (
+            posting.groupBy("_s")
+            .count()
+            .filter(F.col("count") > max_postings)
+            .select("_s")
+        )
+        posting = posting.join(F.broadcast(hot), "_s", "left_anti")
+    a = posting.select(F.col("_id").alias("id_a"), "_s")
+    b = posting.select(F.col("_id").alias("id_b"), "_s")
+    shared = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_shared")
+            / (F.col("_na") + F.col("_nb") - F.col("_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature_expr(text: Column, n: int, num_hashes: int) -> Column:
+    """MinHash signature: for permutation j, min over shingles of
+    xxhash64(j, shingle). Array<long> of length num_hashes."""
+    sh = word_shingles_expr(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(j.cast("string"), s))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    Signature → ``bands`` bands of ``num_hashes/bands`` rows; a shared
+    band bucket makes a candidate pair; candidates are verified with
+    exact Jaccard over the shingle sets.  This is the 100 TB path: the
+    candidate join is on (band_idx, band_hash) — constant-width keys,
+    no quadratic blow-up outside genuinely similar clusters.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(F.col(text_col), n).alias("_sh"),
+        minhash_signature_expr(F.col(text_col), n, num_hashes).alias("_sig"),
+    ).withColumn("_n", F.size("_sh"))
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bucket").alias("_bucket"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._bucket") == F.col("y._bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sh_a = base.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"), F.col("_n").alias("_na")
+    )
+    sh_b = base.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"), F.col("_n").alias("_nb")
+    )
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "_shared", F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_shared")
+            / (F.col("_na") + F.col("_nb") - F.col("_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_expr(text: Column) -> Column:
+    """64-bit SimHash of the token multiset: per-bit majority vote over
+    xxhash64(token). The 64 bit-sums are unrolled into one aggregate
+    with an array<long> accumulator — a single pass over the tokens,
+    entirely JVM-side."""
+    toks = tokens_expr(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
+    counts = F.aggregate(
+        hashes,
+        zero64,
+        lambda acc, h: F.array(
+            *[
+                F.get(acc, b)
+                + (F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
+                for b in range(64)
+            ]
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(
+            F.get(counts, b) > 0, F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_expr(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates whose SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 64-bit sketch into 4 × 16-bit bands; by
+    pigeonhole any pair within Hamming distance 3 shares at least one
+    exact band — so the join key is (band_idx, band_value), never the
+    full cross product.
+    """
+    n_bands = 64 // band_bits
+    h = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
+    mask = (1 << band_bits) - 1
+    banded = h.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", "bb.band", "bb.val")
+    pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.col("x.simhash").alias("_ha"),
+            F.col("y.simhash").alias("_hb"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step itself is STUBBED (no imaging/audio libraries in this
+environment — see ``DecoderNotAvailable`` / the deterministic fake), but
+the Spark-side machinery is real and tested: schema, Arrow-batched
+``mapInPandas`` signatures, batch shaping, and partition strategy.
+
+At scale the pattern is: keep payloads in their own parquet column
+(never in the shuffle), decode/feature-extract with ``mapInPandas``
+(Arrow batches, bounded memory via ``maxRecordsPerBatch``), and emit
+narrow feature rows that downstream joins/aggregations shuffle instead
+of the raw bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", BinaryType()),
+        StructField("meta", MapType(StringType(), StringType())),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+class DecoderNotAvailable(NotImplementedError):
+    """Raised by the real decode path: imaging/audio libraries are not
+    installed in this environment. Use fake=True for a deterministic
+    stand-in that exercises the full Spark plumbing."""
+
+
+def _fake_decode(payload: bytes, media_type: str, n_features: int = 8):
+    """Deterministic pseudo-decode: sha256-derived dimensions and
+    features. Stands in for PIL/ffmpeg so the distributed plumbing is
+    testable without the libraries."""
+    digest = hashlib.sha256(payload or b"").digest()
+    width = 16 + digest[0]
+    height = 16 + digest[1]
+    n_frames = 1 if media_type == "image" else 1 + digest[2] % 16
+    feats = [b / 255.0 for b in digest[3 : 3 + n_features]]
+    return width, height, n_frames, feats
+
+
+def decode_features(
+    media: DataFrame, fake: bool = False, n_features: int = 8
+) -> DataFrame:
+    """payload → (dims, frame count, feature vector) via Arrow-batched
+    mapInPandas. The real decoder is stubbed (DecoderNotAvailable)."""
+
+    def run(batches: Iterator, fake=fake, n_features=n_features):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise DecoderNotAvailable(
+                    "image/audio decoding libraries are not available; "
+                    "pass fake=True for the deterministic test decoder"
+                )
+            out = {
+                "media_id": [],
+                "media_type": [],
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "features": [],
+            }
+            for _, row in pdf.iterrows():
+                w, h, nf, feats = _fake_decode(
+                    row["payload"], row["media_type"], n_features
+                )
+                out["media_id"].append(row["media_id"])
+                out["media_type"].append(row["media_type"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["features"].append(feats)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Plan frame sampling for video rows: emits (media_id, frame_idx)
+    rows without touching payloads (metadata-driven, so the explode is
+    narrow)."""
+    n = F.coalesce(
+        F.try_element_at(F.col("meta"), F.lit("n_frames")).cast("int"), F.lit(1)
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def synthesize_media(spark, documents: DataFrame, n: int = 64) -> DataFrame:
+    """Build a deterministic media table from document bytes (test
+    fixture: payload = utf-8 text bytes)."""
+    base = documents.limit(n).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.map_from_arrays(
+            F.array(F.lit("n_frames")),
+            F.array((F.col("doc_id") % 30 + 1).cast("string")),
+        ).alias("meta"),
+    )
+    return base

@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Spark SQL expressions (whole-stage codegen, no
+Python UDFs) so they vectorize and scale linearly with input splits:
+language-ID (stopword-hit heuristic), quality scoring, token counting,
+and winnowing-style document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language stopword seeds for the n-gram/stopword heuristic.
+#: Deliberately short and frozen: the DuckDB oracle mirrors them.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "it"),
+    "es": ("el", "la", "los", "y", "es", "de", "un", "que"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "que"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+}
+
+_WS = r"\s+"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization; empty tokens removed."""
+    return F.filter(F.split(text, _WS), lambda x: x != "")
+
+
+def bpe_ish_tokens_expr(text: Column) -> Column:
+    """A BPE-ish regex tokenization: words, numbers, or single
+    punctuation marks (the shape of a GPT-2-style pre-tokenizer)."""
+    return F.filter(
+        F.regexp_extract_all(
+            text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), F.lit(1)
+        ),
+        lambda x: x != "",
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", F.size(tokens_expr(F.col(text_col))))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cheap quality heuristics: token count, mean token length,
+    alphabetic character ratio, English stopword ratio.  At 100 TB this
+    is a single map-only pass over the corpus."""
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    sw = list(LANG_STOPWORDS["en"])
+    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn(
+            "mean_token_len",
+            F.when(n > 0, (n_chars - (n - 1)) / n.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.when(n_chars > 0, alpha / n_chars.cast("double")).otherwise(0.0),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n > 0, hits / n.cast("double")).otherwise(0.0),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of stopword-hit counts, ties broken
+    by language code order (deterministic)."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+
+    def hit_filter(stopwords):
+        # NB: the lambda must take exactly one arg — a two-arg lambda is
+        # interpreted by F.filter as (element, index)
+        return lambda x: x.isin(stopwords)
+
+    scores = []
+    for lang in sorted(LANG_STOPWORDS):
+        scores.append(
+            F.struct(
+                F.size(
+                    F.filter(toks, hit_filter(list(LANG_STOPWORDS[lang])))
+                ).alias("hits"),
+                # ties: later languages must NOT win → use a descending
+                # tiebreak key so max picks the alphabetically first
+                F.lit(-sorted(LANG_STOPWORDS).index(lang)).alias("tie"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores)
+    return df.withColumn("pred_lang", best["lang"]).withColumn(
+        "lang_score", best["hits"]
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint: xxhash64 over each k-char shingle,
+    take the min hash of every `window` consecutive shingles, keep the
+    distinct mins. ``fingerprint`` = xxhash64 of the sorted mins — a
+    robust near-duplicate signature computed entirely JVM-side."""
+    text = F.col(text_col)
+    n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+    )
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_sh - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        )
+    )
+    fp = F.xxhash64(F.array_join(F.transform(F.array_sort(mins), lambda h: h.cast("string")), ","))
+    return df.withColumn(
+        "fingerprint", F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long"))
+    )

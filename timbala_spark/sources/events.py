@@ -1,0 +1,54 @@
+"""Sources: driver test tables → canonical samples.
+
+The `events` table is the natural carrier for time-series parity checks
+(FIXTURES.md §5): ``event_type → __name__``, a bucketed ``user_id`` as a
+label, ``ts → t`` (epoch ms), ``value → v``.
+
+At 100 TB these reads are plain columnar scans: only the four used
+columns reach the scan (column pruning), and time/name predicates push
+down to parquet row-group stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import prepare_samples
+
+#: Number of user buckets used as the `user` label (keeps label
+#: cardinality manageable and deterministic for the DuckDB oracle).
+USER_BUCKETS = 8
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the events table into the canonical long format.
+
+    Labels: ``__name__`` = event_type, ``user`` = user_id % USER_BUCKETS.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    labels = F.create_map(
+        F.lit("__name__"),
+        F.col("event_type"),
+        F.lit("user"),
+        (F.col("user_id") % USER_BUCKETS).cast("string"),
+    )
+    raw = ev.select(
+        labels.alias("labels"),
+        F.expr("unix_micros(ts) div 1000").alias("t"),
+        F.col("value").alias("v"),
+    )
+    return prepare_samples(raw)
+
+
+#: The matching DuckDB CTE — keep in lockstep with events_to_samples().
+EVENTS_SAMPLES_SQL = f"""
+SELECT event_type AS name,
+       CAST(user_id % {USER_BUCKETS} AS VARCHAR) AS user,
+       epoch_ms(ts) AS t,
+       value AS v
+FROM events
+"""
