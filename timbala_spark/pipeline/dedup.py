@@ -44,13 +44,18 @@ def exact_dedup(
 
 
 def word_shingles_expr(text: Column, n: int) -> Column:
-    """Distinct word n-grams of a document."""
+    """Distinct word n-grams of a document.
+
+    NB: ``sequence(1, 0)`` in Spark is DESCENDING, so short documents
+    need the explicit empty-array guard."""
     toks = tokens_expr(text)
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
         )
     )
 

@@ -111,9 +111,12 @@ def with_fingerprint(
     robust near-duplicate signature computed entirely JVM-side."""
     text = F.col(text_col)
     n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+    # sequence(1, 0) would be descending — guard short texts
+    hashes = F.when(n_sh < 1, F.array().cast("array<long>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+        )
     )
     mins = F.array_distinct(
         F.transform(

@@ -21,7 +21,19 @@ USER_BUCKETS = 8
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table carries nanosecond parquet timestamps, which
+        # Spark only reads with the nanosAsLong escape hatch
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def event_time_ms_expr(ev: DataFrame):
+    """Epoch-ms expression for the events `ts` column, robust to it
+    arriving as nanos-long (nanosAsLong) or as a timestamp."""
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        return F.expr("ts div 1000000")
+    return F.expr("unix_micros(ts) div 1000")
 
 
 def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +50,7 @@ def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = ev.select(
         labels.alias("labels"),
-        F.expr("unix_micros(ts) div 1000").alias("t"),
+        event_time_ms_expr(ev).alias("t"),
         F.col("value").alias("v"),
     )
     return prepare_samples(raw)
