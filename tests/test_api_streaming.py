@@ -1,0 +1,156 @@
+"""API facade + streaming ingest round-trip tests.
+
+Modeled on the reference's acceptance tests
+(internal/test/acceptance/acceptance_test.go): write samples, query
+them back through the API envelope; `1+1` → scalar 2.
+"""
+
+import json
+import shutil
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from timbala_spark import Engine, prepare_samples
+from timbala_spark.api import PromAPI, go_float_str
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    rows = [
+        ({"__name__": "test_metric1", "foo": "bar"}, i * 60_000, float(i) * 100)
+        for i in range(11)
+    ] + [
+        ({"__name__": "test_metric1", "foo": "boo"}, i * 60_000, 1.0)
+        for i in range(11)
+    ] + [
+        ({"__name__": "test_metric2", "foo": "boo"}, i * 60_000, 1.0)
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
+    return PromAPI(Engine(spark, prepare_samples(df)))
+
+
+class TestGoFloatStr:
+    def test_formats(self):
+        assert go_float_str(2.0) == "2"
+        assert go_float_str(0.5) == "0.5"
+        assert go_float_str(100.0) == "100"
+        assert go_float_str(float("inf")) == "+Inf"
+        assert go_float_str(float("-inf")) == "-Inf"
+        assert go_float_str(float("nan")) == "NaN"
+        assert go_float_str(-0.25) == "-0.25"
+        assert go_float_str(1e-7) == "0.0000001"
+
+
+class TestAPI:
+    def test_scalar_query(self, api):
+        out = api.query("1+1", 0)
+        assert out == {
+            "status": "success",
+            "data": {"resultType": "scalar", "result": [0, "2"]},
+        }
+
+    def test_vector_query(self, api):
+        out = api.query('test_metric1{foo="bar"}', 600)
+        assert out["status"] == "success"
+        d = out["data"]
+        assert d["resultType"] == "vector"
+        assert d["result"][0]["metric"]["foo"] == "bar"
+        assert d["result"][0]["value"][1] == "1000"
+
+    def test_query_range_envelope(self, api):
+        out = api.query_range("test_metric2", 0, 300, 60)
+        assert out["status"] == "success"
+        m = out["data"]["result"]
+        assert len(m) == 1
+        assert len(m[0]["values"]) == 6
+        assert all(v == "1" for _, v in m[0]["values"])
+
+    def test_parse_error(self, api):
+        out = api.query("sum(", 0)
+        assert out["status"] == "error"
+        assert out["errorType"] == "bad_data"
+
+    def test_bad_step(self, api):
+        out = api.query_range("test_metric1", 0, 100, 0)
+        assert out["status"] == "error"
+
+    def test_label_values(self, api):
+        out = api.label_values("foo")
+        assert out == {"status": "success", "data": ["bar", "boo"]}
+        out = api.label_values("__name__")
+        assert out["data"] == ["test_metric1", "test_metric2"]
+
+    def test_label_values_invalid(self, api):
+        assert api.label_values("0bad")["status"] == "error"
+
+    def test_series(self, api):
+        out = api.series(['test_metric1{foo="bar"}'], 0, 600)
+        assert out["status"] == "success"
+        assert out["data"] == [{"__name__": "test_metric1", "foo": "bar"}]
+        out = api.series(["test_metric1", "test_metric2"], 0, 600)
+        assert len(out["data"]) == 3
+
+    def test_series_no_match(self, api):
+        assert api.series([], 0, 600)["status"] == "error"
+
+    def test_json_serializable(self, api):
+        json.dumps(api.query("test_metric1", 600))
+
+
+class TestStreamingIngest:
+    def test_wire_roundtrip(self, spark):
+        """Remote-write-shaped JSON lines → streaming ingest → parquet →
+        instant query round-trip (acceptance_test.go:124-161 analog)."""
+        from timbala_spark.streaming import read_samples_table, start_ingest
+
+        tmp = tempfile.mkdtemp(prefix="timbala_ingest_")
+        try:
+            rows = [
+                json.dumps(
+                    {
+                        "labels": {"__name__": "RoundTrip", "node": f"n{i%2}"},
+                        "t": 1_700_000_000_000 + i * 1000,
+                        "v": 1234.0,
+                    }
+                )
+                for i in range(20)
+            ]
+            src_dir = f"{tmp}/src"
+            import os
+
+            os.makedirs(src_dir)
+            with open(f"{src_dir}/batch.txt", "w") as f:
+                f.write("\n".join(rows))
+            source = spark.readStream.format("text").load(src_dir)
+            q = start_ingest(
+                source, f"{tmp}/table", f"{tmp}/ckpt", parse=True
+            )
+            q.processAllAvailable()
+            q.stop()
+
+            samples = read_samples_table(spark, f"{tmp}/table")
+            assert samples.count() == 20
+            eng = Engine(spark, samples)
+            got = eng.query_values("RoundTrip", 1_700_000_019)
+            assert len(got) == 2
+            assert all(v == 1234.0 for _, v in got)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_dedup_on_ingest(self, spark):
+        from timbala_spark.sources.remote_write import (
+            remote_write_batch_to_samples,
+        )
+
+        series = [
+            {
+                "labels": {"__name__": "m", "a": "1"},
+                "samples": [[1000, 1.0], [1000, 1.0], [2000, 2.0]],
+            }
+        ]
+        df = remote_write_batch_to_samples(spark, series)
+        assert df.count() == 2

@@ -1,0 +1,174 @@
+"""Thin Prometheus-HTTP-API-shaped facade over the Engine.
+
+Produces the exact JSON envelope of the reference
+(``internal/api/v1/api.go:70-75,373-413``): ``{"status": "success",
+"data": {"resultType": ..., "result": ...}}`` with sample values
+serialized as Go-shortest 'f'-format strings, and the error taxonomy
+(``api.go:44-52,387-401``).  Transport-agnostic: wire it behind any
+HTTP server; returning plain dicts keeps it testable without one.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from .engine import Engine
+from .model import METRIC_NAME_LABEL, label_get
+from .promql.ast import ValueType
+from .promql.lexer import PromQLSyntaxError
+from .promql.parser import parse, parse_metric_selector
+
+ERR_BAD_DATA = "bad_data"
+ERR_TIMEOUT = "timeout"
+ERR_INTERNAL = "internal"
+
+
+class APIError(Exception):
+    def __init__(self, typ: str, message: str):
+        super().__init__(message)
+        self.typ = typ
+
+
+def go_float_str(v: float) -> str:
+    """strconv.FormatFloat(v, 'f', -1, 64) — shortest round-trip
+    decimal, no exponent (the reference's JSON value encoding)."""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "+Inf" if v > 0 else "-Inf"
+    txt = format(decimal.Decimal(repr(v)), "f")
+    if "." in txt:
+        txt = txt.rstrip("0").rstrip(".")
+    return txt if txt not in ("", "-") else "0"
+
+
+@dataclass
+class PromAPI:
+    engine: Engine
+
+    # -- GET /api/v1/query (api.go:142-185) ---------------------------
+    def query(self, query: str, time: float) -> dict:
+        try:
+            expr = parse(query)
+        except PromQLSyntaxError as e:
+            return self._error(ERR_BAD_DATA, str(e))
+        try:
+            df = self.engine.query(query, time)
+        except Exception as e:
+            return self._error(ERR_BAD_DATA, str(e))
+        rows = df.collect()
+        if expr.type == ValueType.SCALAR:
+            v = rows[0]["v"] if rows else math.nan
+            return self._success(
+                {"resultType": "scalar", "result": [time, go_float_str(v)]}
+            )
+        if expr.type == ValueType.MATRIX:
+            return self._success(
+                {"resultType": "matrix", "result": self._matrix(rows)}
+            )
+        result = [
+            {
+                "metric": dict(r["labels"]),
+                "value": [r["t"] / 1000.0, go_float_str(r["v"])],
+            }
+            for r in rows
+        ]
+        return self._success({"resultType": "vector", "result": result})
+
+    # -- GET /api/v1/query_range (api.go:187-250) ---------------------
+    def query_range(self, query: str, start: float, end: float, step: float) -> dict:
+        if step <= 0:
+            return self._error(
+                ERR_BAD_DATA,
+                "zero or negative query resolution step widths are not "
+                "accepted. Try a positive integer",
+            )
+        if end < start:
+            return self._error(
+                ERR_BAD_DATA, "end timestamp must not be before start time"
+            )
+        try:
+            df = self.engine.query_range(query, start, end, step)
+        except Exception as e:
+            return self._error(ERR_BAD_DATA, str(e))
+        return self._success(
+            {"resultType": "matrix", "result": self._matrix(df.collect())}
+        )
+
+    def _matrix(self, rows) -> list[dict]:
+        by_series: dict[tuple, dict] = {}
+        for r in rows:
+            labels = dict(r["labels"])
+            key = tuple(sorted(labels.items()))
+            entry = by_series.setdefault(key, {"metric": labels, "values": []})
+            entry["values"].append([r["t"] / 1000.0, go_float_str(r["v"])])
+        return [by_series[k] for k in sorted(by_series)]
+
+    # -- GET /api/v1/label/:name/values (api.go:252-272) --------------
+    def label_values(self, name: str) -> dict:
+        import re
+
+        if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", name):
+            return self._error(ERR_BAD_DATA, f"invalid label name: {name!r}")
+        vals = (
+            self.engine.samples.select(
+                label_get(F.col("labels"), name).alias("_v")
+            )
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+            .orderBy("_v")
+            .collect()
+        )
+        return self._success([r["_v"] for r in vals])
+
+    # -- GET /api/v1/series (api.go:279-341) --------------------------
+    def series(self, match: list[str], start: float, end: float) -> dict:
+        if not match:
+            return self._error(
+                ERR_BAD_DATA, "no match[] parameter provided"
+            )
+        from .compiler import matcher_expr
+
+        out: list[dict] = []
+        seen: set = set()
+        for sel in match:
+            try:
+                matchers = parse_metric_selector(sel)
+            except PromQLSyntaxError as e:
+                return self._error(ERR_BAD_DATA, str(e))
+            df = self.engine.samples.filter(
+                (F.col("t") >= int(start * 1000)) & (F.col("t") <= int(end * 1000))
+            )
+            for m in matchers:
+                df = df.filter(matcher_expr(m))
+            from .model import canonical_labels_expr
+
+            deduped = (
+                df.withColumn("_sig", canonical_labels_expr(F.col("labels")))
+                .dropDuplicates(["_sig"])
+                .select("labels")
+            )
+            for r in deduped.collect():
+                labels = dict(r["labels"])
+                key = tuple(sorted(labels.items()))
+                if key not in seen:
+                    seen.add(key)
+                    out.append(labels)
+        out.sort(key=lambda d: sorted(d.items()))
+        return self._success(out)
+
+    # -- envelope -----------------------------------------------------
+    @staticmethod
+    def _success(data) -> dict:
+        return {"status": "success", "data": data}
+
+    @staticmethod
+    def _error(typ: str, message: str) -> dict:
+        return {"status": "error", "errorType": typ, "error": message}
+
+
+__all__ = ["PromAPI", "APIError", "go_float_str", "METRIC_NAME_LABEL"]
