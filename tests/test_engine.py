@@ -1,0 +1,117 @@
+"""Engine-level behavior: guards, strict-mode errors, range semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timbala_spark import Engine, prepare_samples
+from timbala_spark.compiler import PromQLEvalError
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = []
+    for job, inst, slope in [("api", "0", 10), ("api", "1", 20)]:
+        for i in range(20):
+            rows.append(
+                (
+                    {"__name__": "m", "job": job, "instance": inst},
+                    i * 60_000,
+                    float(i * slope),
+                )
+            )
+    df = spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
+    return Engine(spark, prepare_samples(df))
+
+
+class TestGuards:
+    def test_points_cap(self, engine):
+        with pytest.raises(PromQLEvalError, match="11000"):
+            engine.query_range("m", 0, 11001 * 60, 60)
+
+    def test_matrix_range_query_rejected(self, engine):
+        with pytest.raises(PromQLEvalError):
+            engine.query_range("m[5m]", 0, 600, 60)
+
+    def test_negative_step(self, engine):
+        with pytest.raises(PromQLEvalError):
+            engine.query_range("m", 0, 600, -1)
+
+    def test_end_before_start(self, engine):
+        with pytest.raises(PromQLEvalError):
+            engine.query_range("m", 600, 0, 60)
+
+
+class TestStrictErrors:
+    def test_one_to_one_duplicate_raises(self, engine):
+        # both instances map to the same sig when ignoring(instance)
+        df = engine.query("m + ignoring(instance) m", 600)
+        with pytest.raises(Exception, match="duplicate series"):
+            df.collect()
+
+    def test_group_left_output_duplicate(self, spark):
+        rows = [
+            ({"__name__": "many", "a": "1", "b": "x"}, 0, 1.0),
+            ({"__name__": "many", "a": "1", "b": "y"}, 0, 2.0),
+            ({"__name__": "one", "a": "1"}, 0, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # many-side labels collapse to the same output set when b is the
+        # join-ignored label AND gets overwritten by include
+        out = eng.query('many * on(a) group_left(b) one', 0)
+        # 'one' has no b → b removed from both outputs → duplicate {a=1}
+        with pytest.raises(Exception, match="multiple matches|duplicate"):
+            out.collect()
+
+    def test_non_strict_mode_skips_checks(self, spark, engine):
+        eng = Engine(spark, engine.samples, strict=False)
+        # same duplicate-sig query runs without error in non-strict mode
+        out = eng.query("m + ignoring(instance) m", 600).collect()
+        assert len(out) > 0
+
+
+class TestRangeSemantics:
+    def test_step_grid_values(self, engine):
+        df = engine.query_range("m", 0, 300, 60)
+        rows = df.collect()
+        # 2 series × 6 steps
+        assert len(rows) == 12
+        by = {}
+        for r in rows:
+            by.setdefault(dict(r["labels"])["instance"], []).append(r["v"])
+        assert by["0"] == [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+
+    def test_lookback_carries_values_forward(self, engine):
+        # last sample at 19m; still visible at 24m, gone at 24m+1ms...
+        rows = engine.query_range("m", 20 * 60, 30 * 60, 60).collect()
+        ts = sorted({r["t"] for r in rows})
+        # visible through 19m + 5m lookback = 24m (inclusive)
+        assert max(ts) == 24 * 60 * 1000
+
+    def test_scalar_range(self, engine):
+        rows = engine.query_range("1+2", 0, 120, 60).collect()
+        assert [r["v"] for r in rows] == [3.0, 3.0, 3.0]
+        assert [r["t"] for r in rows] == [0, 60000, 120000]
+
+    def test_offset_range(self, engine):
+        rows = engine.query_range("m offset 5m", 300, 600, 300).collect()
+        got = {(dict(r["labels"])["instance"], r["t"]): r["v"] for r in rows}
+        assert got[("0", 300000)] == 0.0
+        assert got[("0", 600000)] == 50.0
+
+
+class TestSeriesIdentity:
+    def test_series_id_stable(self, spark):
+        df1 = spark.createDataFrame(
+            [({"__name__": "x", "a": "1"}, 0, 1.0)],
+            "labels map<string,string>, t long, v double",
+        )
+        df2 = spark.createDataFrame(
+            [({"a": "1", "__name__": "x"}, 99, 5.0)],
+            "labels map<string,string>, t long, v double",
+        )
+        id1 = prepare_samples(df1).select("series_id").first()[0]
+        id2 = prepare_samples(df2).select("series_id").first()[0]
+        assert id1 == id2  # map insertion order must not matter

@@ -509,7 +509,7 @@ def _extrapolated_rate_expr(
     result = base * (extrap / sampled)
     if is_rate:
         result = result / F.lit(range_ms / 1000.0)
-    return F.when(n >= 2, result)  # <2 samples → null → row dropped
+    return result  # caller guarantees n >= 2
 
 
 def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
@@ -542,7 +542,7 @@ def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
     )
     seeded = merge(init0, second)
     folded = F.aggregate(rest, seeded, merge)
-    return F.when(n >= 2, folded["s1"])
+    return folded["s1"]  # caller guarantees n >= 2
 
 
 def _fold_count(pts: Column, count_fn) -> Column:
@@ -563,7 +563,7 @@ def _fold_count(pts: Column, count_fn) -> Column:
             (acc["cnt"] + count_fn(acc["prev"], x["v"])).alias("cnt"),
         ),
     )
-    return F.when(n >= 1, folded["cnt"])
+    return folded["cnt"]  # groups always contain >= 1 sample
 
 
 # ---------------------------------------------------------------------------
@@ -1281,18 +1281,18 @@ class Compiler:
     def _rate_like(self, node, is_counter: bool, is_rate: bool) -> VectorValue:
         ms = self._matrix_arg(node.args[0])
         df = _matrix_points(ms, self.ctx)
+        # Filter the cheap precondition FIRST: a trailing isNotNull(v)
+        # filter would be pushed through the projection by Catalyst,
+        # duplicating the whole kernel expression into the filter.
+        df = df.filter(F.size("pts") >= 2)
         val = _extrapolated_rate_expr(
             F.col("pts"), F.col("step_t"), ms.range_ms, is_counter, is_rate
         )
-        out = (
-            df.withColumn("v", val.cast("double"))
-            .filter(F.col("v").isNotNull())
-            .select(
-                "step_t",
-                "labels",
-                "v",
-                F.lit(None).cast("long").alias("sample_t"),
-            )
+        out = df.select(
+            "step_t",
+            "labels",
+            val.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
 
@@ -1313,6 +1313,8 @@ class Compiler:
         last = F.get(F.col("pts"), n - 1)
         prev = F.get(F.col("pts"), n - 2)
         dt_ms = last["t"] - prev["t"]
+        # cheap preconditions first (see _rate_like)
+        df = df.filter((n >= 2) & (dt_ms != 0))
         if is_rate:
             dv = F.when(last["v"] < prev["v"], last["v"]).otherwise(
                 last["v"] - prev["v"]
@@ -1320,13 +1322,9 @@ class Compiler:
             val = dv / (dt_ms.cast("double") / F.lit(1000.0))
         else:
             val = last["v"] - prev["v"]
-        val = F.when((n >= 2) & (dt_ms != 0), val)
-        out = (
-            df.withColumn("v", val.cast("double"))
-            .filter(F.col("v").isNotNull())
-            .select(
-                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
-            )
+        out = df.select(
+            "step_t", "labels", val.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
 
@@ -1343,14 +1341,11 @@ class Compiler:
             F.col("pts"),
             lambda prev, cur: F.when(cur < prev, 1.0).otherwise(0.0),
         )
-        out = df.withColumn("v", cnt.cast("double")).filter(
-            F.col("v").isNotNull()
+        out = df.select(
+            "step_t", "labels", cnt.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
-        return VectorValue(
-            out.select(
-                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
-            )
-        )
+        return VectorValue(out)
 
     def _fn_changes(self, node):
         ms = self._matrix_arg(node.args[0])
@@ -1361,14 +1356,11 @@ class Compiler:
                 (cur != prev) & ~(F.isnan(cur) & F.isnan(prev)), 1.0
             ).otherwise(0.0),
         )
-        out = df.withColumn("v", cnt.cast("double")).filter(
-            F.col("v").isNotNull()
+        out = df.select(
+            "step_t", "labels", cnt.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
-        return VectorValue(
-            out.select(
-                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
-            )
-        )
+        return VectorValue(out)
 
     def _fn_holt_winters(self, node):
         ms = self._matrix_arg(node.args[0])
@@ -1382,14 +1374,11 @@ class Compiler:
             raise PromQLEvalError(
                 f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
             )
-        df = _matrix_points(ms, self.ctx)
+        df = _matrix_points(ms, self.ctx).filter(F.size("pts") >= 2)
         val = _holt_winters_expr(F.col("pts"), sf, tf)
-        out = (
-            df.withColumn("v", val.cast("double"))
-            .filter(F.col("v").isNotNull())
-            .select(
-                "step_t", "labels", "v", F.lit(None).cast("long").alias("sample_t")
-            )
+        out = df.select(
+            "step_t", "labels", val.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
 
@@ -1425,17 +1414,11 @@ class Compiler:
             k = self._const_param(predict_seconds, "predict_linear")
             intercept = F.col("_avgv") - slope * F.col("_avgx")
             val = slope * F.lit(k) + intercept
-        out = (
-            out.withColumn("v", F.when(F.col("_n") >= 2, val).cast("double"))
-            .filter(F.col("v").isNotNull())
-            .select(
-                "step_t",
-                restrict_labels_expr(F.col("_labels"), drop_name=True).alias(
-                    "labels"
-                ),
-                "v",
-                F.lit(None).cast("long").alias("sample_t"),
-            )
+        out = out.filter(F.col("_n") >= 2).select(
+            "step_t",
+            restrict_labels_expr(F.col("_labels"), drop_name=True).alias("labels"),
+            val.cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
 

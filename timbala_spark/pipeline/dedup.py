@@ -115,14 +115,17 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature_expr(text: Column, n: int, num_hashes: int) -> Column:
+def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: for permutation j, min over shingles of
-    xxhash64(j, shingle). Array<long> of length num_hashes."""
-    sh = word_shingles_expr(text, n)
+    xxhash64(j, shingle). Array<long> of length num_hashes.
+
+    Takes the *materialized* shingle column — passing the shingle
+    expression directly would re-evaluate the (expensive) shingling
+    once per hash function."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(j.cast("string"), s))
+            F.transform(shingles, lambda s: F.xxhash64(j.cast("string"), s))
         ),
     )
 
@@ -145,11 +148,14 @@ def minhash_lsh_pairs(
     no quadratic blow-up outside genuinely similar clusters.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles_expr(F.col(text_col), n).alias("_sh"),
-        minhash_signature_expr(F.col(text_col), n, num_hashes).alias("_sig"),
-    ).withColumn("_n", F.size("_sh"))
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles_expr(F.col(text_col), n).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .withColumn("_sig", minhash_signature_expr(F.col("_sh"), num_hashes))
+    )
     banded = base.select(
         "_id",
         F.explode(

@@ -48,7 +48,10 @@ def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("user"),
         (F.col("user_id") % USER_BUCKETS).cast("string"),
     )
+    # `name` is the raw event_type column (not a map lookup) so that
+    # engine filters on `name` push down into the parquet scan
     raw = ev.select(
+        F.col("event_type").alias("name"),
         labels.alias("labels"),
         event_time_ms_expr(ev).alias("t"),
         F.col("value").alias("v"),
