@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_expr
+from .util import ensure_parallelism
 
 
 def exact_dedup(
@@ -73,10 +74,14 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles_expr(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_n", F.size("_sh"))
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles_expr(F.col(text_col), n).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+    )
     sizes = sh.select("_id", "_n")
     posting = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_postings is not None:
@@ -115,17 +120,35 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature_expr(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: for permutation j, min over shingles of
-    xxhash64(j, shingle). Array<long> of length num_hashes.
+def _perm_constants(num_hashes: int, seed: int = 42) -> list[int]:
+    import numpy as np
 
-    Takes the *materialized* shingle column — passing the shingle
-    expression directly would re-evaluate the (expensive) shingling
-    once per hash function."""
+    rng = np.random.RandomState(seed)
+    return [
+        int(x)
+        for x in rng.randint(-(2**63), 2**63 - 1, size=num_hashes, dtype=np.int64)
+    ]
+
+
+def minhash_signature_expr(shingle_hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature from pre-hashed shingles: permutation j is
+    ``h XOR c_j`` over the xxhash64 shingle hashes (deterministic
+    constants, seed=42). Array<long> of length num_hashes.
+
+    Hashing each shingle ONCE and permuting with XOR keeps the
+    per-row cost at |shingles| string hashes + 64·|shingles| long XORs;
+    higher-order functions run interpreted (no codegen), so re-hashing
+    strings per permutation is ~25× slower. XOR by a random constant is
+    a bijection of the 64-bit space and the inputs are already
+    xxhash64-mixed, so the induced orderings behave like independent
+    permutations. ANSI-safe (no overflow, unlike multiply-mod)."""
+    cs = F.array(*[F.lit(c) for c in _perm_constants(num_hashes)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda j: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(j.cast("string"), s))
+            F.transform(
+                shingle_hashes, lambda h: h.bitwiseXOR(F.get(cs, j))
+            )
         ),
     )
 
@@ -149,12 +172,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     base = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("_id"),
             word_shingles_expr(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
-        .withColumn("_sig", minhash_signature_expr(F.col("_sh"), num_hashes))
+        .withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
     )
     banded = base.select(
         "_id",
@@ -258,7 +282,10 @@ def simhash_pairs(
     full cross product.
     """
     n_bands = 64 // band_bits
-    h = with_simhash(df.select(F.col(id_col).alias("_id"), text_col), text_col)
+    h = with_simhash(
+        ensure_parallelism(df).select(F.col(id_col).alias("_id"), text_col),
+        text_col,
+    )
     mask = (1 << band_bits) - 1
     banded = h.select(
         "_id",

@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .util import ensure_parallelism
+
 
 def as_double_array(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -52,7 +54,7 @@ def cosine_topk(
     Returns (query_id, rank, neighbor_id, cos). Ties broken by
     neighbor_id for determinism.
     """
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
     )
@@ -113,7 +115,7 @@ def lsh_cosine_topk(
     the query in ANY of ``n_tables`` independent tables, re-ranked
     exactly. The bucket join replaces the cross join — this is what
     survives a 100× corpus scale-up."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
     )
@@ -178,7 +180,7 @@ def ivf_topk(
     Lloyd iterations (deterministic init: lowest ids), assign corpus
     vectors to cells, probe only the ``n_probe`` nearest cells per
     query. Centroids are tiny → broadcast; assignment is map-only."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
     ).cache()

@@ -105,6 +105,9 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
 ) -> DataFrame:
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     """Winnowing document fingerprint: xxhash64 over each k-char shingle,
     take the min hash of every `window` consecutive shingles, keep the
     distinct mins. ``fingerprint`` = xxhash64 of the sorted mins — a
