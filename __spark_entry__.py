@@ -51,7 +51,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
     key = ("engine", sf_dir)
     if key not in _CACHE:
         _setup(spark)
-        samples = events_to_samples(spark, sf_dir)
+        # cache: every PromQL entry query re-scans this pivot; the
+        # first action materializes it once per sf_dir
+        samples = events_to_samples(spark, sf_dir).cache()
         t_max = samples.agg(F.max("t")).first()[0]
         _CACHE[key] = (
             Engine(spark, samples, lookback_ms=LOOKBACK_MS),

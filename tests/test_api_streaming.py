@@ -154,3 +154,15 @@ class TestStreamingIngest:
         ]
         df = remote_write_batch_to_samples(spark, series)
         assert df.count() == 2
+
+
+class TestRemoteRead:
+    def test_read_matchers_and_range(self, api):
+        df = api.read('test_metric1{foo="bar"}', 0, 300)
+        rows = df.collect()
+        assert len(rows) == 6  # t=0..5m inclusive
+        assert all(dict(r["labels"])["foo"] == "bar" for r in rows)
+
+    def test_string_result(self, api):
+        out = api.query("'hello'", 7)
+        assert out["data"] == {"resultType": "string", "result": [7, "hello"]}

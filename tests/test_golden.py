@@ -584,3 +584,46 @@ eval instant at 0m timestamp(m)
 eval instant at 0m abs(m)
   {a="1"} 5
 """)
+
+
+def test_compound_expressions(spark):
+    run_golden(spark, """
+load 30s
+  req{job="a", code="200"} 0+10x20
+  req{job="a", code="500"} 0+2x20
+  req{job="b", code="200"} 0+30x20
+
+# one-to-one matching: {} on the rhs matches nothing without on()
+eval instant at 10m sum by (job) (rate(req[5m])) / sum(rate(req[5m]))
+
+eval instant at 10m sum by (job) (rate(req[5m])) / on() group_left sum(rate(req[5m]))
+  {job="a"} 0.2857142857142857
+  {job="b"} 0.7142857142857143
+
+eval instant at 10m sum by (job) (rate(req[5m])) / scalar(sum(rate(req[5m])))
+  {job="a"} 0.2857142857142857
+  {job="b"} 0.7142857142857143
+
+eval instant at 10m rate(req{code="500"}[5m]) / ignoring(code) rate(req{code="200"}[5m])
+  {job="a"} 0.2
+
+eval instant at 10m sum(rate(req[5m])) * 60
+  {} 84
+
+eval instant at 10m avg_over_time(req{job="b"}[5m]) - min_over_time(req{job="b"}[5m])
+  {job="b", code="200"} 150
+
+eval instant at 10m count(req > 100)
+  {} 2
+
+eval instant at 10m topk(1, sum by (job) (req))
+  {job="b"} 600
+
+eval instant at 10m clamp_max(sum by (job) (req), 500)
+  {job="a"} 240
+  {job="b"} 500
+
+eval instant at 10m (sum by (job) (req) > 300) or (sum by (job) (req) < 250)
+  {job="a"} 240
+  {job="b"} 600
+""")

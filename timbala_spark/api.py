@@ -56,6 +56,16 @@ class PromAPI:
             expr = parse(query)
         except PromQLSyntaxError as e:
             return self._error(ERR_BAD_DATA, str(e))
+        if expr.type == ValueType.STRING:
+            from .promql.ast import StringLiteral
+
+            inner = expr
+            while hasattr(inner, "expr"):
+                inner = inner.expr
+            assert isinstance(inner, StringLiteral)
+            return self._success(
+                {"resultType": "string", "result": [time, inner.value]}
+            )
         try:
             df = self.engine.query(query, time)
         except Exception as e:
@@ -107,6 +117,21 @@ class PromAPI:
             entry = by_series.setdefault(key, {"metric": labels, "values": []})
             entry["values"].append([r["t"] / 1000.0, go_float_str(r["v"])])
         return [by_series[k] for k in sorted(by_series)]
+
+    # -- POST /read (remote-read serve, internal/read/read.go:45-126) -
+    def read(self, match: str, start: float, end: float):
+        """Remote-read analog: matchers + time range → raw samples
+        DataFrame (labels, t, v). The reference serves this as snappy
+        protobuf; transport is out of scope here."""
+        from .compiler import matcher_expr
+
+        matchers = parse_metric_selector(match)
+        df = self.engine.samples.filter(
+            (F.col("t") >= int(start * 1000)) & (F.col("t") <= int(end * 1000))
+        )
+        for m in matchers:
+            df = df.filter(matcher_expr(m))
+        return df.select("labels", "t", "v")
 
     # -- GET /api/v1/label/:name/values (api.go:252-272) --------------
     def label_values(self, name: str) -> dict:
