@@ -166,3 +166,39 @@ class TestRemoteRead:
     def test_string_result(self, api):
         out = api.query("'hello'", 7)
         assert out["data"] == {"resultType": "string", "result": [7, "hello"]}
+
+
+class TestRecordingRules:
+    def test_rule_eval_and_requery(self, spark, api):
+        from timbala_spark.streaming.rules import (
+            RecordingRule,
+            evaluate_rule,
+            run_rules_once,
+        )
+
+        eng = api.engine
+        rule = RecordingRule(
+            record="job:metric1:sum", expr="sum(test_metric1)", labels={"team": "x"}
+        )
+        out = evaluate_rule(eng, rule, 600)
+        rows = out.collect()
+        assert len(rows) == 1
+        labels = dict(rows[0]["labels"])
+        assert labels["__name__"] == "job:metric1:sum"
+        assert labels["team"] == "x"
+        assert rows[0]["v"] == 1001.0  # 1000 + 1
+
+        # recorded series are queryable when unioned back
+        from timbala_spark import Engine
+
+        merged = eng.samples.unionByName(out)
+        eng2 = Engine(spark, merged)
+        got = eng2.query_values("job:metric1:sum", 600)
+        assert got == [({"__name__": "job:metric1:sum", "team": "x"}, 1001.0)]
+
+        both = run_rules_once(
+            eng,
+            [rule, RecordingRule(record="r2", expr="count(test_metric1)")],
+            600,
+        )
+        assert both.count() == 2

@@ -115,3 +115,37 @@ class TestSeriesIdentity:
         id1 = prepare_samples(df1).select("series_id").first()[0]
         id2 = prepare_samples(df2).select("series_id").first()[0]
         assert id1 == id2  # map insertion order must not matter
+
+
+class TestShardDistribution:
+    """Analog of the reference's shard/replica distribution property
+    test (internal/cluster/distribution_test.go:30-188): hashing series
+    into N partitions must spread load with relative std-dev well under
+    10%."""
+
+    def test_series_hash_balance(self, spark):
+        import math
+
+        from timbala_spark.model import series_id_expr
+
+        n_series, n_buckets = 100_000, 19
+        df = spark.range(n_series).select(
+            F.create_map(
+                F.lit("__name__"),
+                F.concat(F.lit("m"), (F.col("id") % 97).cast("string")),
+                F.lit("instance"),
+                F.col("id").cast("string"),
+            ).alias("labels")
+        )
+        buckets = (
+            df.select(F.pmod(series_id_expr(F.col("labels")), F.lit(n_buckets)).alias("b"))
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        counts = [r["count"] for r in buckets]
+        assert len(counts) == n_buckets  # no empty shard
+        mean = sum(counts) / len(counts)
+        rsd = math.sqrt(sum((c - mean) ** 2 for c in counts) / len(counts)) / mean
+        # reference gate: population std-dev < numSamples/10
+        assert rsd < 0.10, rsd

@@ -1,0 +1,89 @@
+"""Every function in the 46-entry registry evaluates end-to-end.
+
+One representative query per registry entry (functions.go:957-1243);
+catches missing compiler handlers and type wiring — value-level
+correctness lives in the golden corpus and property tests.
+"""
+
+import pytest
+
+from timbala_spark import Engine, prepare_samples
+from timbala_spark.promql.functions import FUNCTIONS
+
+QUERIES = {
+    "abs": "abs(gauge)",
+    "absent": "absent(nonexistent)",
+    "avg_over_time": "avg_over_time(gauge[5m])",
+    "ceil": "ceil(gauge)",
+    "changes": "changes(gauge[5m])",
+    "clamp_max": "clamp_max(gauge, 1)",
+    "clamp_min": "clamp_min(gauge, 1)",
+    "count_over_time": "count_over_time(gauge[5m])",
+    "days_in_month": "days_in_month()",
+    "day_of_month": "day_of_month()",
+    "day_of_week": "day_of_week()",
+    "delta": "delta(gauge[5m])",
+    "deriv": "deriv(gauge[5m])",
+    "exp": "exp(gauge)",
+    "floor": "floor(gauge)",
+    "histogram_quantile": "histogram_quantile(0.9, hist)",
+    "holt_winters": "holt_winters(gauge[5m], 0.5, 0.5)",
+    "hour": "hour()",
+    "idelta": "idelta(gauge[5m])",
+    "increase": "increase(ctr[5m])",
+    "irate": "irate(ctr[5m])",
+    "label_replace": 'label_replace(gauge, "dst", "$1", "kind", "(.*)")',
+    "label_join": 'label_join(gauge, "dst", "-", "kind")',
+    "ln": "ln(gauge)",
+    "log10": "log10(gauge)",
+    "log2": "log2(gauge)",
+    "max_over_time": "max_over_time(gauge[5m])",
+    "min_over_time": "min_over_time(gauge[5m])",
+    "minute": "minute()",
+    "month": "month()",
+    "predict_linear": "predict_linear(gauge[5m], 600)",
+    "quantile_over_time": "quantile_over_time(0.5, gauge[5m])",
+    "rate": "rate(ctr[5m])",
+    "resets": "resets(ctr[5m])",
+    "round": "round(gauge, 0.5)",
+    "scalar": "scalar(gauge)",
+    "sort": "sort(gauge)",
+    "sort_desc": "sort_desc(gauge)",
+    "sqrt": "sqrt(gauge)",
+    "stddev_over_time": "stddev_over_time(gauge[5m])",
+    "stdvar_over_time": "stdvar_over_time(gauge[5m])",
+    "sum_over_time": "sum_over_time(gauge[5m])",
+    "time": "time()",
+    "timestamp": "timestamp(gauge)",
+    "vector": "vector(1)",
+    "year": "year()",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    rows = []
+    for i in range(11):
+        rows.append(({"__name__": "gauge", "kind": "g"}, i * 30_000, float(i * 7 % 13)))
+        rows.append(({"__name__": "ctr", "kind": "c"}, i * 30_000, float(i * 5)))
+        for le, mult in (("0.5", 1), ("1", 2), ("+Inf", 3)):
+            rows.append(({"__name__": "hist", "le": le}, i * 30_000, float(i * mult)))
+    df = spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
+    return Engine(spark, prepare_samples(df))
+
+
+def test_registry_covered():
+    assert set(QUERIES) == set(FUNCTIONS), (
+        set(QUERIES) ^ set(FUNCTIONS)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_function_evaluates(engine, name):
+    rows = engine.query(QUERIES[name], 300).collect()
+    if name == "absent":
+        assert len(rows) == 1
+    elif name in ("time", "vector", "scalar"):
+        assert len(rows) == 1
+    else:
+        assert len(rows) >= 1
