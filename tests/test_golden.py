@@ -627,3 +627,30 @@ eval instant at 10m (sum by (job) (req) > 300) or (sum by (job) (req) < 250)
   {job="a"} 240
   {job="b"} 600
 """)
+
+
+def test_staleness_markers(spark):
+    run_golden(spark, """
+load 1m
+  s 1 2 stale 4
+  only_stale 7 stale
+
+eval instant at 2m s
+
+eval instant at 3m s
+  s 4
+
+eval instant at 1m s
+  s 2
+
+eval instant at 4m only_stale
+
+eval instant at 2m count_over_time(s[5m])
+  {} 2
+
+eval instant at 3m sum_over_time(s[5m])
+  {} 7
+
+eval instant at 2m absent(only_stale)
+  {} 1
+""")

@@ -381,9 +381,13 @@ def compile_vector_selector(vs: VectorSelector, ctx: EvalContext) -> VectorValue
     hi = ctx.end - vs.offset_ms
     base = _base_scan(ctx, vs.name, vs.matchers, lo, hi)
     g = _explode_grid(ctx, base, vs.offset_ms, ctx.lookback)
+    # Staleness markers are NULL values (the engine's analog of the
+    # reference's stale-NaN bit pattern, engine.go:796): a series whose
+    # most recent in-window sample is a marker is absent at that step.
     out = (
         g.groupBy("series_id", "step_t")
         .agg(F.max_by(F.struct("t", "v", "labels"), "t").alias("s"))
+        .filter(F.col("s.v").isNotNull())
         .select(
             "step_t",
             F.col("s.labels").alias("labels"),
@@ -402,6 +406,9 @@ def _matrix_grouped(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
     lo = ctx.start - ms.range_ms - ms.offset_ms
     hi = ctx.end - ms.offset_ms
     base = _base_scan(ctx, ms.name, ms.matchers, lo, hi)
+    # stale markers (NULL v) never appear inside range vectors
+    # (engine.go:869)
+    base = base.filter(F.col("v").isNotNull())
     return _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
 
 

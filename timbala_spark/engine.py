@@ -134,6 +134,7 @@ class Engine:
         lo = ctx.start - ms.range_ms - ms.offset_ms
         hi = ctx.end - ms.offset_ms
         base = _base_scan(ctx, ms.name, ms.matchers, lo, hi)
+        base = base.filter(F.col("v").isNotNull())  # stale markers
         out = base.select(
             "labels",
             (F.col("t") + F.lit(ms.offset_ms)).alias("t"),

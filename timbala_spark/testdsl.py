@@ -12,6 +12,7 @@ Series notation::
     metric{l="v"}  0+10x10     # 11 samples: 0,10,...,100 at t=0,step,...
     metric         1 2 _ 4     # literal values; `_` leaves a gap
     metric         5x3         # 5,5,5,5 (bare value repeated)
+    metric         1 stale 3   # `stale` writes a staleness marker
 """
 
 from __future__ import annotations
@@ -51,10 +52,13 @@ def _num(s: str) -> float:
 
 def parse_series_values(spec: str) -> list[float | None]:
     """Expand a value-sequence spec into per-step values (None = gap)."""
-    out: list[float | None] = []
+    out: list[float | None | str] = []
     for tok in spec.split():
         if tok == "_":
             out.append(None)
+            continue
+        if tok == "stale":
+            out.append("stale")
             continue
         m = _EXPAND_RE.match(tok)
         if m:
@@ -136,7 +140,10 @@ class GoldenTest:
                     labels = parse_labels(m.group("sel"), m.group("braces"))
                     vals = parse_series_values(m.group("vals"))
                     for idx, v in enumerate(vals):
-                        if v is not None:
+                        if v == "stale":
+                            # staleness marker: NULL value
+                            self.rows.append((labels, idx * step, None))
+                        elif v is not None:
                             self.rows.append((labels, idx * step, v))
                 continue
             m = re.match(
