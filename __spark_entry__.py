@@ -480,8 +480,73 @@ def q_embeddings_stats(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the
+    LSH-blocked variant is the 100 TB path, covered rows-only below)."""
+    from timbala_spark.pipeline import embedding_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.4, mode="exact")
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end: binary payload column →
+    Arrow-batched mapInPandas decode (deterministic sha256 fake standing
+    in for PIL/ffmpeg) → narrow typed feature rows. The fake decoder is
+    pure sha256 arithmetic, so DuckDB can oracle-check the full path."""
+    from timbala_spark.pipeline.multimodal import decode_features, synthesize_media
+
+    docs = _tbl(spark, sf_dir, "documents")
+    media = synthesize_media(spark, docs, n=64)
+    feats = decode_features(media, fake=True)
+    feat_mean = F.aggregate(
+        F.col("features"), F.lit(0.0).cast("double"), lambda a, x: a + x
+    ) / F.lit(8.0)
+    return feats.select(
+        "media_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.round(feat_mean, 6).alias("feat_mean"),
+    )
+
+
 # rows-only entries (probabilistic / ANN / sketch operators — the
 # driver's weaker rows-only check applies; unit tests cover semantics)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    from timbala_spark.pipeline import embedding_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    # 4 planes × 16 tables: collision prob for a θ≈66° pair (cos 0.4,
+    # the threshold here) is 1-(1-0.63^4)^16 ≈ 0.94 — high recall even
+    # for marginal pairs; true near-dups (cos ≥ 0.9) are ≈ 1.0
+    out = embedding_near_dup_pairs(
+        emb, threshold=0.4, mode="lsh", n_planes=4, n_tables=16
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    from timbala_spark.pipeline import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") >= 5),
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_cells=16,
+        n_probe=4,
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        F.round("cos", 4).alias("cos"),
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -530,6 +595,112 @@ def q_promql_holt_winters(spark, sf_dir):
     return _user_v(eng.query("holt_winters(purchase[24h], 0.5, 0.1)", t / 1000))
 
 
+def q_promql_group_left(spark, sf_dir):
+    """m:1 vector matching — per-user share of total clicks
+    (engine.go:969-1047)."""
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(
+        eng.query("sum by (user) (click) / ignoring (user) group_left sum(click)", t / 1000)
+    )
+
+
+def q_promql_or_filtered(spark, sf_dir):
+    """Comparison filter + `or` set union (VectorOr, engine.go:917-937):
+    above-median purchasers keep their purchase sum, everyone else
+    contributes their click sum."""
+    eng, t = _engine(spark, sf_dir)
+    q = (
+        "(sum by (user) (purchase) > scalar(quantile(0.5, sum by (user) (purchase))))"
+        " or sum by (user) (click)"
+    )
+    return _user_v(eng.query(q, t / 1000))
+
+
+def q_promql_bool(spark, sf_dir):
+    """`bool` modifier: comparison returns 0/1 instead of filtering
+    (engine.go:1011-1019)."""
+    eng, t = _engine(spark, sf_dir)
+    q = "sum by (user) (click) > bool scalar(quantile(0.5, sum by (user) (click)))"
+    return _user_v(eng.query(q, t / 1000))
+
+
+def q_promql_label_replace(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    df = eng.query(
+        'label_replace(sum by (user) (click), "grp", "g-$1", "user", "(.+)")',
+        t / 1000,
+    )
+    return df.select(
+        label_get(F.col("labels"), "user").alias("user"),
+        label_get(F.col("labels"), "grp").alias("grp"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+def q_promql_predict_linear(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("predict_linear(purchase[24h], 3600)", t / 1000))
+
+
+def q_promql_changes(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("changes(click[12h])", t / 1000))
+
+
+def q_promql_resets(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("resets(purchase[12h])", t / 1000))
+
+
+def q_promql_count_values(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    df = eng.query(
+        'count_values("n", sum by (user) (count_over_time(click[12h])))', t / 1000
+    )
+    return df.select(label_get(F.col("labels"), "n").alias("n"), F.col("v"))
+
+
+def q_promql_bottomk(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("bottomk(3, sum by (user) (view))", t / 1000))
+
+
+def q_promql_stddev(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return eng.query("stddev(sum by (user) (click))", t / 1000).select(
+        F.round("v", 6).alias("v")
+    )
+
+
+def q_promql_round_sqrt(spark, sf_dir):
+    """round() parity: ties round UP via floor(v/n + 0.5)*n
+    (functions.go:331-350) — Spark/DuckDB ROUND are half-even, so both
+    sides implement the Go formula explicitly."""
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("round(sqrt(sum by (user) (click)), 0.001)", t / 1000))
+
+
+def q_promql_date_fns(spark, sf_dir):
+    """Zero-arg date functions default to vector(time())
+    (dateWrapper, functions.go:885-906)."""
+    eng, t = _engine(spark, sf_dir)
+    return eng.query("day_of_week() * 100 + hour()", t / 1000).select(F.col("v"))
+
+
+def q_promql_increase(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("increase(click[12h])", t / 1000))
+
+
+def q_promql_max_min_ot(spark, sf_dir):
+    """Binary op between two range-function results (per-user value
+    span over the window)."""
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(
+        eng.query("max_over_time(view[12h]) - min_over_time(view[12h])", t / 1000)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 
@@ -558,6 +729,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_absent": q_promql_absent,
         "promql_histogram_quantile": q_promql_histogram_quantile,
         "promql_holt_winters": q_promql_holt_winters,
+        "promql_group_left": q_promql_group_left,
+        "promql_or_filtered": q_promql_or_filtered,
+        "promql_bool": q_promql_bool,
+        "promql_label_replace": q_promql_label_replace,
+        "promql_predict_linear": q_promql_predict_linear,
+        "promql_changes": q_promql_changes,
+        "promql_resets": q_promql_resets,
+        "promql_count_values": q_promql_count_values,
+        "promql_bottomk": q_promql_bottomk,
+        "promql_stddev": q_promql_stddev,
+        "promql_round_sqrt": q_promql_round_sqrt,
+        "promql_date_fns": q_promql_date_fns,
+        "promql_increase": q_promql_increase,
+        "promql_max_min_ot": q_promql_max_min_ot,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -567,12 +752,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "multimodal_decode": q_multimodal_decode,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "embeddings_stats": q_embeddings_stats,
     }
 
@@ -749,6 +938,152 @@ SELECT user,
 FROM pick
 """
 
+    sql["promql_group_left"] = _PRELUDE + """
+SELECT l.user, ROUND(l.v / tot.v, 6) AS v
+FROM (SELECT user, v FROM latest WHERE name = 'click') l,
+     (SELECT SUM(v) AS v FROM latest WHERE name = 'click') tot
+"""
+
+    sql["promql_or_filtered"] = _PRELUDE + """
+, pu AS (SELECT user, v FROM latest WHERE name = 'purchase'),
+pm AS (SELECT quantile_cont(v, 0.5) AS m FROM pu),
+lhs AS (SELECT user, v FROM pu, pm WHERE v > m)
+SELECT user, ROUND(v, 6) AS v FROM lhs
+UNION ALL
+SELECT user, ROUND(v, 6) AS v
+FROM latest
+WHERE name = 'click' AND user NOT IN (SELECT user FROM lhs)
+"""
+
+    sql["promql_bool"] = _PRELUDE + """
+, cl AS (SELECT user, v FROM latest WHERE name = 'click'),
+cm AS (SELECT quantile_cont(v, 0.5) AS m FROM cl)
+SELECT user, ROUND(CASE WHEN v > m THEN 1.0 ELSE 0.0 END, 6) AS v
+FROM cl, cm
+"""
+
+    sql["promql_label_replace"] = _PRELUDE + """
+SELECT user, 'g-' || user AS grp, ROUND(v, 6) AS v
+FROM latest WHERE name = 'click'
+"""
+
+    sql["promql_predict_linear"] = _PRELUDE + f"""
+, w AS (
+  SELECT user, (t - tend) / 1000.0 AS x, v
+  FROM samples, tmax
+  WHERE name = 'purchase' AND t >= tend - {h24} AND t <= tend
+),
+g AS (
+  SELECT user,
+         covar_pop(x, v) / var_pop(x) AS slope,
+         avg(v) AS avgv, avg(x) AS avgx, count(*) AS n
+  FROM w GROUP BY user
+)
+SELECT user, ROUND(slope * 3600 + (avgv - slope * avgx), 6) AS v
+FROM g WHERE n >= 2
+"""
+
+    sql["promql_changes"] = _PRELUDE + f"""
+, w AS (
+  SELECT user, v, lag(v) OVER (PARTITION BY user ORDER BY t) AS pv
+  FROM samples, tmax
+  WHERE name = 'click' AND t >= tend - {lb} AND t <= tend
+)
+SELECT user,
+       ROUND(CAST(count(CASE WHEN pv IS NOT NULL AND v != pv THEN 1 END) AS DOUBLE), 6) AS v
+FROM w GROUP BY user
+"""
+
+    sql["promql_resets"] = _PRELUDE + f"""
+, w AS (
+  SELECT user, v, lag(v) OVER (PARTITION BY user ORDER BY t) AS pv
+  FROM samples, tmax
+  WHERE name = 'purchase' AND t >= tend - {lb} AND t <= tend
+)
+SELECT user,
+       ROUND(CAST(count(CASE WHEN pv IS NOT NULL AND v < pv THEN 1 END) AS DOUBLE), 6) AS v
+FROM w GROUP BY user
+"""
+
+    sql["promql_count_values"] = _PRELUDE + f"""
+, c AS (
+  SELECT user, count(*) AS cnt
+  FROM samples, tmax
+  WHERE name = 'click' AND t >= tend - {lb} AND t <= tend
+  GROUP BY user
+)
+SELECT CAST(cnt AS VARCHAR) AS n, CAST(count(*) AS DOUBLE) AS v
+FROM c GROUP BY cnt
+"""
+
+    sql["promql_bottomk"] = _PRELUDE + """
+SELECT user, ROUND(v, 6) AS v FROM latest WHERE name = 'view'
+ORDER BY v ASC, user ASC LIMIT 3
+"""
+
+    sql["promql_stddev"] = _PRELUDE + """
+, cl AS (SELECT user, v FROM latest WHERE name = 'click')
+SELECT ROUND(stddev_pop(v), 6) AS v FROM cl
+"""
+
+    sql["promql_round_sqrt"] = _PRELUDE + """
+SELECT user, ROUND(floor(sqrt(v) * 1000.0 + 0.5) / 1000.0, 6) AS v
+FROM latest WHERE name = 'click'
+"""
+
+    sql["promql_date_fns"] = _PRELUDE + """
+SELECT CAST(dayofweek(make_timestamp((tend // 1000) * 1000000)) * 100
+            + hour(make_timestamp((tend // 1000) * 1000000)) AS DOUBLE) AS v
+FROM tmax
+"""
+
+    sql["promql_increase"] = _PRELUDE + f"""
+, w AS (
+  SELECT s.user, s.t, s.v,
+         lag(s.v) OVER (PARTITION BY s.user ORDER BY s.t) AS pv
+  FROM samples s, tmax
+  WHERE s.name = 'click' AND s.t >= tend - {lb} AND s.t <= tend
+),
+g AS (
+  SELECT user, count(*) AS n,
+         min(t) AS first_t, arg_min(v, t) AS first_v,
+         max(t) AS last_t,  arg_max(v, t) AS last_v,
+         sum(CASE WHEN pv IS NOT NULL AND v < pv THEN pv ELSE 0 END) AS corr,
+         any_value(tend) AS tend
+  FROM w, tmax GROUP BY user
+),
+r AS (
+  SELECT user, n, first_v,
+         (last_v - first_v + corr) AS base,
+         (first_t - (tend - {lb})) / 1000.0 AS dstart0,
+         (tend - last_t) / 1000.0 AS dend,
+         (last_t - first_t) / 1000.0 AS si
+  FROM g WHERE n >= 2
+),
+e AS (
+  SELECT user, base, si, dend, n,
+         CASE WHEN base > 0 AND first_v >= 0
+                   AND si * (first_v / base) < dstart0
+              THEN si * (first_v / base) ELSE dstart0 END AS dstart,
+         si / (n - 1) * 1.1 AS thresh,
+         si / (n - 1) AS adbs
+  FROM r
+)
+SELECT user,
+       ROUND(base * ((si
+                + CASE WHEN dstart < thresh THEN dstart ELSE adbs / 2 END
+                + CASE WHEN dend   < thresh THEN dend   ELSE adbs / 2 END)
+               / si), 6) AS v
+FROM e
+"""
+
+    sql["promql_max_min_ot"] = _PRELUDE + f"""
+SELECT user, ROUND(max(v) - min(v), 6) AS v
+FROM samples, tmax
+WHERE name = 'view' AND t >= tend - {lb} AND t <= tend
+GROUP BY user
+"""
+
     sql["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -899,6 +1234,49 @@ scores AS (
 )
 SELECT doc_id, lang AS pred_lang FROM scores
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) = 1
+"""
+
+    sql["dedup_embedding"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4
+"""
+
+    def _hexbyte(i: int) -> str:
+        hx = "'0123456789abcdef'"
+        return (
+            f"((strpos({hx}, substr(h, {2 * i + 1}, 1)) - 1) * 16"
+            f" + strpos({hx}, substr(h, {2 * i + 2}, 1)) - 1)"
+        )
+
+    feat_sum = "0.0"
+    for i in range(3, 11):
+        feat_sum = f"({feat_sum} + {_hexbyte(i)} / 255.0)"
+    sql["multimodal_decode"] = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         sha256(text) AS h
+  FROM documents WHERE doc_id < 64
+)
+SELECT media_id, media_type,
+       CAST(16 + {_hexbyte(0)} AS BIGINT) AS width,
+       CAST(16 + {_hexbyte(1)} AS BIGINT) AS height,
+       CAST(CASE WHEN media_type = 'image' THEN 1
+                 ELSE 1 + {_hexbyte(2)} % 16 END AS BIGINT) AS n_frames,
+       ROUND({feat_sum} / 8.0, 6) AS feat_mean
+FROM m
 """
 
     sql["sim_cosine_topk"] = """

@@ -211,3 +211,50 @@ class TestMultimodal:
         media = synthesize_media(spark, documents, n=12)
         plan = frame_sample_plan(media, every_n=5).collect()
         assert all(r["frame_idx"] % 5 == 0 for r in plan)
+
+
+class TestEmbeddingNearDup:
+    def test_exact_matches_numpy(self, spark, embeddings):
+        import numpy as np
+
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        }
+        rows = embeddings.select("vec_id", "embedding").collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+        ids = sorted(vecs)
+        want = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if c >= 0.4:
+                    want[(a, b)] = c
+        assert set(got) == set(want)
+        for k, c in got.items():
+            assert math.isclose(c, want[k], rel_tol=1e-9)
+
+    def test_lsh_subset_of_exact(self, spark, embeddings):
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="lsh", n_planes=4, n_tables=16
+            ).collect()
+        }
+        # candidates are verified with the exact cosine, so LSH output
+        # is always a subset; recall should be high at these settings
+        assert lsh <= exact
+        assert len(lsh) >= len(exact) * 0.5

@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

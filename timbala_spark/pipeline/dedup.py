@@ -1,4 +1,5 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
 
 Scale design (the point of running these on Spark):
 
@@ -13,6 +14,8 @@ Scale design (the point of running these on Spark):
   band-bucket join generates candidates, exact Jaccard verifies.
 * SimHash — 64-bit sketch via per-bit majority vote of token hashes;
   near-dup = small Hamming distance on the sketch.
+* embedding-cosine near-dup — exact all-pairs baseline plus an LSH-
+  blocked variant (random-hyperplane buckets bound the candidate set).
 
 All expression-only (xxhash64, higher-order functions): no Python in
 the data path.
@@ -234,6 +237,78 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    mode: str = "exact",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+
+    * ``mode="exact"``: all-pairs self-join — the correctness baseline
+      (quadratic; fine for a corpus that fits one shuffle).
+    * ``mode="lsh"``: the 100 TB path — random-hyperplane bucket join
+      (same signature machinery as ``lsh_cosine_topk``) generates
+      candidates, exact cosine verifies.  Recall tunable via
+      (n_planes, n_tables); high-cosine pairs land in the same bucket
+      with probability (1 - θ/π)^n_planes per table.
+    """
+    from .similarity import as_double_array, cosine_expr, lsh_bucket_expr, _planes
+
+    e = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
+    )
+    if mode == "exact":
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    elif mode == "lsh":
+        parts = []
+        for t in range(n_tables):
+            planes = _planes(dim, n_planes, seed + t)
+            parts.append(
+                e.select(
+                    "_id",
+                    "_v",
+                    F.lit(t).alias("_tbl"),
+                    lsh_bucket_expr(F.col("_v"), planes).alias("_bkt"),
+                )
+            )
+        banded = parts[0]
+        for p in parts[1:]:
+            banded = banded.unionByName(p)
+        cand = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x._tbl") == F.col("y._tbl"))
+                & (F.col("x._bkt") == F.col("y._bkt"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.col("x._v").alias("_va"),
+                F.col("y._v").alias("_vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return (
+        cand.withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def simhash_expr(text: Column) -> Column:

@@ -128,8 +128,10 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 def synthesize_media(spark, documents: DataFrame, n: int = 64) -> DataFrame:
     """Build a deterministic media table from document bytes (test
-    fixture: payload = utf-8 text bytes)."""
-    base = documents.limit(n).select(
+    fixture: payload = utf-8 text bytes). Selects ``doc_id < n`` (a
+    pushdown-friendly predicate) rather than ``limit`` so the fixture
+    is order-independent and oracle-reproducible."""
+    base = documents.filter(F.col("doc_id") < n).select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
