@@ -692,6 +692,53 @@ def q_promql_increase(spark, sf_dir):
     return _user_v(eng.query("increase(click[12h])", t / 1000))
 
 
+def q_promql_and(spark, sf_dir):
+    """`and` set intersection (VectorAnd, engine.go:894-915): click sums
+    restricted to users with above-median error sums."""
+    eng, t = _engine(spark, sf_dir)
+    q = (
+        "sum by (user) (click) and "
+        "(sum by (user) (error) > scalar(quantile(0.5, sum by (user) (error))))"
+    )
+    return _user_v(eng.query(q, t / 1000))
+
+
+def q_promql_group_right(spark, sf_dir):
+    """1:m vector matching — total clicks divided per-user (the 'many'
+    side on the right keeps its labels)."""
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(
+        eng.query(
+            "sum(click) / ignoring (user) group_right sum by (user) (click)",
+            t / 1000,
+        )
+    )
+
+
+def q_promql_delta(spark, sf_dir):
+    """Gauge delta: extrapolated last-first, NO reset correction and no
+    counter zero clamp (functions.go:129-132)."""
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("delta(purchase[12h])", t / 1000))
+
+
+def q_promql_idelta(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("idelta(click[12h])", t / 1000))
+
+
+def q_promql_quantile_over_time(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(eng.query("quantile_over_time(0.25, view[12h])", t / 1000))
+
+
+def q_promql_clamp(spark, sf_dir):
+    eng, t = _engine(spark, sf_dir)
+    return _user_v(
+        eng.query("clamp_max(clamp_min(sum by (user) (click), 20), 60)", t / 1000)
+    )
+
+
 def q_promql_max_min_ot(spark, sf_dir):
     """Binary op between two range-function results (per-user value
     span over the window)."""
@@ -743,6 +790,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promql_date_fns": q_promql_date_fns,
         "promql_increase": q_promql_increase,
         "promql_max_min_ot": q_promql_max_min_ot,
+        "promql_and": q_promql_and,
+        "promql_group_right": q_promql_group_right,
+        "promql_delta": q_promql_delta,
+        "promql_idelta": q_promql_idelta,
+        "promql_quantile_over_time": q_promql_quantile_over_time,
+        "promql_clamp": q_promql_clamp,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1075,6 +1128,79 @@ SELECT user,
                 + CASE WHEN dend   < thresh THEN dend   ELSE adbs / 2 END)
                / si), 6) AS v
 FROM e
+"""
+
+    sql["promql_and"] = _PRELUDE + """
+, er AS (SELECT user, v FROM latest WHERE name = 'error'),
+em AS (SELECT quantile_cont(v, 0.5) AS m FROM er),
+keep AS (SELECT user FROM er, em WHERE v > m)
+SELECT l.user, ROUND(l.v, 6) AS v
+FROM latest l JOIN keep k ON l.user = k.user
+WHERE l.name = 'click'
+"""
+
+    sql["promql_group_right"] = _PRELUDE + """
+SELECT l.user, ROUND(tot.v / l.v, 6) AS v
+FROM (SELECT user, v FROM latest WHERE name = 'click') l,
+     (SELECT SUM(v) AS v FROM latest WHERE name = 'click') tot
+"""
+
+    sql["promql_delta"] = _PRELUDE + f"""
+, w AS (
+  SELECT s.user, s.t, s.v
+  FROM samples s, tmax
+  WHERE s.name = 'purchase' AND s.t >= tend - {lb} AND s.t <= tend
+),
+g AS (
+  SELECT user, count(*) AS n,
+         min(t) AS first_t, arg_min(v, t) AS first_v,
+         max(t) AS last_t,  arg_max(v, t) AS last_v,
+         any_value(tend) AS tend
+  FROM w, tmax GROUP BY user
+),
+r AS (
+  SELECT user, n,
+         (last_v - first_v) AS base,
+         (first_t - (tend - {lb})) / 1000.0 AS dstart,
+         (tend - last_t) / 1000.0 AS dend,
+         (last_t - first_t) / 1000.0 AS si
+  FROM g WHERE n >= 2
+),
+e AS (
+  SELECT user, base, si, dend, dstart,
+         si / (n - 1) * 1.1 AS thresh,
+         si / (n - 1) AS adbs
+  FROM r
+)
+SELECT user,
+       ROUND(base * ((si
+                + CASE WHEN dstart < thresh THEN dstart ELSE adbs / 2 END
+                + CASE WHEN dend   < thresh THEN dend   ELSE adbs / 2 END)
+               / si), 6) AS v
+FROM e
+"""
+
+    sql["promql_idelta"] = _PRELUDE + f"""
+, w AS (
+  SELECT user, t, v,
+         row_number() OVER (PARTITION BY user ORDER BY t DESC) AS rn
+  FROM samples, tmax
+  WHERE name = 'click' AND t >= tend - {lb} AND t <= tend
+)
+SELECT a.user, ROUND(a.v - b.v, 6) AS v
+FROM w a JOIN w b ON a.user = b.user AND a.rn = 1 AND b.rn = 2
+"""
+
+    sql["promql_quantile_over_time"] = _PRELUDE + f"""
+SELECT user, ROUND(quantile_cont(v, 0.25), 6) AS v
+FROM samples, tmax
+WHERE name = 'view' AND t >= tend - {lb} AND t <= tend
+GROUP BY user
+"""
+
+    sql["promql_clamp"] = _PRELUDE + """
+SELECT user, ROUND(LEAST(GREATEST(v, 20.0), 60.0), 6) AS v
+FROM latest WHERE name = 'click'
 """
 
     sql["promql_max_min_ot"] = _PRELUDE + f"""

@@ -36,7 +36,9 @@ HEADLINE = [
     "events_sessions",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "sim_cosine_topk",
+    "multimodal_decode",
     "text_quality",
 ]
 
