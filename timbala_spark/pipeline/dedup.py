@@ -84,6 +84,9 @@ def ngram_jaccard_pairs(
             word_shingles_expr(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
+        # feeds the posting explode (twice) + two size joins — persist
+        # so shingling runs once (see minhash_lsh_pairs note)
+        .persist()
     )
     sizes = sh.select("_id", "_n")
     posting = sh.select("_id", F.explode("_sh").alias("_s"))
@@ -182,6 +185,13 @@ def minhash_lsh_pairs(
         .withColumn("_n", F.size("_sh"))
         .withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
         .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
+        # the signature pipeline feeds FOUR plan branches (both sides of
+        # the band self-join + both verify joins); without a persist each
+        # branch re-evaluates the interpreted-HOF signature work — and
+        # when AQE broadcast-converts those joins the rebuilds serialize
+        # (measured 162 s vs 11 s at sf0.01 local[8]). Persist computes
+        # it once, in parallel, at every scale.
+        .persist()
     )
     banded = base.select(
         "_id",
@@ -262,14 +272,22 @@ def embedding_near_dup_pairs(
       (n_planes, n_tables); high-cosine pairs land in the same bucket
       with probability (1 - θ/π)^n_planes per table.
     """
-    from .similarity import as_double_array, cosine_expr, lsh_bucket_expr, _planes
+    from .similarity import as_double_array, dot_expr, lsh_bucket_expr, norm_expr, _planes
 
+    # norm once per row (bit-identical to computing it per pair; see the
+    # cosine_topk note) — the per-pair cost is a single dot fold
     e = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
-    )
+    ).withColumn("_norm", norm_expr(F.col("_v")))
     if mode == "exact":
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        a = e.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+            F.col("_norm").alias("_na"),
+        )
+        b = e.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+            F.col("_norm").alias("_nb"),
+        )
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     elif mode == "lsh":
         parts = []
@@ -278,7 +296,6 @@ def embedding_near_dup_pairs(
             parts.append(
                 e.select(
                     "_id",
-                    "_v",
                     F.lit(t).alias("_tbl"),
                     lsh_bucket_expr(F.col("_v"), planes).alias("_bkt"),
                 )
@@ -286,7 +303,14 @@ def embedding_near_dup_pairs(
         banded = parts[0]
         for p in parts[1:]:
             banded = banded.unionByName(p)
-        cand = (
+        # bucket signatures (n_tables × n_planes dot products per row)
+        # feed both sides of the self-join — persist (see
+        # minhash_lsh_pairs note). The candidate join carries IDS ONLY:
+        # shipping the vectors through it multiplies the shuffle by the
+        # embedding width × duplicate bucket hits (OOMed at sf0.1);
+        # vectors are re-attached per distinct pair afterwards.
+        banded = banded.persist()
+        pair_ids = (
             banded.alias("x")
             .join(
                 banded.alias("y"),
@@ -297,15 +321,29 @@ def embedding_near_dup_pairs(
             .select(
                 F.col("x._id").alias("id_a"),
                 F.col("y._id").alias("id_b"),
-                F.col("x._v").alias("_va"),
-                F.col("y._v").alias("_vb"),
             )
             .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = pair_ids.join(
+            e.select(
+                F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                F.col("_norm").alias("_na"),
+            ),
+            "id_a",
+        ).join(
+            e.select(
+                F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                F.col("_norm").alias("_nb"),
+            ),
+            "id_b",
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return (
-        cand.withColumn("cos", cosine_expr(F.col("_va"), F.col("_vb")))
+        cand.withColumn(
+            "cos",
+            dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -357,10 +395,12 @@ def simhash_pairs(
     full cross product.
     """
     n_bands = 64 // band_bits
+    # the 64-wide bit-vote fold is the expensive part and feeds both
+    # sides of the band self-join — persist (see minhash_lsh_pairs note)
     h = with_simhash(
         ensure_parallelism(df).select(F.col(id_col).alias("_id"), text_col),
         text_col,
-    )
+    ).persist()
     mask = (1 << band_bits) - 1
     banded = h.select(
         "_id",

@@ -54,16 +54,21 @@ def cosine_topk(
     Returns (query_id, rank, neighbor_id, cos). Ties broken by
     neighbor_id for determinism.
     """
+    # norms precomputed once per row (not per pair): bit-identical to
+    # cosine_expr — same expression tree, sqrt(dot(v,v)) just evaluated
+    # earlier — but the per-pair work drops from 3 interpreted-HOF folds
+    # to 1
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    )
+    ).withColumn("_cn", norm_expr(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", norm_expr(F.col("_qv")))
     joined = c.crossJoin(F.broadcast(q)).withColumn(
-        "cos", cosine_expr(F.col("_qv"), F.col("_cv"))
+        "cos",
+        dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -118,11 +123,11 @@ def lsh_cosine_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    )
+    ).withColumn("_cn", norm_expr(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    )
+    ).withColumn("_qn", norm_expr(F.col("_qv")))
     c_b = []
     q_b = []
     for t in range(n_tables):
@@ -131,6 +136,7 @@ def lsh_cosine_topk(
             c.select(
                 "neighbor_id",
                 "_cv",
+                "_cn",
                 F.lit(t).alias("_tbl"),
                 lsh_bucket_expr(F.col("_cv"), planes).alias("_bkt"),
             )
@@ -139,6 +145,7 @@ def lsh_cosine_topk(
             q.select(
                 "query_id",
                 "_qv",
+                "_qn",
                 F.lit(t).alias("_tbl"),
                 lsh_bucket_expr(F.col("_qv"), planes).alias("_bkt"),
             )
@@ -151,10 +158,12 @@ def lsh_cosine_topk(
         qb = qb.unionByName(x)
     cand = (
         cb.join(F.broadcast(qb), ["_tbl", "_bkt"])
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    ranked = cand.withColumn("cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+    ranked = cand.withColumn(
+        "cos", dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -183,7 +192,7 @@ def ivf_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).cache()
+    ).withColumn("_cn", norm_expr(F.col("_cv"))).cache()
     init = [
         r["_cv"]
         for r in c.orderBy("neighbor_id").limit(n_cells).collect()
@@ -217,14 +226,16 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    ).withColumn(
+    ).withColumn("_qn", norm_expr(F.col("_qv"))).withColumn(
         "_cells", _nearest_cells_expr(F.col("_qv"), cent_arr, n_probe)
     )
-    qx = q.select("query_id", "_qv", F.explode("_cells").alias("_cell"))
+    qx = q.select("query_id", "_qv", "_qn", F.explode("_cells").alias("_cell"))
     cand = assigned.join(F.broadcast(qx), "_cell").select(
-        "query_id", "neighbor_id", "_qv", "_cv"
+        "query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn"
     )
-    ranked = cand.withColumn("cos", cosine_expr(F.col("_qv"), F.col("_cv")))
+    ranked = cand.withColumn(
+        "cos", dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
