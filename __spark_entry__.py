@@ -490,6 +490,32 @@ def q_dedup_embedding(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q_dedup_embedding_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (min-label propagation)
+    over the exact cosine pair graph — the grouping step a dedup
+    pipeline runs after pair generation. Oracle is a recursive CTE."""
+    from timbala_spark.pipeline import connected_components, embedding_near_dup_pairs
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, mode="exact")
+    out = connected_components(
+        emb.select("vec_id"), pairs, node_col="vec_id"
+    )
+    return out.select("vec_id", F.col("component").alias("cluster_id"))
+
+
+def q_text_bpe_tokens(spark, sf_dir):
+    """GPT-2-shaped regex pre-tokenizer count (words / numbers / single
+    punctuation)."""
+    from timbala_spark.pipeline.text import bpe_ish_tokens_expr
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe_ish_tokens_expr(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal plumbing end-to-end: binary payload column →
     Arrow-batched mapInPandas decode (deterministic sha256 fake standing
@@ -807,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_embedding_clusters": q_dedup_embedding_clusters,
+        "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_decode": q_multimodal_decode,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1375,6 +1403,37 @@ s AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4
+"""
+
+    sql["dedup_embedding_clusters"] = """
+WITH RECURSIVE e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), q -> q[1] * q[2]))
+        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.4
+),
+ed AS (
+  SELECT src, dst FROM p
+  UNION ALL
+  SELECT dst, src FROM p
+),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM e0
+  UNION
+  SELECT ed.dst, reach.comp FROM reach JOIN ed ON ed.src = reach.id
+)
+SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id
+"""
+
+    sql["text_bpe_tokens"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens
+FROM documents
 """
 
     def _hexbyte(i: int) -> str:

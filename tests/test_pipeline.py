@@ -258,3 +258,30 @@ class TestEmbeddingNearDup:
         # is always a subset; recall should be high at these settings
         assert lsh <= exact
         assert len(lsh) >= len(exact) * 0.5
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        from timbala_spark.pipeline import connected_components
+
+        # components: {1,2,3,4} via chain, {5,6}, singleton {7}
+        nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["id"])
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], ["id_a", "id_b"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+    def test_chain_deeper_than_one_round(self, spark):
+        from timbala_spark.pipeline import connected_components
+
+        # a 12-node path: takes several propagation rounds
+        nodes = spark.createDataFrame([(i,) for i in range(12)], ["id"])
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], ["id_a", "id_b"]
+        )
+        got = connected_components(nodes, edges).collect()
+        assert all(r["component"] == 0 for r in got)

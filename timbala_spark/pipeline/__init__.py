@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
