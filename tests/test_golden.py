@@ -654,3 +654,69 @@ eval instant at 3m sum_over_time(s[5m])
 eval instant at 2m absent(only_stale)
   {} 1
 """)
+
+
+def test_nan_semantics(spark):
+    """NaN ordering parity (§4.2-e): min/max/topk treat NaN as
+    always-replaced (engine.go:1346-1353); sort puts NaN last
+    (functions.go:1251-1278); comparisons with NaN are false."""
+    run_golden(spark, """
+load 5m
+  m{id="a"} 1
+  m{id="b"} NaN
+  m{id="c"} 3
+
+eval instant at 0m min(m)
+  {} 1
+
+eval instant at 0m max(m)
+  {} 3
+
+eval instant at 0m sum(m)
+  {} NaN
+
+eval instant at 0m topk(1, m)
+  m{id="c"} 3
+
+eval instant at 0m bottomk(1, m)
+  m{id="a"} 1
+
+eval_ordered instant at 0m sort(m)
+  m{id="a"} 1
+  m{id="c"} 3
+  m{id="b"} NaN
+
+eval_ordered instant at 0m sort_desc(m)
+  m{id="c"} 3
+  m{id="a"} 1
+  m{id="b"} NaN
+
+eval instant at 0m m > 2
+  m{id="c"} 3
+
+eval instant at 0m m < 2
+  m{id="a"} 1
+""")
+
+
+def test_group_right_and_cardinality_errors(spark):
+    run_golden(spark, """
+load 5m
+  foo{job="api", instance="0"} 10
+  foo{job="api", instance="1"} 20
+  one{job="api"} 2
+  dup{job="api", instance="0"} 1
+  dup{job="api", instance="1"} 2
+
+eval instant at 0m one * on(job) group_right foo
+  {job="api", instance="0"} 20
+  {job="api", instance="1"} 40
+
+eval instant at 0m foo * on(job) group_left one
+  {job="api", instance="0"} 20
+  {job="api", instance="1"} 40
+
+eval_fail instant at 0m foo + on(job) one
+
+eval_fail instant at 0m foo * on(job) group_left dup
+""")
