@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..model import prepare_samples
+from ..model import SEP_KV, SEP_PAIR, prepare_samples
 
 #: Number of user buckets used as the `user` label (keeps label
 #: cardinality manageable and deterministic for the DuckDB oracle).
@@ -42,17 +42,27 @@ def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels: ``__name__`` = event_type, ``user`` = user_id % USER_BUCKETS.
     """
     ev = load_table(spark, sf_dir, "events")
+    user = (F.col("user_id") % USER_BUCKETS).cast("string")
     labels = F.create_map(
-        F.lit("__name__"),
-        F.col("event_type"),
-        F.lit("user"),
-        (F.col("user_id") % USER_BUCKETS).cast("string"),
+        F.lit("__name__"), F.col("event_type"), F.lit("user"), user
     )
     # `name` is the raw event_type column (not a map lookup) so that
-    # engine filters on `name` push down into the parquet scan
+    # engine filters on `name` push down into the parquet scan.
+    # series_id: the label keys are statically known here, so build the
+    # canonical string ("__name__" < "user") with plain concat —
+    # whole-stage-codegen — instead of the generic per-row
+    # map-sort HOFs in series_id_expr (measured 53 s → much less for a
+    # 10M-row pivot; identical value to canonical_labels_expr)
+    canon = F.concat(
+        F.lit("__name__" + SEP_KV),
+        F.col("event_type"),
+        F.lit(SEP_PAIR + "user" + SEP_KV),
+        user,
+    )
     raw = ev.select(
         F.col("event_type").alias("name"),
         labels.alias("labels"),
+        F.xxhash64(canon).alias("series_id"),
         event_time_ms_expr(ev).alias("t"),
         F.col("value").alias("v"),
     )
