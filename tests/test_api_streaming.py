@@ -202,3 +202,65 @@ class TestRecordingRules:
             600,
         )
         assert both.count() == 2
+
+
+class TestStatefulStreaming:
+    def test_cross_batch_sessionization(self, spark):
+        """applyInPandasWithState carries per-user session state across
+        micro-batches: counts must equal the batch sessionizer over the
+        union of both batches."""
+        import os
+
+        from timbala_spark.streaming.stateful import streaming_sessionize
+
+        MIN = 60_000
+        batch1 = [(1, 0), (1, 10 * MIN), (1, 60 * MIN), (2, 0)]
+        # u1: 70min continues the session ending at 60min; 120min opens
+        # a new one. u2: 40min is past the 30min gap -> second session.
+        batch2 = [(1, 70 * MIN), (1, 120 * MIN), (2, 40 * MIN)]
+        expect = {1: (3, 5), 2: (2, 2)}
+
+        tmp = tempfile.mkdtemp(prefix="timbala_state_")
+        try:
+            src_dir = f"{tmp}/src"
+            os.makedirs(src_dir)
+
+            def write_file(name, rows):
+                with open(f"{src_dir}/{name}", "w") as f:
+                    f.write(
+                        "\n".join(
+                            json.dumps({"user_id": u, "tms": t})
+                            for u, t in rows
+                        )
+                    )
+
+            write_file("b1.txt", batch1)
+            src = spark.readStream.format("text").load(src_dir)
+            events = src.select(
+                F.from_json(
+                    F.col("value").cast("string"), "user_id long, tms long"
+                ).alias("r")
+            ).select("r.user_id", "r.tms")
+            out = streaming_sessionize(events)
+            q = (
+                out.writeStream.format("memory")
+                .queryName("sessions_state")
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.processAllAvailable()
+            write_file("b2.txt", batch2)
+            q.processAllAvailable()
+            q.stop()
+
+            rows = spark.sql(
+                # counters are monotonic, so the latest update per user
+                # is the max
+                "SELECT user_id, max(n_sessions) AS s, max(n_events) AS e "
+                "FROM sessions_state GROUP BY user_id"
+            ).collect()
+            got = {r["user_id"]: (r["s"], r["e"]) for r in rows}
+            assert got == expect
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

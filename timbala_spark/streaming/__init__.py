@@ -4,3 +4,4 @@ from .ingest import (  # noqa: F401
     start_ingest,
     synthetic_rate_source,
 )
+from .stateful import streaming_sessionize  # noqa: F401
