@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_expr
-from .util import ensure_parallelism
+from .util import ensure_parallelism, tracked_persist
 
 
 def exact_dedup(
@@ -86,8 +86,8 @@ def ngram_jaccard_pairs(
         .withColumn("_n", F.size("_sh"))
         # feeds the posting explode (twice) + two size joins — persist
         # so shingling runs once (see minhash_lsh_pairs note)
-        .persist()
     )
+    sh = tracked_persist(sh)
     sizes = sh.select("_id", "_n")
     posting = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_postings is not None:
@@ -191,8 +191,8 @@ def minhash_lsh_pairs(
         # when AQE broadcast-converts those joins the rebuilds serialize
         # (measured 162 s vs 11 s at sf0.01 local[8]). Persist computes
         # it once, in parallel, at every scale.
-        .persist()
     )
+    base = tracked_persist(base)
     banded = base.select(
         "_id",
         F.explode(
@@ -309,7 +309,7 @@ def embedding_near_dup_pairs(
         # shipping the vectors through it multiplies the shuffle by the
         # embedding width × duplicate bucket hits (OOMed at sf0.1);
         # vectors are re-attached per distinct pair afterwards.
-        banded = banded.persist()
+        banded = tracked_persist(banded)
         pair_ids = (
             banded.alias("x")
             .join(
@@ -477,7 +477,8 @@ def simhash_pairs(
     h = with_simhash(
         ensure_parallelism(df).select(F.col(id_col).alias("_id"), text_col),
         text_col,
-    ).persist()
+    )
+    h = tracked_persist(h)
     mask = (1 << band_bits) - 1
     banded = h.select(
         "_id",

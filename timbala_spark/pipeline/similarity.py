@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .util import ensure_parallelism
+from .util import ensure_parallelism, tracked_persist
 
 
 def as_double_array(col: Column) -> Column:
@@ -192,7 +192,8 @@ def ivf_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_cn", norm_expr(F.col("_cv"))).cache()
+    ).withColumn("_cn", norm_expr(F.col("_cv")))
+    c = tracked_persist(c)
     init = [
         r["_cv"]
         for r in c.orderBy("neighbor_id").limit(n_cells).collect()

@@ -4,6 +4,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: DataFrames persisted by pipeline operators, kept so a long session
+#: running many pipeline queries does not leak block-manager memory.
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` with lifecycle tracking.
+
+    Sketch/signature stages feed several plan branches and must be
+    persisted (PERF.md §7), but each contract query is consumed once —
+    holding every query's blocks for the whole session piles up
+    executor memory and GC pressure (measured: a warmed 1 s query
+    degrading to 11 s after a dozen persist-leaking queries).
+    ``tracked_persist`` releases the *previous* operators' blocks
+    before pinning the new stage, bounding resident persisted data to
+    the live query. Results already returned to callers stay correct —
+    re-consuming one simply recomputes its lineage.
+    """
+    release_tracked()
+    out = df.persist()
+    _TRACKED.append(out)
+    return out
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked stage (non-blocking)."""
+    while _TRACKED:
+        try:
+            _TRACKED.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+
 
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
