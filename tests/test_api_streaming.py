@@ -264,3 +264,65 @@ class TestStatefulStreaming:
             assert got == expect
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStoreMaintenance:
+    def test_compact_and_retention(self, spark):
+        """Multi-batch appends → many small files; compaction merges
+        them, dedups cross-batch re-sends and the series dict;
+        retention drops whole expired day partitions (the reference's
+        leveled compactor + block retention analog)."""
+        import os
+
+        from timbala_spark.streaming import read_samples_table
+        from timbala_spark.streaming.compact import apply_retention, compact_store
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_compact_")
+        try:
+            day_ms = 86_400_000
+            t0 = 1_700_000_000_000
+            mk = lambda rows: prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            b1 = [
+                ({"__name__": "m", "i": str(i % 3)}, t0 + i * 60_000, float(i))
+                for i in range(30)
+            ]
+            # batch 2 re-sends half of batch 1 (same series_id, t) and
+            # adds a day-2 tail
+            b2 = b1[:15] + [
+                ({"__name__": "m", "i": str(i % 3)}, t0 + day_ms + i * 60_000, 1.0)
+                for i in range(10)
+            ]
+            write_samples_batch(mk(b1), tmp)
+            write_samples_batch(mk(b2), tmp)
+
+            files_before = [
+                f for r, _, fs in os.walk(f"{tmp}/samples") for f in fs
+                if f.endswith(".parquet")
+            ]
+            # re-sent duplicates are visible before compaction (two
+            # appended batches), collapsed after
+            assert read_samples_table(spark, tmp).count() == 55
+            compact_store(spark, tmp)
+            files_after = [
+                f for r, _, fs in os.walk(f"{tmp}/samples") for f in fs
+                if f.endswith(".parquet")
+            ]
+            assert len(files_after) < len(files_before)
+            got = read_samples_table(spark, tmp)
+            assert got.count() == 40  # 30 + 10, duplicates collapsed
+            assert got.select("series_id").distinct().count() == 3
+            # series dict collapsed to one row per series
+            assert spark.read.parquet(f"{tmp}/series").count() == 3
+
+            dropped = apply_retention(tmp, t0 + day_ms)
+            assert dropped and all(d.startswith("day=") for d in dropped)
+            left = read_samples_table(spark, tmp)
+            assert left.count() == 10
+            assert left.agg(F.min("t")).first()[0] >= t0 + day_ms
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

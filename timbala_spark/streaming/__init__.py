@@ -5,4 +5,5 @@ from .ingest import (  # noqa: F401
     synthetic_rate_source,
     write_samples_batch,
 )
+from .compact import apply_retention, compact_store  # noqa: F401
 from .stateful import streaming_sessionize  # noqa: F401
