@@ -326,3 +326,51 @@ class TestStoreMaintenance:
             assert left.agg(F.min("t")).first()[0] >= t0 + day_ms
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_split_store_day_pruning(self, spark):
+        """Engine time bounds over the split store must reach the
+        physical plan as `day` PARTITION filters (full-store listing →
+        queried-days listing at scale) and name matchers must push into
+        the series-dict scan; results must match an in-memory engine."""
+        from timbala_spark.streaming import read_samples_table
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_prune_")
+        try:
+            day = 86_400_000
+            t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+            rows = [
+                (
+                    {"__name__": f"m{i % 5}", "i": str(i % 3)},
+                    t0 + d * day + i * 60_000,
+                    float(d * 100 + i),
+                )
+                for d in range(5)
+                for i in range(50)
+            ]
+            df = prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            write_samples_batch(df, tmp)
+            eng = Engine(spark, read_samples_table(spark, tmp))
+            q_ts = (t0 + 4 * day + 48 * 60_000) / 1000
+            res = eng.query("m2", q_ts)
+            plan = res._jdf.queryExecution().executedPlan().toString()
+            scans = [l for l in plan.splitlines() if "FileScan" in l]
+            samples_scan = next(l for l in scans if "/samples" in l)
+            dict_scan = next(l for l in scans if "/series" in l)
+            assert "PartitionFilters: [isnotnull(day" in samples_scan
+            assert "day" in samples_scan and ">= 20" in samples_scan
+            assert "EqualTo(name,m2)" in dict_scan
+            got = sorted(
+                (r["labels"]["i"], r["v"]) for r in res.collect()
+            )
+            want = sorted(
+                (r["labels"]["i"], r["v"])
+                for r in Engine(spark, df).query("m2", q_ts).collect()
+            )
+            assert got == want and got
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -343,7 +343,25 @@ def _base_scan(ctx: EvalContext, name, matchers, lo_t, hi_t) -> DataFrame:
     # window bounds are INCLUSIVE on both ends in the vendored engine
     # (`t >= mint`, engine.go:796,869) — modern Prometheus later made the
     # lower bound exclusive; we match the reference.
-    return df.filter((F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+    df = df.filter((F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+    if "day" in df.columns:
+        # sources backed by the day-partitioned store carry the physical
+        # partition column; Spark cannot derive day bounds from t bounds
+        # itself, so emit them explicitly — at scale this turns a
+        # full-store file listing into a listing of the queried days
+        # (the reference's day-keyed shard pruning, cluster.go:103-106)
+        import datetime as _dt
+
+        def _day(ms: int) -> str:
+            return _dt.datetime.fromtimestamp(
+                ms / 1000, tz=_dt.timezone.utc
+            ).strftime("%Y%m%d")
+
+        df = df.filter(
+            (F.col("day") >= F.lit(_day(int(lo_t))))
+            & (F.col("day") <= F.lit(_day(int(hi_t))))
+        )
+    return df
 
 
 def _explode_grid(

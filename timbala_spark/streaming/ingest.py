@@ -127,8 +127,21 @@ def read_samples_table(spark: SparkSession, path: str) -> DataFrame:
 
     if os.path.isdir(f"{path}/samples"):
         s = spark.read.parquet(f"{path}/samples")
-        d = spark.read.parquet(f"{path}/series").dropDuplicates(["series_id"])
-        return s.join(d, "series_id").select("name", "labels", "series_id", "t", "v")
+        # dedup on (series_id, name) — name is constant per series, and
+        # keeping it a grouping key lets Catalyst push `__name__`
+        # selector filters through this aggregate into the dict scan
+        # (dropDuplicates on series_id alone turns name into first(name),
+        # which blocks pushdown)
+        d = spark.read.parquet(f"{path}/series").dropDuplicates(
+            ["series_id", "name"]
+        )
+        # `day` (the physical partition column) rides along so the
+        # engine's time filters can emit partition-pruning predicates
+        # (compiler._base_scan) — extra columns are dropped at the
+        # first aggregation/projection.
+        return s.join(d, "series_id").select(
+            "name", "labels", "series_id", "t", "v", "day"
+        )
     return spark.read.parquet(path).select("name", "labels", "series_id", "t", "v")
 
 
