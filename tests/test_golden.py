@@ -720,3 +720,71 @@ eval_fail instant at 0m foo + on(job) one
 
 eval_fail instant at 0m foo * on(job) group_left dup
 """)
+
+
+def test_aggregator_edge_cases(spark):
+    """k out of range, φ out of range, value-label collisions, empty
+    grouping lists (reference engine.go:1268-1312 count_values label
+    Set; quantile.go φ guards; topk heap semantics)."""
+    run_golden(spark, AGG_FIXTURE + """
+# k larger than the series count returns every series
+eval instant at 50m topk(100, http_requests{job="api-server"})
+  http_requests{group="production", instance="0", job="api-server"} 100
+  http_requests{group="production", instance="1", job="api-server"} 200
+  http_requests{group="canary", instance="0", job="api-server"} 300
+  http_requests{group="canary", instance="1", job="api-server"} 400
+
+# k = 0 returns nothing
+eval instant at 50m topk(0, http_requests)
+
+# φ > 1 clamps to +Inf (quantile.go:55-60)
+eval instant at 50m quantile(2, http_requests{job="api-server"})
+  {} Inf
+
+# single-sample stddev/stdvar are 0
+eval instant at 50m stddev(http_requests{group="canary", instance="1", job="app-server"})
+  {} 0
+
+# empty without-list only drops __name__
+eval instant at 50m sum without () (http_requests{group="production", instance="0", job="api-server"})
+  {group="production", instance="0", job="api-server"} 100
+""")
+
+
+def test_count_values_label_collision(spark):
+    """count_values overwrites an existing label of the same name
+    (labels.Builder.Set, engine.go:1283-1285)."""
+    run_golden(spark, """
+load 5m
+  version{job="a", instance="0"} 6
+  version{job="a", instance="1"} 6
+  version{job="b", instance="0"} 7.5
+
+eval instant at 0m count_values by (job) ("job", version)
+  {job="6"} 2
+  {job="7.5"} 1
+""")
+
+
+def test_scalar_edge_cases(spark):
+    """scalar() of a non-1-element vector is NaN (functions.go
+    funcScalar); absent over a compound expression has no labels to
+    propagate."""
+    run_golden(spark, """
+load 5m
+  multi{a="1"} 1
+  multi{a="2"} 2
+
+eval instant at 0m scalar(multi)
+  NaN
+
+eval instant at 0m scalar(nonexistent)
+  NaN
+
+eval instant at 0m absent(sum(nonexistent))
+  {} 1
+
+eval instant at 0m multi > bool 1.5
+  {a="1"} 0
+  {a="2"} 1
+""")
