@@ -217,33 +217,29 @@ def q_promql_histogram_quantile(spark, sf_dir):
         for i, le in enumerate(_HIST_LES)
     ] + [F.count(F.lit(1)).alias("_cinf")]
     counts = w.groupBy("user").agg(*aggs)
-    parts = []
-    for i, le in enumerate(_HIST_LES):
-        parts.append(
-            counts.select(
-                F.create_map(
-                    F.lit("__name__"), F.lit("dist"),
-                    F.lit("user"), F.col("user"),
-                    F.lit("le"), F.lit(str(le)),
-                ).alias("labels"),
-                F.lit(t).cast("long").alias("t"),
-                F.col(f"_c{i}").cast("double").alias("v"),
+    # one row per bucket via a single explode — a per-bucket union of
+    # projections over `counts` would re-aggregate the events scan once
+    # per branch (5 shuffles instead of 1)
+    bucket_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(str(le)).alias("le"), F.col(f"_c{i}").cast("double").alias("c")
             )
-        )
-    parts.append(
-        counts.select(
-            F.create_map(
-                F.lit("__name__"), F.lit("dist"),
-                F.lit("user"), F.col("user"),
-                F.lit("le"), F.lit("+Inf"),
-            ).alias("labels"),
-            F.lit(t).cast("long").alias("t"),
-            F.col("_cinf").cast("double").alias("v"),
-        )
+            for i, le in enumerate(_HIST_LES)
+        ],
+        F.struct(F.lit("+Inf").alias("le"), F.col("_cinf").cast("double").alias("c")),
     )
-    buckets = parts[0]
-    for p in parts[1:]:
-        buckets = buckets.unionByName(p)
+    buckets = counts.select(
+        "user", F.explode(bucket_pairs).alias("b")
+    ).select(
+        F.create_map(
+            F.lit("__name__"), F.lit("dist"),
+            F.lit("user"), F.col("user"),
+            F.lit("le"), F.col("b.le"),
+        ).alias("labels"),
+        F.lit(t).cast("long").alias("t"),
+        F.col("b.c").alias("v"),
+    )
     from timbala_spark.model import prepare_samples
 
     heng = Engine(spark, prepare_samples(buckets), lookback_ms=LOOKBACK_MS)

@@ -61,6 +61,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warmup on synthetic data (no test-table access): JIT
+    # compilation and executor-thread spin-up are session costs, not
+    # query costs — without this they all land on the first query's line
+    spark.range(10_000_000).selectExpr("sum(id * 2)").collect()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -374,3 +374,70 @@ class TestStoreMaintenance:
             assert got == want and got
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingDownsample:
+    def test_windowed_rollup_with_late_data(self, spark):
+        """Watermarked event-time windows: batch 2 advances the
+        watermark past batch 1's windows (flushing them, append mode)
+        and carries a too-late row that must be dropped."""
+        import os
+
+        from timbala_spark.streaming import streaming_downsample
+        from timbala_spark.streaming.ingest import parse_wire_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_ds_")
+        try:
+            t0 = 1_700_000_000_000 - (1_700_000_000_000 % 60_000)
+            mkrow = lambda t, v: json.dumps(
+                {"labels": {"__name__": "m", "i": "0"}, "t": t, "v": v}
+            )
+            # batch 1: two 1-minute windows (10, 20 | 30)
+            b1 = [mkrow(t0 + 1_000, 10.0), mkrow(t0 + 2_000, 20.0),
+                  mkrow(t0 + 61_000, 30.0)]
+            # batch 2 advances the watermark 30 min ahead (watermarks
+            # update between micro-batches); batch 3's row is then
+            # beyond the watermark and must be dropped
+            b2 = [mkrow(t0 + 30 * 60_000, 99.0)]
+            b3 = [mkrow(t0 + 3_000, 1000.0)]
+            src_dir = f"{tmp}/src"
+            os.makedirs(src_dir)
+
+            def write_file(name, rows):
+                with open(f"{src_dir}/{name}", "w") as f:
+                    f.write("\n".join(rows))
+
+            write_file("b1.txt", b1)
+            stream = spark.readStream.format("text").load(src_dir)
+            rolled = streaming_downsample(
+                parse_wire_batch(stream), window="1 minute", late="5 minutes"
+            )
+            q = (
+                rolled.writeStream.format("memory")
+                .queryName("rollups")
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.processAllAvailable()
+            write_file("b2.txt", b2)
+            q.processAllAvailable()
+            write_file("b3.txt", b3)
+            q.processAllAvailable()
+            q.stop()
+
+            rows = spark.sql(
+                "SELECT name, t, v FROM rollups ORDER BY t"
+            ).collect()
+            got = [(r["name"], r["t"], r["v"]) for r in rows]
+            # window [t0, t0+60s): avg(10, 20) = 15 — batch 3's 1000.0
+            # arrived after the watermark passed and was dropped;
+            # window [t0+60s, t0+120s): avg(30) = 30. The t0+30m row's
+            # window is still open (nothing later arrived), so only two
+            # finalized windows emit.
+            assert got == [
+                ("m:rollup", t0 + 60_000, 15.0),
+                ("m:rollup", t0 + 120_000, 30.0),
+            ]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
