@@ -103,6 +103,52 @@ def q_promql_selector(spark, sf_dir):
     return _user_v(eng.query("click", t / 1000))
 
 
+def _stored_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
+    """Engine over the STORED layout: events → split store
+    (``write_samples_batch`` + ``compact_store``) → ``read_samples_table``
+    → day-pruned scans. Proves the full ingest→store→query path with the
+    same oracles as the pivot-backed engine."""
+    key = ("stored-engine", sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from timbala_spark.streaming import compact_store, read_samples_table
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        _setup(spark)
+        path = tempfile.mkdtemp(prefix="timbala_contract_store_")
+        write_samples_batch(events_to_samples(spark, sf_dir), path)
+        compact_store(spark, path)
+        store = read_samples_table(spark, path)
+        t_max = store.agg(F.max("t")).first()[0]
+        _CACHE[key] = (
+            Engine(spark, store, lookback_ms=LOOKBACK_MS),
+            int(t_max),
+        )
+    return _CACHE[key]
+
+
+def q_promql_selector_stored(spark, sf_dir):
+    """Same result as ``promql_selector`` but served from the split
+    store (write → compact → read → day-pruned query)."""
+    eng, t = _stored_engine(spark, sf_dir)
+    return _user_v(eng.query("click", t / 1000))
+
+
+def q_promql_rate_stored(spark, sf_dir):
+    """Range-query rate over the stored layout (same oracle as
+    ``promql_rate_range``)."""
+    eng, t = _stored_engine(spark, sf_dir)
+    df = eng.query_range(
+        "sum by (user) (rate(click[4h]))", (t - 24 * HOUR) / 1000, t / 1000, 7200
+    )
+    return df.select(
+        label_get(F.col("labels"), "user").alias("user"),
+        F.col("t"),
+        F.round("v", 6).alias("v"),
+    )
+
+
 def q_promql_sum_by(spark, sf_dir):
     eng, t = _engine(spark, sf_dir)
     return _user_v(eng.query('sum by (user) ({__name__=~".+"})', t / 1000))
@@ -784,6 +830,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "promql_selector": q_promql_selector,
+        "promql_selector_stored": q_promql_selector_stored,
+        "promql_rate_stored": q_promql_rate_stored,
         "promql_sum_by": q_promql_sum_by,
         "promql_rate_range": q_promql_rate_range,
         "promql_avg_over_time": q_promql_avg_over_time,
@@ -853,6 +901,8 @@ def oracle_sql() -> dict[str, str]:
 SELECT user, ROUND(v, 6) AS v FROM latest WHERE name = 'click'
 """
 
+    sql["promql_selector_stored"] = sql["promql_selector"]
+
     sql["promql_sum_by"] = _PRELUDE + """
 SELECT user, ROUND(SUM(v), 6) AS v FROM latest GROUP BY user
 """
@@ -903,6 +953,8 @@ v AS (
 SELECT user, step_t AS t, ROUND(SUM(val), 6) AS v
 FROM v GROUP BY user, step_t
 """
+
+    sql["promql_rate_stored"] = sql["promql_rate_range"]
 
     sql["promql_avg_over_time"] = _PRELUDE + f"""
 , steps AS (
