@@ -788,3 +788,24 @@ eval instant at 0m multi > bool 1.5
   {a="1"} 0
   {a="2"} 1
 """)
+
+
+def test_re2_posix_class_matchers(spark):
+    """RE2 POSIX classes ([[:digit:]] etc.) are valid reference matcher
+    syntax (Go regexp/syntax); translated for Java rlike (SURVEY §7.8
+    risk 3)."""
+    run_golden(spark, """
+load 5m
+  m{host="web1"} 1
+  m{host="db-x"} 2
+  m{host="42"} 3
+
+eval instant at 0m m{host=~"[[:alpha:]]+[[:digit:]]+"}
+  m{host="web1"} 1
+
+eval instant at 0m m{host=~"[[:digit:]]+"}
+  m{host="42"} 3
+
+eval instant at 0m m{host!~"[[:alnum:]]+"}
+  m{host="db-x"} 2
+""")

@@ -252,3 +252,17 @@ class TestDurations:
             parse_duration_ms("5")
         with pytest.raises(PromQLSyntaxError):
             parse_duration_ms("0s")
+
+
+def test_invalid_regex_is_syntax_error():
+    """RE2 compile failures surface as parse errors (parse.go wraps
+    NewRegexpMatcher errors)."""
+    import pytest
+
+    from timbala_spark.promql.lexer import PromQLSyntaxError
+    from timbala_spark.promql.parser import parse
+
+    with pytest.raises(PromQLSyntaxError):
+        parse('m{x=~"["}')
+    with pytest.raises(PromQLSyntaxError):
+        parse('m{x=~"[:^digit:]"}')  # negated POSIX class: unsupported

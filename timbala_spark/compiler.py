@@ -269,8 +269,12 @@ def _vv(df: DataFrame) -> DataFrame:
 
 
 def _anchored(regex: str) -> str:
-    """PromQL regexes are fully anchored (``pkg/labels/matcher.go:62``)."""
-    return "^(?:" + regex + ")$"
+    """PromQL regexes are fully anchored (``pkg/labels/matcher.go:62``);
+    RE2-only POSIX classes are translated for Java ``rlike``
+    (SURVEY §7.8 risk 3)."""
+    from .promql.re2 import re2_to_host
+
+    return "^(?:" + re2_to_host(regex) + ")$"
 
 
 def matcher_expr(m: LabelMatcher) -> Column:

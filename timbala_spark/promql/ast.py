@@ -39,11 +39,19 @@ class LabelMatcher:
         label)."""
         import re
 
+        from .lexer import PromQLSyntaxError
+        from .re2 import re2_to_host
+
         if self.type == MatchType.EQ:
             return self.value == ""
         if self.type == MatchType.NEQ:
             return self.value != ""
-        ok = re.fullmatch("(?:" + self.value + ")", "") is not None
+        try:
+            ok = re.fullmatch("(?:" + re2_to_host(self.value) + ")", "") is not None
+        except (re.error, ValueError) as e:
+            # invalid pattern is a parse error (parse.go reports RE2
+            # compile failures as syntax errors)
+            raise PromQLSyntaxError(f"invalid regex {self.value!r}: {e}")
         return ok if self.type == MatchType.RE else not ok
 
 

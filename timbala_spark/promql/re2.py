@@ -1,0 +1,51 @@
+"""RE2 → host-regex dialect translation.
+
+The reference matches label regexes with Go's RE2
+(``pkg/labels/matcher.go:62``, fully anchored). Spark ``rlike`` uses
+``java.util.regex`` and the parser's empty-match analysis uses Python
+``re`` — both reject RE2's POSIX character classes
+(``[[:alpha:]]`` etc.), which is the one place valid reference
+queries would break (SURVEY §7.8 risk 3; RE2's remaining surface —
+no backreferences, no lookaround — is a strict subset of both hosts).
+"""
+
+from __future__ import annotations
+
+import re
+
+#: POSIX class name → character-class body understood by Java and
+#: Python alike.
+POSIX_CLASSES = {
+    "alnum": "a-zA-Z0-9",
+    "alpha": "a-zA-Z",
+    "ascii": "\\x00-\\x7f",
+    "blank": " \\t",
+    "cntrl": "\\x00-\\x1f\\x7f",
+    "digit": "0-9",
+    "graph": "\\x21-\\x7e",
+    "lower": "a-z",
+    "print": "\\x20-\\x7e",
+    "punct": "!-/:-@\\[-`{-~",
+    "space": " \\t\\n\\x0b\\f\\r",
+    "upper": "A-Z",
+    "word": "a-zA-Z0-9_",
+    "xdigit": "0-9a-fA-F",
+}
+
+_POSIX_RE = re.compile(r"\[:(\^?)(" + "|".join(POSIX_CLASSES) + r"):\]")
+
+
+def re2_to_host(regex: str) -> str:
+    """Expand ``[:class:]`` occurrences (valid only inside bracket
+    expressions, where the expansion is a plain range list). Negated
+    classes (``[:^digit:]``) use RE2-only semantics with no direct
+    host form and are left for the host to reject explicitly."""
+
+    def sub(m: re.Match[str]) -> str:
+        if m.group(1):
+            raise ValueError(
+                f"negated POSIX class [:^{m.group(2)}:] is not supported"
+            )
+        return POSIX_CLASSES[m.group(2)]
+
+    return _POSIX_RE.sub(sub, regex)
