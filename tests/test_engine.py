@@ -149,3 +149,25 @@ class TestShardDistribution:
         rsd = math.sqrt(sum((c - mean) ** 2 for c in counts) / len(counts)) / mean
         # reference gate: population std-dev < numSamples/10
         assert rsd < 0.10, rsd
+
+
+class TestAbsentRangeBoundaries:
+    """SURVEY §7.8 risk (4): absent() per-step across series death —
+    a series is 'present' at steps within its 5m staleness lookback of
+    the last sample, absent strictly after."""
+
+    def test_absent_after_series_death(self, engine):
+        # fixture samples end at t=1140s; lookback keeps the series
+        # visible through step 1440s, absent from 1500s on
+        rows = engine.query_range("absent(m)", 0, 2400, 60).collect()
+        steps = sorted(r["t"] for r in rows)
+        assert steps == [t * 1000 for t in range(1500, 2401, 60)]
+        assert all(r["v"] == 1.0 for r in rows)
+
+    def test_absent_nonexistent_propagates_eq_matchers(self, engine):
+        rows = engine.query_range(
+            'absent(nothing{job="x", env=~"prod.*"})', 0, 300, 60
+        ).collect()
+        assert len(rows) == 6  # every step
+        # only equality matchers propagate (functions.go:511-531)
+        assert all(dict(r["labels"]) == {"job": "x"} for r in rows)
