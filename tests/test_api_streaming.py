@@ -441,3 +441,39 @@ class TestStreamingDownsample:
             ]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestFanoutRead:
+    def test_distributed_write_single_query(self, spark):
+        """The reference's integration fan-out proof
+        (integration_test.go:28-228): distinct series written to two
+        nodes, a query anywhere returns both; replicated rows collapse
+        to one."""
+        from timbala_spark.streaming import read_fanout
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_fanout_")
+        try:
+            t0 = 1_700_000_000_000
+            mk = lambda rows: prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            a = [({"__name__": "fanout_a"}, t0 + i * 1000, 1.0) for i in range(5)]
+            b = [({"__name__": "fanout_b"}, t0 + i * 1000, 2.0) for i in range(5)]
+            # replica of series a (RF>1) lands on node 2 as well
+            write_samples_batch(mk(a), f"{tmp}/node1")
+            write_samples_batch(mk(b + a[:3]), f"{tmp}/node2")
+
+            merged = read_fanout(spark, [f"{tmp}/node1", f"{tmp}/node2"])
+            eng = Engine(spark, merged)
+            got = {
+                r["labels"]["__name__"]: r["v"]
+                for r in eng.query('{__name__=~"fanout_.*"}', t0 / 1000 + 10).collect()
+            }
+            assert got == {"fanout_a": 1.0, "fanout_b": 2.0}
+            # replicas collapsed: 5 + 5 distinct sample rows, not 13
+            assert merged.count() == 10
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

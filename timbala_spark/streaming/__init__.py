@@ -1,5 +1,6 @@
 from .ingest import (  # noqa: F401
     parse_wire_batch,
+    read_fanout,
     read_samples_table,
     start_ingest,
     synthetic_rate_source,

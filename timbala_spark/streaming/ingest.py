@@ -145,6 +145,27 @@ def read_samples_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("name", "labels", "series_id", "t", "v")
 
 
+def read_fanout(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Fan-out read over several stores, merged and replica-deduped.
+
+    The reference's query node unions every peer's local store behind
+    one Querier and merge-dedups series/samples
+    (``internal/fanout/fanout.go:51-79``, ``storage/fanout.go``). The
+    Spark equivalent is a union of scans — Catalyst pushes
+    matcher/time filters into every branch — followed by the same
+    ``(series_id, t)`` collapse used at ingest. Each ``path`` may be a
+    split store or a row-layout table; day partition columns survive
+    the union only if every branch has them (mixed layouts degrade to
+    row-group pruning)."""
+    frames = [read_samples_table(spark, p) for p in paths]
+    cols = set.intersection(*(set(f.columns) for f in frames))
+    order = [c for c in ("name", "labels", "series_id", "t", "v", "day") if c in cols]
+    out = frames[0].select(*order)
+    for f in frames[1:]:
+        out = out.unionByName(f.select(*order))
+    return dedup_replicas(out)
+
+
 def synthetic_rate_source(spark: SparkSession, rows_per_second: int = 100):
     """A demo streaming source shaped like remote-write: the built-in
     rate source mapped to (labels, t, v) rows."""
