@@ -528,7 +528,9 @@ def q_dedup_embedding(spark, sf_dir):
     from timbala_spark.pipeline import embedding_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, threshold=0.4, mode="exact")
+    # blocked = BLAS prefilter + exact-fold verify: bit-identical to
+    # mode="exact" (asserted in tests), quadratic loop at C speed
+    out = embedding_near_dup_pairs(emb, threshold=0.4, mode="blocked")
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 

@@ -239,6 +239,22 @@ class TestEmbeddingNearDup:
         for k, c in got.items():
             assert math.isclose(c, want[k], rel_tol=1e-9)
 
+    def test_blocked_identical_to_exact(self, spark, embeddings):
+        """mode="blocked" (BLAS prefilter + exact-fold verify) must be
+        bit-identical to mode="exact" — the margin guarantees no pair
+        near the threshold is lost to float-order differences."""
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        def run(mode):
+            return sorted(
+                (r["id_a"], r["id_b"], r["cos"])
+                for r in embedding_near_dup_pairs(
+                    embeddings, threshold=0.4, mode=mode
+                ).collect()
+            )
+
+        assert run("blocked") == run("exact")
+
     def test_lsh_subset_of_exact(self, spark, embeddings):
         from timbala_spark.pipeline import embedding_near_dup_pairs
 
