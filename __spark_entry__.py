@@ -1114,6 +1114,42 @@ SELECT user, ROUND(slope * 3600 + (avgv - slope * avgx), 6) AS v
 FROM g WHERE n >= 2
 """
 
+    # holt_winters: the double-exponential-smoothing recurrence is
+    # sequential on both sides (Spark: aggregate() left fold; DuckDB:
+    # recursive CTE stepping one ordered sample at a time), and both
+    # evaluate the identical fl-op sequence, so values match exactly.
+    # Mirrors functions.go:193-285 seeding: s1 <- x0; b <- x1 - x0; the
+    # first merge (i=1) keeps b, later steps blend the trend.
+    _hw_b = "(0.1 * (hw.s1 - hw.s0) + (1 - 0.1) * hw.b)"
+    sql["promql_holt_winters"] = (
+        _PRELUDE.replace("WITH samples", "WITH RECURSIVE samples", 1) + f"""
+, win AS (
+  SELECT user, v, row_number() OVER (PARTITION BY user ORDER BY t) - 1 AS i
+  FROM samples, tmax
+  WHERE name = 'purchase' AND t >= tend - {h24} AND t <= tend
+),
+hw(user, i, s0, s1, b) AS (
+  SELECT w1.user, 1,
+         w0.v,
+         0.5 * w1.v + (1 - 0.5) * (w0.v + (w1.v - w0.v)),
+         w1.v - w0.v
+  FROM win w1 JOIN win w0 ON w0.user = w1.user AND w0.i = 0
+  WHERE w1.i = 1
+  UNION ALL
+  SELECT w.user, hw.i + 1,
+         hw.s1,
+         0.5 * w.v + (1 - 0.5) * (hw.s1 + {_hw_b}),
+         {_hw_b}
+  FROM hw JOIN win w ON w.user = hw.user AND w.i = hw.i + 1
+)
+SELECT user, ROUND(s1, 6) AS v
+FROM (
+  SELECT user, s1, row_number() OVER (PARTITION BY user ORDER BY i DESC) AS rn
+  FROM hw
+) WHERE rn = 1
+"""
+    )
+
     sql["promql_changes"] = _PRELUDE + f"""
 , w AS (
   SELECT user, v, lag(v) OVER (PARTITION BY user ORDER BY t) AS pv
