@@ -1576,6 +1576,81 @@ FROM s
 QUALIFY rank <= 5
 """
 
+    # LSH oracles: the hyperplanes are deterministic
+    # (np.RandomState(seed).standard_normal, similarity._planes), so
+    # they inline into the SQL as literals and DuckDB replays the exact
+    # bucket assignment (strict `dot > 0` bit, same fold order — the
+    # list_sum/aggregate parity every embedding oracle already relies
+    # on) and the exact re-rank. Upgrades both entries from rows-only
+    # to exact value checks.
+    def _planes_values(n_planes: int, n_tables: int, seed: int = 42,
+                       dim: int = 64) -> str:
+        from timbala_spark.pipeline.similarity import _planes
+
+        rows = []
+        for tbl in range(n_tables):
+            for i, p in enumerate(_planes(dim, n_planes, seed + tbl)):
+                vec = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+                rows.append(f"({tbl}, {1 << i}, {vec})")
+        return ",\n".join(rows)
+
+    _lsh_sig = f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pl(tbl, bit, pv) AS (VALUES {_planes_values(4, 16)}),
+sig AS (
+  SELECT e.vec_id, pl.tbl,
+         SUM(CASE WHEN list_sum(list_transform(list_zip(e.v, pl.pv),
+                                               q -> q[1] * q[2])) > 0
+                  THEN pl.bit ELSE 0 END) AS bkt
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.tbl
+)"""
+
+    sql["dedup_embedding_lsh"] = f"""
+WITH {_lsh_sig},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(list_zip(ea.v, eb.v), q -> q[1] * q[2]))
+         / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cos
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM sc WHERE cos >= 0.4
+"""
+
+    sql["sim_lsh_topk"] = f"""
+WITH {_lsh_sig},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt
+  WHERE q.vec_id < 5 AND c.vec_id >= 5
+),
+s AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_sum(list_transform(list_zip(eq.v, ec.v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(eq.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(ec.v, x -> x * x)))) AS cos
+  FROM cand cd
+  JOIN e eq ON eq.vec_id = cd.query_id
+  JOIN e ec ON ec.vec_id = cd.neighbor_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       neighbor_id, ROUND(cos, 4) AS cos
+FROM s
+QUALIFY rank <= 5
+"""
+
     sql["embeddings_stats"] = """
 SELECT label, count(*) AS n,
        ROUND(AVG(sqrt(list_sum(list_transform(
