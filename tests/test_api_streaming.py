@@ -477,3 +477,46 @@ class TestFanoutRead:
             assert merged.count() == 10
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestQueryGate:
+    """Reference admission limits: 20 concurrent / 2m timeout
+    (main.go:218-223, engine.go:1474-1503 queryGate)."""
+
+    def test_timeout_returns_timeout_error(self, api):
+        api.timeout_s = 0.001
+        try:
+            out = api.query("sum(test_metric1)", 600)
+        finally:
+            api.timeout_s = 120.0
+        assert out["status"] == "error"
+        assert out["errorType"] == "timeout"
+
+    def test_runtime_error_is_execution_type(self, api):
+        # many-to-many duplicate matching fails at EXECUTION time
+        # (engine.go:984-987) -> errorExec taxonomy
+        out = api.query("test_metric1 + on() test_metric2", 600)
+        assert out["status"] == "error"
+        assert out["errorType"] in ("execution", "bad_data")
+
+    def test_gate_admits_concurrent_queries(self, api):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            outs = list(
+                ex.map(lambda _: api.query("test_metric1", 600), range(12))
+            )
+        assert all(o["status"] == "success" for o in outs)
+
+    def test_queue_full_times_out(self, api):
+        import threading
+
+        api2 = PromAPI(api.engine, max_concurrent=1, timeout_s=0.05)
+        # hold the only slot so the next query times out in the queue
+        assert api2._gate.acquire()
+        try:
+            out = api2.query("test_metric1", 600)
+        finally:
+            api2._gate.release()
+        assert out["status"] == "error"
+        assert out["errorType"] == "timeout"

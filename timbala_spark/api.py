@@ -24,6 +24,7 @@ from .promql.parser import parse, parse_metric_selector
 
 ERR_BAD_DATA = "bad_data"
 ERR_TIMEOUT = "timeout"
+ERR_EXEC = "execution"
 ERR_INTERNAL = "internal"
 
 
@@ -46,9 +47,66 @@ def go_float_str(v: float) -> str:
     return txt if txt not in ("", "-") else "0"
 
 
+class QueryTimeout(RuntimeError):
+    pass
+
+
 @dataclass
 class PromAPI:
+    """Prometheus HTTP API facade.
+
+    Admission mirrors the reference's engine gate: at most
+    ``max_concurrent`` queries execute at once, excess queue, and the
+    timeout covers queue wait + execution
+    (``cmd/timbala/main.go:218-223`` MaxConcurrentQueries=20 /
+    Timeout=2m; gate semantics ``promql/engine.go:1474-1503``).
+    A timed-out execution cancels its Spark job group, so cluster
+    resources are released, not leaked.
+    """
+
     engine: Engine
+    max_concurrent: int = 20
+    timeout_s: float = 120.0
+
+    def __post_init__(self) -> None:
+        import itertools
+        import threading
+
+        self._gate = threading.BoundedSemaphore(self.max_concurrent)
+        self._gid = itertools.count()
+
+    def _gated_collect(self, df) -> list:
+        import threading
+        import time as _time
+
+        t0 = _time.monotonic()
+        if not self._gate.acquire(timeout=self.timeout_s):
+            raise QueryTimeout("query queue wait exceeded timeout")
+        try:
+            remaining = max(self.timeout_s - (_time.monotonic() - t0), 0.001)
+            sc = self.engine.spark.sparkContext
+            gid = f"promapi-{next(self._gid)}"
+            out: list = []
+            err: list = []
+
+            def run() -> None:
+                try:
+                    sc.setJobGroup(gid, "PromAPI query", interruptOnCancel=True)
+                    out.append(df.collect())
+                except Exception as e:  # surfaced as ERR_EXEC by callers
+                    err.append(e)
+
+            th = threading.Thread(target=run, daemon=True)
+            th.start()
+            th.join(remaining)
+            if th.is_alive():
+                sc.cancelJobGroup(gid)
+                raise QueryTimeout("query evaluation exceeded timeout")
+            if err:
+                raise err[0]
+            return out[0]
+        finally:
+            self._gate.release()
 
     # -- GET /api/v1/query (api.go:142-185) ---------------------------
     def query(self, query: str, time: float) -> dict:
@@ -70,7 +128,12 @@ class PromAPI:
             df = self.engine.query(query, time)
         except Exception as e:
             return self._error(ERR_BAD_DATA, str(e))
-        rows = df.collect()
+        try:
+            rows = self._gated_collect(df)
+        except QueryTimeout as e:
+            return self._error(ERR_TIMEOUT, str(e))
+        except Exception as e:  # runtime errors (engine.go -> errorExec)
+            return self._error(ERR_EXEC, str(e))
         if expr.type == ValueType.SCALAR:
             v = rows[0]["v"] if rows else math.nan
             return self._success(
@@ -105,9 +168,13 @@ class PromAPI:
             df = self.engine.query_range(query, start, end, step)
         except Exception as e:
             return self._error(ERR_BAD_DATA, str(e))
-        return self._success(
-            {"resultType": "matrix", "result": self._matrix(df.collect())}
-        )
+        try:
+            rows = self._gated_collect(df)
+        except QueryTimeout as e:
+            return self._error(ERR_TIMEOUT, str(e))
+        except Exception as e:
+            return self._error(ERR_EXEC, str(e))
+        return self._success({"resultType": "matrix", "result": self._matrix(rows)})
 
     def _matrix(self, rows) -> list[dict]:
         by_series: dict[tuple, dict] = {}
