@@ -451,6 +451,16 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_pipeline(spark, sf_dir):
+    """End-to-end curation: exact dedup → 7-gram Jaccard near-dup on
+    distinct survivors → connected components → canonical per row
+    (the mandatory ordering measured in PERF.md §6d)."""
+    from timbala_spark.pipeline import near_dup_pipeline
+
+    docs = _tbl(spark, sf_dir, "documents")
+    return near_dup_pipeline(docs, threshold=0.5, n=7).orderBy("doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from timbala_spark.pipeline import ngram_jaccard_pairs
 
@@ -874,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
         "dedup_exact": q_dedup_exact,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1395,6 +1406,53 @@ WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
 SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
        CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups
 FROM g
+"""
+
+    sql["dedup_pipeline"] = r"""
+WITH RECURSIVE rep AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep, text
+  FROM documents
+),
+surv AS (SELECT doc_id, text FROM rep WHERE doc_id = rep),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+  FROM surv
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) - 6 < 1 THEN []
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(tk) - 6),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                          tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]))
+         END AS s3
+  FROM toks
+),
+e AS (SELECT doc_id, unnest(s3) AS g FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s3) AS n FROM sh),
+pr AS (
+  SELECT id_a, id_b FROM p
+  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT ed.dst, reach.comp FROM reach JOIN ed ON ed.src = reach.id
+),
+comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+SELECT r.doc_id, c.component AS canonical_id,
+       CAST(r.doc_id = c.component AS BIGINT) AS is_canonical
+FROM rep r JOIN comp c ON c.id = r.rep
+ORDER BY r.doc_id
 """
 
     sql["dedup_ngram_jaccard"] = r"""

@@ -301,3 +301,31 @@ class TestConnectedComponents:
         )
         got = connected_components(nodes, edges).collect()
         assert all(r["component"] == 0 for r in got)
+
+
+class TestCurationPipeline:
+    def test_near_dup_pipeline_with_exact_dups(self, spark):
+        """Exact duplicates must map to their representative's cluster,
+        and exactly one row per final cluster is canonical."""
+        from timbala_spark.pipeline import near_dup_pipeline
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        near = base + " extra"
+        rows = [
+            (0, base),
+            (1, base),          # exact dup of 0
+            (2, near),          # near dup of 0 (9 shared 7-shingles... high jaccard)
+            (3, "completely different words entirely unrelated text here now ok"),
+            (4, "completely different words entirely unrelated text here now ok"),  # exact dup of 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+            for r in near_dup_pipeline(df, threshold=0.3, n=7).collect()
+        }
+        assert got[0] == (0, 1)
+        assert got[1] == (0, 0)   # exact dup: canonical is 0, not itself
+        assert got[2] == (0, 0)   # near dup joins cluster 0
+        assert got[3] == (3, 1)
+        assert got[4] == (3, 0)
+        assert sum(v[1] for v in got.values()) == 2  # one canonical per cluster

@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
     simhash_pairs,
     with_simhash,
 )
+from .curate import near_dup_pipeline  # noqa: F401
 from .similarity import cosine_topk, ivf_topk, lsh_cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     with_fingerprint,
