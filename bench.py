@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding",
+    "dedup_pipeline",
     "sim_cosine_topk",
     "multimodal_decode",
     "text_quality",
