@@ -520,3 +520,54 @@ class TestQueryGate:
             api2._gate.release()
         assert out["status"] == "error"
         assert out["errorType"] == "timeout"
+
+
+class TestWireFormat:
+    """Real remote-write bodies: snappy block format + prompb protobuf
+    (write.go:83-101), decoded executor-side."""
+
+    def test_wire_body_to_query(self, spark):
+        from timbala_spark.sources.wire import decode_payloads, encode_write_request
+
+        t0 = 1_700_000_000_000
+        bodies = [
+            encode_write_request(
+                [
+                    {
+                        "labels": {"__name__": "wire_m", "node": f"n{b}"},
+                        "samples": [[t0 + i * 1000, float(b * 10 + i)] for i in range(5)],
+                    }
+                ]
+            )
+            for b in range(4)
+        ]
+        pdf = spark.createDataFrame([(b,) for b in bodies], "payload binary")
+        samples = prepare_samples(decode_payloads(pdf))
+        assert samples.count() == 20
+        eng = Engine(spark, samples)
+        got = {
+            r["labels"]["node"]: r["v"]
+            for r in eng.query("wire_m", t0 / 1000 + 10).collect()
+        }
+        assert got == {f"n{b}": float(b * 10 + 4) for b in range(4)}
+
+    def test_negative_and_special_values_roundtrip(self):
+        from timbala_spark.sources.wire import (
+            decode_write_request,
+            encode_write_request,
+        )
+
+        series = [
+            {
+                "labels": {"__name__": "edge", "läbel": "välue"},
+                "samples": [[-1, float("-inf")], [0, float("nan")], [2**50, -0.0]],
+            }
+        ]
+        got = decode_write_request(encode_write_request(series))
+        assert got[0]["labels"] == series[0]["labels"]
+        ts = [t for t, _ in got[0]["samples"]]
+        assert ts == [-1, 0, 2**50]
+        import math
+
+        assert math.isinf(got[0]["samples"][0][1])
+        assert math.isnan(got[0]["samples"][1][1])
