@@ -122,14 +122,25 @@ _IDENT = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,8}", fullmatch=True)
 
 
 @st.composite
+def selectors(draw):
+    name = draw(_IDENT)
+    if not draw(st.booleans()):
+        return name
+    op = draw(st.sampled_from(["=", "!=", "=~", "!~"]))
+    lbl, val = draw(_IDENT), draw(_IDENT)
+    off = draw(st.sampled_from(["", " offset 5m", " offset 1h30m"]))
+    return f'{name}{{{lbl}{op}"{val}"}}{off}'
+
+
+@st.composite
 def exprs(draw, depth=0):
     if depth > 3:
         return draw(
             st.sampled_from(["m", "1", "rate(m[5m])", 'm{a="b"}'])
         )
-    kind = draw(st.integers(0, 5))
+    kind = draw(st.integers(0, 7))
     if kind == 0:
-        return draw(_IDENT)
+        return draw(selectors())
     if kind == 1:
         return f"{draw(st.floats(allow_nan=False, allow_infinity=False, width=32))}"
     if kind == 2:
@@ -137,11 +148,28 @@ def exprs(draw, depth=0):
         return f"({draw(exprs(depth + 1))}) {op} ({draw(exprs(depth + 1))})"
     if kind == 3:
         agg = draw(st.sampled_from(["sum", "avg", "min", "max", "count"]))
+        mod = draw(st.sampled_from(["by", "without"]))
         lbl = draw(_IDENT)
-        return f"{agg} by({lbl}) ({draw(exprs(depth + 1))})"
+        return f"{agg} {mod}({lbl}) ({draw(exprs(depth + 1))})"
     if kind == 4:
         return f"abs({draw(exprs(depth + 1))})"
-    return f"avg_over_time({draw(_IDENT)}[{draw(st.integers(1, 120))}m])"
+    if kind == 5:
+        # vector matching with grouping modifiers
+        match = draw(st.sampled_from(["on", "ignoring"]))
+        card = draw(st.sampled_from(["", " group_left", " group_right()"]))
+        lbl = draw(_IDENT)
+        return (
+            f"({draw(selectors())}) / {match}({lbl}){card} "
+            f"({draw(selectors())})"
+        )
+    if kind == 6:
+        cmp = draw(st.sampled_from(["==", "!=", ">", "<", ">=", "<="]))
+        b = draw(st.sampled_from(["", " bool"]))
+        return f"({draw(selectors())}) {cmp}{b} ({draw(selectors())})"
+    rng = draw(st.sampled_from(["30s", "5m", "1h", "90m"]))
+    off = draw(st.sampled_from(["", " offset 10m"]))
+    fn = draw(st.sampled_from(["avg_over_time", "rate", "changes", "delta"]))
+    return f"{fn}({draw(_IDENT)}[{rng}]{off})"
 
 
 @given(exprs())
