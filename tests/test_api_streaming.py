@@ -6,6 +6,7 @@ them back through the API envelope; `1+1` → scalar 2.
 """
 
 import json
+import os
 import shutil
 import tempfile
 import time
@@ -373,6 +374,47 @@ class TestStoreMaintenance:
             )
             assert got == want and got
         finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+    def test_day_partition_is_timezone_independent(self, spark):
+        """Written `day` partitions must agree with the UTC-based pruning
+        in _base_scan even when spark.sql.session.timeZone is non-UTC;
+        previously date_format(timestamp_millis(t)) used the session
+        zone, silently excluding partitions at query time."""
+        from timbala_spark.streaming import read_samples_table
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_tz_")
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Pacific/Auckland")
+            day = 86_400_000
+            t0 = 1_700_000_000_000 - (1_700_000_000_000 % day)
+            # samples near UTC midnight: Auckland local date differs
+            rows = [
+                ({"__name__": "m", "i": str(i)}, t0 + i * 60_000, float(i))
+                for i in range(5)
+            ]
+            df = prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            write_samples_batch(df, tmp)
+            # the physical partition must be the UTC day of t0
+            import datetime
+
+            utc_day = datetime.datetime.fromtimestamp(
+                t0 / 1000, tz=datetime.timezone.utc
+            ).strftime("%Y%m%d")
+            assert os.path.isdir(f"{tmp}/samples/day={utc_day}")
+            eng = Engine(spark, read_samples_table(spark, tmp))
+            res = eng.query("m", (t0 + 4 * 60_000) / 1000)
+            got = sorted(r["v"] for r in res.collect())
+            assert got == [0.0, 1.0, 2.0, 3.0, 4.0]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
             shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -809,3 +809,58 @@ eval instant at 0m m{host=~"[[:digit:]]+"}
 eval instant at 0m m{host!~"[[:alnum:]]+"}
   m{host="db-x"} 2
 """)
+
+
+def test_filtered_comparison_group_right_keeps_lhs_value(spark):
+    """Filtered (non-bool) comparisons keep the ORIGINAL LHS value even
+    under group_right: vectorElemBinop undoes the swap before applying
+    the op (engine.go:1006-1010,1213-1225)."""
+    run_golden(spark, """
+load 5m
+  a{job="api"} 5
+  b{job="api", instance="0"} 10
+  b{job="api", instance="1"} 3
+
+eval instant at 0m a < on(job) group_right b
+  b{job="api", instance="0"} 5
+
+eval instant at 0m a > on(job) group_right b
+  b{job="api", instance="1"} 5
+
+eval instant at 0m b > on(job) group_left a
+  b{job="api", instance="0"} 10
+""")
+
+
+def test_timestamp_over_derived_vectors(spark):
+    """timestamp() over derived vectors (aggregations, *_over_time, rate
+    family) stamps the eval timestamp, not NULL (functions.go:605-615)."""
+    run_golden(spark, """
+load 5m
+  m{job="a"} 0+10x10
+  m{job="b"} 0+20x10
+
+eval instant at 50m timestamp(sum(m))
+  {} 3000
+
+eval instant at 50m timestamp(avg_over_time(m[10m]))
+  {job="a"} 3000
+  {job="b"} 3000
+
+eval instant at 10m timestamp(rate(m[10m]))
+  {job="a"} 600
+  {job="b"} 600
+""")
+
+
+def test_duplicate_one_side_errors_even_unmatched(spark):
+    """Strict duplicate-series detection on the 'one' side fires for ALL
+    one-side rows, matched or not (engine.go:982-988)."""
+    run_golden(spark, """
+load 5m
+  foo{job="api", instance="0"} 10
+  dup{job="other", instance="0"} 1
+  dup{job="other", instance="1"} 2
+
+eval_fail instant at 0m foo * on(job) group_left dup
+""")

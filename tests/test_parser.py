@@ -83,6 +83,13 @@ class TestSelectors:
         e = parse('m{on="x"}')
         assert any(m.name == "on" for m in e.matchers)
 
+    def test_operator_label_name_rejected(self):
+        # operator tokens are not label names (parse.go:826-832)
+        with pytest.raises(PromQLSyntaxError):
+            parse('{== = "x"}')
+        with pytest.raises(PromQLSyntaxError):
+            parse('m{< = "x"}')
+
     def test_matrix(self):
         e = parse("m[5m]")
         assert isinstance(e, MatrixSelector)

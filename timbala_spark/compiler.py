@@ -751,12 +751,17 @@ class Compiler:
         if self.ctx.strict:
             w = Window.partitionBy("step_t", "_sig")
             side = "right" if not swap else "left"
+            # Attach the raise to the JOIN KEY, not `v`: the key is
+            # evaluated for every one-side row while building the join,
+            # so duplicates error even when they match nothing — the
+            # reference errors on any duplicate one-side signature,
+            # matched or not (engine.go:982-988).
             odf = odf.withColumn("_cnt", F.count(F.lit(1)).over(w))
             odf = odf.withColumn(
-                "v",
+                "_sig",
                 _raise_if(
                     F.col("_cnt") > 1,
-                    F.col("v"),
+                    F.col("_sig"),
                     "found duplicate series for the match group on the "
                     f"{side} hand-side of the operation",
                 ),
@@ -812,7 +817,11 @@ class Compiler:
             if node.return_bool:
                 j = j.withColumn("_rv", F.when(pred, 1.0).otherwise(0.0))
             else:
-                j = j.filter(pred).withColumn("_rv", many_v)
+                # Filtered comparisons keep the ORIGINAL LHS value even
+                # under group_right: vectorElemBinop undoes the swap
+                # before applying the op (engine.go:1006-1010,1213-1225),
+                # so `a < on(x) group_right b` returns a's values.
+                j = j.filter(pred).withColumn("_rv", l_col)
         else:
             j = j.withColumn("_rv", _arith_col(op, l_col, r_col))
 
@@ -1117,8 +1126,14 @@ class Compiler:
     def _fn_timestamp(self, node):
         arg = self.compile(node.args[0])
         assert isinstance(arg, VectorValue)
+        # Derived vectors (aggregations, *_over_time, rate family) carry
+        # NULL sample_t; the reference stamps result samples with the eval
+        # timestamp (functions.go:605-615), so fall back to step_t.
         df = arg.df.withColumn(
-            "v", (F.col("sample_t") / F.lit(1000.0)).cast("double")
+            "v",
+            (F.coalesce(F.col("sample_t"), F.col("step_t")) / F.lit(1000.0)).cast(
+                "double"
+            ),
         ).withColumn("labels", _DROP_NAME())
         return VectorValue(_vv(df))
 

@@ -149,7 +149,10 @@ def prepare_samples(df: DataFrame) -> DataFrame:
     epoch ms) or integral epoch-ms.
     """
     cols = dict(df.dtypes)
-    if cols.get("t", "").startswith("timestamp"):
+    if cols.get("t", "").startswith("timestamp_ntz"):
+        # naive timestamps are UTC by convention (session tz pinned UTC)
+        df = df.withColumn("t", F.expr("unix_micros(cast(t as timestamp)) div 1000"))
+    elif cols.get("t", "").startswith("timestamp"):
         df = df.withColumn("t", F.expr("unix_micros(t) div 1000"))
     else:
         df = df.withColumn("t", F.col("t").cast("long"))
@@ -159,6 +162,23 @@ def prepare_samples(df: DataFrame) -> DataFrame:
         df = df.withColumn("series_id", series_id_expr(F.col("labels")))
     return df.select(
         "name", "labels", "series_id", "t", F.col("v").cast("double").alias("v")
+    )
+
+
+def utc_day_expr(t_col: Column) -> Column:
+    """``yyyyMMdd`` UTC day of an epoch-ms column, timezone-independent.
+
+    Pure integer epoch-day arithmetic (``floor(t / 86400000)`` formatted
+    through DateType, which carries no timezone): written ``day``
+    partitions always agree with the UTC-based pruning in
+    ``compiler._base_scan`` and ``streaming.compact.apply_retention``
+    regardless of ``spark.sql.session.timeZone``.  Mirrors the
+    reference's day component of the partition key
+    (``internal/cluster/cluster.go:103-106``).
+    """
+    epoch_day = F.floor(t_col.cast("long") / F.lit(86400000)).cast("int")
+    return F.date_format(
+        F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day), "yyyyMMdd"
     )
 
 

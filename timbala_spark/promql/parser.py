@@ -317,7 +317,10 @@ class Parser:
             if self.peek().kind != RBRACE:
                 while True:
                     ln = self.peek()
-                    if ln.kind not in (IDENT,) and ln.text not in BINARY_OPS:
+                    # Keywords already lex as IDENT; operator tokens
+                    # (==, <, ...) are never valid label names
+                    # (parse.go:826-832).
+                    if ln.kind != IDENT:
                         raise PromQLSyntaxError(
                             f"expected label name, got {ln.text!r} at {ln.pos}"
                         )

@@ -30,9 +30,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def event_time_ms_expr(ev: DataFrame):
     """Epoch-ms expression for the events `ts` column, robust to it
-    arriving as nanos-long (nanosAsLong) or as a timestamp."""
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+    arriving as nanos-long (nanosAsLong), TIMESTAMP_NTZ (parquet
+    isAdjustedToUTC=false under inferTimestampNTZ), or TIMESTAMP."""
+    dt = dict(ev.dtypes)["ts"]
+    if dt in ("bigint", "long"):
         return F.expr("ts div 1000000")
+    if dt.startswith("timestamp_ntz"):
+        # naive timestamps are UTC by convention (the engine pins
+        # spark.sql.session.timeZone=UTC), so the cast is field-identity
+        return F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     return F.expr("unix_micros(ts) div 1000")
 
 

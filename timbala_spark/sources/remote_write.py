@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..model import dedup_replicas, prepare_samples
+from ..model import dedup_replicas, prepare_samples, utc_day_expr
 
 
 def remote_write_batch_to_samples(
@@ -46,9 +46,7 @@ def append_to_table(samples: DataFrame, path: str, partition_by_day: bool = True
     """
     from pyspark.sql import functions as F
 
-    out = samples.withColumn(
-        "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
-    )
+    out = samples.withColumn("day", utc_day_expr(F.col("t")))
     writer = out.write.mode("append")
     if partition_by_day:
         writer = writer.partitionBy("day")

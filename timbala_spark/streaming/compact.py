@@ -35,6 +35,8 @@ import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
+from ..model import utc_day_expr
+
 
 def compact_store(spark: SparkSession, path: str) -> None:
     """Rewrite the split store with large sorted files and a deduped
@@ -52,9 +54,7 @@ def compact_store(spark: SparkSession, path: str) -> None:
     (
         spark.read.parquet(sp)
         .dropDuplicates(["series_id", "t"])
-        .withColumn(
-            "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
-        )
+        .withColumn("day", utc_day_expr(F.col("t")))
         .repartitionByRange(F.col("day"), F.col("series_id"))
         .sortWithinPartitions("series_id", "t")
         .write.mode("overwrite")

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..model import dedup_replicas, prepare_samples
+from ..model import dedup_replicas, prepare_samples, utc_day_expr
 
 #: JSON shape accepted on the wire — one row per (series, sample):
 #: {"labels": {...}, "t": epoch_ms, "v": value}
@@ -55,9 +55,7 @@ def write_samples_batch(
     per sample) for small fixtures.
     """
     deduped = dedup_replicas(samples) if dedup else samples
-    out = deduped.withColumn(
-        "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
-    )
+    out = deduped.withColumn("day", utc_day_expr(F.col("t")))
     if layout == "row":
         out.write.mode("append").partitionBy("day").parquet(path)
         return
