@@ -1741,10 +1741,13 @@ QUALIFY rank <= 5
                 rows.append(f"({tbl}, {1 << i}, {vec})")
         return ",\n".join(rows)
 
-    _lsh_sig = f"""
-e AS (
+    def _lsh_sig_sql(src: str) -> str:
+        """CTE block computing the replayed LSH signatures over `src`
+        (which must yield vec_id + embedding): e = doubles, pl = the
+        inlined hyperplanes, sig = per-table bucket ids."""
+        return f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
+  FROM ({src})
 ),
 pl(tbl, bit, pv) AS (VALUES {_planes_values(4, 16)}),
 sig AS (
@@ -1755,8 +1758,9 @@ sig AS (
   FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.tbl
 )"""
 
-    sql["dedup_embedding_lsh"] = f"""
-WITH {_lsh_sig},
+    _lsh_sig = _lsh_sig_sql("SELECT vec_id, embedding FROM embeddings")
+
+    _lsh_pairs_tail = """
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM sig a JOIN sig b
@@ -1770,8 +1774,32 @@ sc AS (
   FROM cand c
   JOIN e ea ON ea.vec_id = c.id_a
   JOIN e eb ON eb.vec_id = c.id_b
-)
+)"""
+
+    # dedup_embedding = exact dedup (min vec_id per identical vector)
+    # THEN the replayed LSH near-dup join on the survivors — mirrors
+    # q_dedup_embedding's production ordering exactly.
+    sql["dedup_embedding"] = f"""
+WITH {_lsh_sig_sql(
+        "SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding"
+    )},{_lsh_pairs_tail}
 SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM sc WHERE cos >= 0.4
+"""
+
+    # clusters: connected components (min reachable id) over the
+    # full-corpus LSH pair set, as a recursive label-propagation CTE —
+    # every vec_id appears, singletons map to themselves.
+    sql["dedup_embedding_clusters"] = f"""
+WITH RECURSIVE {_lsh_sig},{_lsh_pairs_tail},
+pr AS (SELECT id_a, id_b FROM sc WHERE cos >= 0.4),
+ed AS (SELECT id_a AS src, id_b AS dst FROM pr
+       UNION ALL SELECT id_b, id_a FROM pr),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ed.dst, reach.comp FROM reach JOIN ed ON ed.src = reach.id
+)
+SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id
 """
 
     sql["sim_lsh_topk"] = f"""
@@ -1807,4 +1835,64 @@ FROM embeddings
 GROUP BY label
 """
 
+    # ---- tagged-union oracles for the merged contract entries ----------
+    # `queries()` merges closely-related operators into one entry via
+    # _tagged_union (literal `fn` tag + unionByName); the oracle mirrors
+    # that shape: each branch wraps its per-part SQL in a subquery
+    # (DuckDB allows a full WITH — even RECURSIVE — inside a subquery)
+    # and selects an explicit column list so every branch lines up.
+    # `sql.pop` consumes the per-part SQL so no dead keys are returned.
+    def _u(*branches: tuple[str, str, str]) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT '{tag}' AS fn, {cols} FROM (\n{part}\n) AS _{tag}"
+            for tag, cols, part in branches
+        )
+
+    sql["promql_topk_bottomk"] = _u(
+        ("topk", "user, v", sql.pop("promql_topk")),
+        ("bottomk", "user, v", sql.pop("promql_bottomk")),
+    )
+    sql["promql_quantile_stddev"] = _u(
+        ("quantile", "v", sql.pop("promql_quantile")),
+        ("stddev", "v", sql.pop("promql_stddev")),
+    )
+    sql["promql_irate_deriv"] = _u(
+        ("irate", "user, v", sql.pop("promql_irate")),
+        ("deriv", "user, v", sql.pop("promql_deriv")),
+    )
+    sql["promql_label_fns"] = _u(
+        ("replace", "user, grp AS lbl, v", sql.pop("promql_label_replace")),
+        ("join", "user, uid AS lbl, v", sql.pop("promql_label_join")),
+    )
+    sql["promql_absent_date"] = _u(
+        ("absent", "flag AS lbl, v", sql.pop("promql_absent")),
+        ("date_fns", "'' AS lbl, v", sql.pop("promql_date_fns")),
+    )
+    sql["promql_predict_hw"] = _u(
+        ("predict_linear", "user, v", sql.pop("promql_predict_linear")),
+        ("holt_winters", "user, v", sql.pop("promql_holt_winters")),
+    )
+    sql["promql_changes_resets"] = _u(
+        ("changes", "user, v", sql.pop("promql_changes")),
+        ("resets", "user, v", sql.pop("promql_resets")),
+    )
+    sql["promql_clamp_round"] = _u(
+        ("clamp", "user, v", sql.pop("promql_clamp")),
+        ("round_sqrt", "user, v", sql.pop("promql_round_sqrt")),
+    )
+    sql["promql_ot_quantile_span"] = _u(
+        ("quantile_ot", "user, v", sql.pop("promql_quantile_over_time")),
+        ("span_ot", "user, v", sql.pop("promql_max_min_ot")),
+    )
+    sql["promql_delta_idelta"] = _u(
+        ("delta", "user, v", sql.pop("promql_delta")),
+        ("idelta", "user, v", sql.pop("promql_idelta")),
+    )
+
+    # round-trip integrity: every oracle must target a live queries()
+    # entry — a dead key here means an entry rename lost its oracle
+    # (exactly the r2 regression: 48/50 -> 34/50 driver-verified)
+    unknown = set(sql) - set(queries())
+    if unknown:
+        raise RuntimeError(f"oracle_sql keys not in queries(): {sorted(unknown)}")
     return sql
