@@ -634,6 +634,11 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 
 def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN — the ONE intentionally rows-only entry: the k-means
+    centroid training folds floats in partition order, so the trained
+    cells (and thus which neighbors land in probed cells) are not
+    bit-replayable from SQL; correctness is covered by the recall
+    assertions in tests/test_pipeline.py instead."""
     from timbala_spark.pipeline import ivf_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -653,18 +658,23 @@ def q_sim_ivf_topk(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH with the md5 hash variant: the oracle inlines the
+    XOR permutation constants (seed 42) and replays the exact band
+    bucketing, so this is a full value check, not rows-only."""
     from timbala_spark.pipeline import minhash_lsh_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, n=7, threshold=0.5)
+    out = minhash_lsh_pairs(docs, n=7, threshold=0.5, hash_algo="md5")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash (md5 hash variant): the oracle rebuilds the 64-bit
+    per-bit majority vote from the same md5-derived token hashes."""
     from timbala_spark.pipeline import simhash_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    return simhash_pairs(docs, max_hamming=3, hash_algo="md5")
 
 
 def q_sim_lsh_topk(spark, sf_dir):
@@ -687,10 +697,12 @@ def q_sim_lsh_topk(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint (md5 hash variant — oracle replays the
+    full shingle→window-min→distinct→sort→hash pipeline)."""
     from timbala_spark.pipeline import with_fingerprint
 
     docs = _tbl(spark, sf_dir, "documents")
-    return with_fingerprint(docs).select("doc_id", "fingerprint")
+    return with_fingerprint(docs, hash_algo="md5").select("doc_id", "fingerprint")
 
 
 def q_promql_holt_winters(spark, sf_dir):
@@ -1644,6 +1656,144 @@ scores AS (
 )
 SELECT doc_id, lang AS pred_lang FROM scores
 QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) = 1
+"""
+
+    # ---- md5-replayable sketch oracles ---------------------------------
+    # minhash / simhash / fingerprint entries run with hash_algo="md5"
+    # (util.hash64_expr): the top 64 bits of md5's hex digest are
+    # bit-identical in DuckDB, so the oracle replays the exact sketch —
+    # XOR permutations, band bucketing, per-bit majority votes, window
+    # minima — value-for-value. h64() below = the DuckDB spelling of
+    # that hash (two 32-bit hex halves to avoid 64-bit parse overflow).
+    def _h64(expr: str) -> str:
+        u = (
+            f"(CAST(CAST('0x' || substr(md5({expr}),1,8) AS BIGINT) AS HUGEINT)"
+            f" * 4294967296 + CAST('0x' || substr(md5({expr}),9,8) AS BIGINT))"
+        )
+        return (
+            f"CAST(CASE WHEN {u} >= 9223372036854775808"
+            f" THEN {u} - 18446744073709551616 ELSE {u} END AS BIGINT)"
+        )
+
+    _sh7 = r"""toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) - 6 < 1 THEN []
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(tk) - 6),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                          tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' || tk[i+6]))
+         END AS s7
+  FROM toks
+)"""
+
+    from timbala_spark.pipeline.dedup import _perm_constants
+
+    _cj = ", ".join(f"({j}, {c})" for j, c in enumerate(_perm_constants(64)))
+    sql["dedup_minhash_lsh"] = f"""
+WITH {_sh7},
+hh AS (SELECT doc_id, {_h64('g')} AS h
+       FROM (SELECT doc_id, unnest(s7) AS g FROM sh)),
+cj(j, c) AS (VALUES {_cj}),
+sigs AS (
+  SELECT hh.doc_id, cj.j, min(xor(hh.h, cj.c)) AS sig
+  FROM hh CROSS JOIN cj GROUP BY hh.doc_id, cj.j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS sigstr
+  FROM sigs GROUP BY doc_id, j // 4
+),
+bk AS (SELECT doc_id, band, {_h64('sigstr')} AS bucket FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, s7, len(s7) AS n FROM sh),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(x.s7, y.s7)) AS shared, x.n AS na, y.n AS nb
+  FROM cand c JOIN sz x ON x.doc_id = c.id_a JOIN sz y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+FROM ver WHERE shared * 1.0 / (na + nb - shared) >= 0.5
+"""
+
+    _votes = ",\n         ".join(
+        f"SUM(CASE WHEN (u // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    _usig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST('{2**b}' AS HUGEINT) ELSE 0 END"
+        for b in range(64)
+    )
+    _u_tok = (
+        "(CAST(CAST('0x' || substr(md5(tok),1,8) AS BIGINT) AS HUGEINT)"
+        " * 4294967296 + CAST('0x' || substr(md5(tok),9,8) AS BIGINT))"
+    )
+    _usig_c = "COALESCE(u.usig, 0)"
+    sql["dedup_simhash"] = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, {_u_tok} AS u FROM tok),
+votes AS (SELECT doc_id, {_votes} FROM h GROUP BY doc_id),
+us AS (SELECT doc_id, ({_usig}) AS usig FROM votes),
+sig AS (
+  SELECT d.doc_id, {_usig_c} AS usig,
+         CAST(CASE WHEN {_usig_c} >= 9223372036854775808
+              THEN {_usig_c} - 18446744073709551616
+              ELSE {_usig_c} END AS BIGINT) AS s
+  FROM documents d LEFT JOIN us u ON u.doc_id = d.doc_id
+),
+banded AS (
+  SELECT doc_id, s, b.k AS band, CAST((usig // b.p) % 65536 AS BIGINT) AS val
+  FROM sig, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+                    (2, CAST({2**32} AS HUGEINT)), (3, CAST({2**48} AS HUGEINT))
+            ) b(k, p)
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM p WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+    sql["text_fingerprint"] = f"""
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text) - 7, 0) AS n_sh FROM documents
+),
+hs AS (
+  SELECT doc_id, n_sh,
+         list_transform(generate_series(1, n_sh),
+                        i -> {_h64("substr(text, i, 8)")}) AS hashes
+  FROM base
+),
+mins AS (
+  SELECT doc_id, n_sh,
+         CASE WHEN n_sh > 0 THEN
+           array_to_string(
+             list_transform(
+               list_sort(list_distinct(list_transform(
+                 generate_series(0, greatest(n_sh - 4, 0)),
+                 i -> list_min(list_slice(hashes, i + 1, i + 4))))),
+               x -> CAST(x AS VARCHAR)),
+             ',')
+         END AS sigstr
+  FROM hs
+)
+SELECT doc_id,
+       CASE WHEN n_sh > 0 THEN {_h64('sigstr')} END AS fingerprint
+FROM mins
 """
 
     # blocked mode is bit-identical to the all-pairs baseline, so its

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_expr
-from .util import ensure_parallelism, tracked_persist
+from .util import ensure_parallelism, hash64_expr, tracked_persist
 
 
 def exact_dedup(
@@ -167,6 +167,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.2,
+    hash_algo: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
@@ -175,6 +176,11 @@ def minhash_lsh_pairs(
     exact Jaccard over the shingle sets.  This is the 100 TB path: the
     candidate join is on (band_idx, band_hash) — constant-width keys,
     no quadratic blow-up outside genuinely similar clusters.
+
+    ``hash_algo="md5"`` swaps the shingle/bucket hash for the
+    DuckDB-replayable md5 variant (see ``util.hash64_expr``); the
+    contract oracle inlines the same XOR permutation constants and
+    replays the exact banding.
     """
     rows_per_band = num_hashes // bands
     base = (
@@ -183,7 +189,9 @@ def minhash_lsh_pairs(
             word_shingles_expr(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
-        .withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+        .withColumn(
+            "_hs", F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo))
+        )
         .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
         # the signature pipeline feeds FOUR plan branches (both sides of
         # the band self-join + both verify joins); without a persist each
@@ -200,14 +208,15 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    hash64_expr(
                         F.array_join(
                             F.transform(
                                 F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
                                 lambda h: h.cast("string"),
                             ),
                             ",",
-                        )
+                        ),
+                        hash_algo,
                     ).alias("bucket"),
                 ),
             )
@@ -487,13 +496,14 @@ def connected_components(
     )
 
 
-def simhash_expr(text: Column) -> Column:
+def simhash_expr(text: Column, hash_algo: str = "xxhash64") -> Column:
     """64-bit SimHash of the token multiset: per-bit majority vote over
-    xxhash64(token). The 64 bit-sums are unrolled into one aggregate
-    with an array<long> accumulator — a single pass over the tokens,
-    entirely JVM-side."""
+    a 64-bit token hash (xxhash64 default; md5 variant for oracle
+    replay). The 64 bit-sums are unrolled into one aggregate with an
+    array<long> accumulator — a single pass over the tokens, entirely
+    JVM-side."""
     toks = tokens_expr(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash64_expr(t, hash_algo))
     zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
     counts = F.aggregate(
         hashes,
@@ -514,8 +524,10 @@ def simhash_expr(text: Column) -> Column:
     return out
 
 
-def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("simhash", simhash_expr(F.col(text_col)))
+def with_simhash(
+    df: DataFrame, text_col: str = "text", hash_algo: str = "xxhash64"
+) -> DataFrame:
+    return df.withColumn("simhash", simhash_expr(F.col(text_col), hash_algo))
 
 
 def simhash_pairs(
@@ -524,6 +536,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     band_bits: int = 16,
+    hash_algo: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates whose SimHash Hamming distance ≤ max_hamming.
 
@@ -538,6 +551,7 @@ def simhash_pairs(
     h = with_simhash(
         ensure_parallelism(df).select(F.col(id_col).alias("_id"), text_col),
         text_col,
+        hash_algo,
     )
     h = tracked_persist(h)
     mask = (1 << band_bits) - 1

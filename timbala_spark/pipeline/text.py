@@ -103,22 +103,28 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_fingerprint(
-    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_algo: str = "xxhash64",
 ) -> DataFrame:
-    from .util import ensure_parallelism
+    """Winnowing document fingerprint: a 64-bit hash over each k-char
+    shingle, take the min hash of every `window` consecutive shingles,
+    keep the distinct mins. ``fingerprint`` = hash of the sorted mins —
+    a robust near-duplicate signature computed entirely JVM-side.
+    ``hash_algo="md5"`` makes the whole pipeline DuckDB-replayable
+    (see ``util.hash64_expr``)."""
+    from .util import ensure_parallelism, hash64_expr
 
     df = ensure_parallelism(df)
-    """Winnowing document fingerprint: xxhash64 over each k-char shingle,
-    take the min hash of every `window` consecutive shingles, keep the
-    distinct mins. ``fingerprint`` = xxhash64 of the sorted mins — a
-    robust near-duplicate signature computed entirely JVM-side."""
     text = F.col(text_col)
     n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
     # sequence(1, 0) would be descending — guard short texts
     hashes = F.when(n_sh < 1, F.array().cast("array<long>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-            lambda i: F.xxhash64(text.substr(i, F.lit(k))),
+            lambda i: hash64_expr(text.substr(i, F.lit(k)), hash_algo),
         )
     )
     mins = F.array_distinct(
@@ -127,7 +133,12 @@ def with_fingerprint(
             lambda i: F.array_min(F.slice(hashes, i + 1, window)),
         )
     )
-    fp = F.xxhash64(F.array_join(F.transform(F.array_sort(mins), lambda h: h.cast("string")), ","))
+    fp = hash64_expr(
+        F.array_join(
+            F.transform(F.array_sort(mins), lambda h: h.cast("string")), ","
+        ),
+        hash_algo,
+    )
     return df.withColumn(
         "fingerprint", F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long"))
     )

@@ -2,7 +2,30 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash64_expr(c: Column, algo: str = "xxhash64") -> Column:
+    """64-bit string hash used by the sketch operators (minhash,
+    simhash, winnowing fingerprint).
+
+    * ``"xxhash64"`` — the production default: one JVM intrinsic per
+      value, the fastest 64-bit mix Spark ships.
+    * ``"md5"`` — the top 64 bits of md5's hex digest, assembled from
+      two 32-bit halves (conv → shiftleft|or, so no 64-bit parse
+      overflow). ~5× slower than xxhash64 but md5 is bit-identical in
+      DuckDB, which makes every sketch operator replayable by the
+      driver's SQL oracle; the contract entries use this variant.
+
+    Both are uniform 64-bit mixes, so sketch quality is identical.
+    """
+    if algo == "xxhash64":
+        return F.xxhash64(c)
+    if algo == "md5":
+        hi = F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(c), 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown hash64 algo {algo!r}")
 
 #: DataFrames persisted by pipeline operators, kept so a long session
 #: running many pipeline queries does not leak block-manager memory.
