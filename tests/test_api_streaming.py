@@ -418,6 +418,34 @@ class TestStoreMaintenance:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+    def test_ntz_timestamps_are_session_tz_independent(self, spark):
+        """TIMESTAMP_NTZ inputs are UTC-by-convention wall times: the
+        epoch-ms conversion must not re-interpret them in the session
+        timezone (a cast to TIMESTAMP does exactly that, shifting the
+        value by the tz offset — 13 h under Pacific/Auckland)."""
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Pacific/Auckland")
+            df = spark.sql(
+                "SELECT map('__name__', 'm') AS labels,"
+                " TIMESTAMP_NTZ '2024-03-15 12:34:56.789' AS t,"
+                " 1.0 AS v"
+            )
+            got = prepare_samples(df).select("t").first()[0]
+            import datetime
+
+            want = int(
+                datetime.datetime(
+                    2024, 3, 15, 12, 34, 56, 789000,
+                    tzinfo=datetime.timezone.utc,
+                ).timestamp()
+                * 1000
+            )
+            assert got == want
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 class TestStreamingDownsample:
     def test_windowed_rollup_with_late_data(self, spark):
         """Watermarked event-time windows: batch 2 advances the

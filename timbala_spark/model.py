@@ -150,8 +150,17 @@ def prepare_samples(df: DataFrame) -> DataFrame:
     """
     cols = dict(df.dtypes)
     if cols.get("t", "").startswith("timestamp_ntz"):
-        # naive timestamps are UTC by convention (session tz pinned UTC)
-        df = df.withColumn("t", F.expr("unix_micros(cast(t as timestamp)) div 1000"))
+        # naive timestamps are UTC by convention; pure wall-clock
+        # arithmetic against an NTZ epoch literal — a cast to TIMESTAMP
+        # would re-interpret the naive value in the session timezone
+        # and shift non-UTC sessions by the tz offset
+        df = df.withColumn(
+            "t",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', t) div 1000"
+            ),
+        )
     elif cols.get("t", "").startswith("timestamp"):
         df = df.withColumn("t", F.expr("unix_micros(t) div 1000"))
     else:

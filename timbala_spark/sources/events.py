@@ -36,9 +36,13 @@ def event_time_ms_expr(ev: DataFrame):
     if dt in ("bigint", "long"):
         return F.expr("ts div 1000000")
     if dt.startswith("timestamp_ntz"):
-        # naive timestamps are UTC by convention (the engine pins
-        # spark.sql.session.timeZone=UTC), so the cast is field-identity
-        return F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+        # naive timestamps are UTC by convention; wall-clock arithmetic
+        # against an NTZ epoch literal is session-tz-independent (a
+        # cast to TIMESTAMP would shift non-UTC sessions by the offset)
+        return F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 1000"
+        )
     return F.expr("unix_micros(ts) div 1000")
 
 
