@@ -255,6 +255,18 @@ class TestEmbeddingNearDup:
 
         assert run("blocked") == run("exact")
 
+    def test_blocked_rejects_oversized_corpus(self, spark, embeddings):
+        """Blocked mode must fail fast (clear error) above its driver-
+        collect bound, not OOM the driver at scale."""
+        import pytest
+
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        with pytest.raises(ValueError, match="blocked_max_rows"):
+            embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="blocked", blocked_max_rows=3
+            ).count()
+
     def test_lsh_subset_of_exact(self, spark, embeddings):
         from timbala_spark.pipeline import embedding_near_dup_pairs
 

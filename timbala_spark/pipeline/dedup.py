@@ -268,6 +268,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    blocked_max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -311,6 +312,19 @@ def embedding_near_dup_pairs(
         import numpy as np
         from pyspark.sql.types import LongType, StructField, StructType
 
+        # blocked mode collects the corpus matrix to the driver and
+        # broadcasts it — fine to ~1M×64-d (~0.5 GB), fatal beyond.
+        # Fail fast with a clear message instead of OOMing the driver;
+        # the LSH mode is the unbounded-scale path.
+        n_corpus = e.count()
+        if n_corpus > blocked_max_rows:
+            raise ValueError(
+                f"mode='blocked' collects the corpus to the driver; "
+                f"{n_corpus} rows exceeds blocked_max_rows="
+                f"{blocked_max_rows}. Use mode='lsh' (bucketed candidate "
+                f"join, no driver collect) at this scale, or raise the "
+                f"bound explicitly if the driver has the memory."
+            )
         rows = e.select("_id", "_v", "_norm").collect()
         ids = np.array([r["_id"] for r in rows], dtype=np.int64)
         mat = np.array([r["_v"] for r in rows], dtype=np.float64)
