@@ -1,0 +1,176 @@
+"""End-to-end HTTP acceptance tests, ported from the reference's
+acceptance suite (internal/test/acceptance/acceptance_test.go):
+TestSimpleArithmeticQuery :84-101, TestRemoteWrite(ThenQueryBack)
+:103-161, TestRemoteWriteThenRemoteReadBack :163-268, and
+TestOversizedRequestsResultInHTTP413 :270-293 — served in-process by
+TimbalaServer over a temp split store."""
+
+import json
+import shutil
+import tempfile
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    from timbala_spark.server import TimbalaServer
+
+    tmp = tempfile.mkdtemp(prefix="timbala_http_")
+    srv = TimbalaServer(spark, tmp, timeout_s=120.0)
+    srv.start()
+    yield srv
+    srv.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=120
+        ) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(srv, path, body, timeout=120):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+class TestHTTPRoundtrip:
+    def test_simple_arithmetic_query(self, server):
+        """acceptance_test.go:84-101 — `1+1` → scalar "2" (on a fresh,
+        empty store)."""
+        status, payload = _get(server, "/api/v1/query?query=1%2B1&time=100")
+        assert status == 200
+        assert payload["status"] == "success"
+        assert payload["data"]["resultType"] == "scalar"
+        assert payload["data"]["result"] == [100, "2"]
+
+    def test_remote_write_then_query_back(self, server):
+        """acceptance_test.go:103-161 — snappy+prompb write answers
+        200, and an instant query returns the sample."""
+        from timbala_spark.sources.wire import encode_write_request
+
+        now_ms = int(time.time() * 1000)
+        body = encode_write_request(
+            [
+                {
+                    "labels": {"__name__": "TestRemoteWriteThenQueryBack"},
+                    "samples": [[now_ms, 1234.0]],
+                }
+            ]
+        )
+        status, _ = _post(server, "/write", body)
+        assert status == 200
+
+        status, payload = _get(
+            server,
+            "/api/v1/query?query=TestRemoteWriteThenQueryBack"
+            f"&time={now_ms / 1000}",
+        )
+        assert status == 200
+        result = payload["data"]["result"]
+        assert payload["data"]["resultType"] == "vector" and len(result) == 1
+        assert result[0]["value"] == [now_ms / 1000, "1234"]
+        assert (
+            result[0]["metric"]["__name__"] == "TestRemoteWriteThenQueryBack"
+        )
+
+    def test_remote_write_then_remote_read_back(self, server):
+        """acceptance_test.go:163-268 — remote-read returns the exact
+        timeseries that remote-write stored."""
+        from timbala_spark.sources.wire import (
+            decode_read_response,
+            encode_read_request,
+            encode_write_request,
+        )
+
+        now_ms = int(time.time() * 1000)
+        name = "TestRemoteWriteThenRemoteReadBack"
+        status, _ = _post(
+            server,
+            "/write",
+            encode_write_request(
+                [{"labels": {"__name__": name}, "samples": [[now_ms, 1234.0]]}]
+            ),
+        )
+        assert status == 200
+
+        req = encode_read_request(
+            [
+                {
+                    "start_ms": now_ms - 60_000,
+                    "end_ms": now_ms + 60_000,
+                    "matchers": [("=", "__name__", name)],
+                }
+            ]
+        )
+        status, body = _post(server, "/read", req)
+        assert status == 200
+        results = decode_read_response(body)
+        assert len(results) == 1 and len(results[0]) == 1
+        got = results[0][0]
+        assert got["labels"] == {"__name__": name}
+        assert got["samples"] == [[now_ms, 1234.0]]
+
+    def test_oversized_requests_result_in_413(self, server):
+        """acceptance_test.go:270-293 — >10 MiB bodies answer 413 on
+        both /write and /read."""
+        body = bytes(1024 * 1024 * 11)
+        for route in ("/read", "/write"):
+            status, _ = _post(server, route, body)
+            assert status == 413, route
+
+    def test_syntax_error_answers_400_bad_data(self, server):
+        status, payload = _get(server, "/api/v1/query?query=sum(&time=1")
+        assert status == 400
+        assert payload["errorType"] == "bad_data"
+
+    def test_query_range_and_label_values(self, server):
+        """Range query over written samples + label metadata routes."""
+        from timbala_spark.sources.wire import encode_write_request
+
+        base = 1_700_000_000_000
+        series = [
+            {
+                "labels": {"__name__": "range_metric", "job": "a"},
+                "samples": [[base + i * 15_000, float(i)] for i in range(8)],
+            }
+        ]
+        status, _ = _post(server, "/write", encode_write_request(series))
+        assert status == 200
+
+        start, end = base / 1000, (base + 105_000) / 1000
+        status, payload = _get(
+            server,
+            "/api/v1/query_range?query=range_metric"
+            f"&start={start}&end={end}&step=30s",
+        )
+        assert status == 200
+        assert payload["data"]["resultType"] == "matrix"
+        series_out = payload["data"]["result"]
+        assert len(series_out) == 1
+        assert [v for _, v in series_out[0]["values"]] == ["0", "2", "4", "6"]
+
+        status, payload = _get(server, "/api/v1/label/job/values")
+        assert status == 200 and "a" in payload["data"]
+
+        status, payload = _get(
+            server,
+            "/api/v1/series?match[]=range_metric"
+            f"&start={start}&end={end}",
+        )
+        assert status == 200
+        assert {"__name__": "range_metric", "job": "a"} in payload["data"]

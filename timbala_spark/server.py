@@ -1,0 +1,336 @@
+"""HTTP facade: the engine behind a real socket.
+
+Mirrors the reference's server surface (``cmd/timbala/main.go:164-246``
+route wiring): ``POST /write`` — snappy+prompb remote-write
+(``internal/write/write.go:27,52-101``), ``POST /read`` — remote-read
+(``internal/read/read.go:45-126``), the Prometheus v1 query API under
+``/api/v1/*`` (``internal/api/v1`` via the upstream API), and the
+global 10 MiB request-body guard answering HTTP 413
+(``maxBytesHandler``, ``main.go:248-266``, ``maxHTTPRequestBytes``
+``main.go:44``).
+
+Scale shape: this facade runs on the Spark driver — queries fan out to
+the cluster through the engine's declarative plans, so the HTTP layer
+itself does no data work beyond result serialization. ``/write``
+decodes its (≤10 MiB) body driver-side and hands Spark a distributed
+append; firehose ingest at 100 TB goes through Structured Streaming
+with executor-side decode (``sources.wire.decode_payloads``) instead
+of this request path — same decode, same store layout.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import SparkSession, functions as F
+
+from .api import ERR_BAD_DATA, ERR_EXEC, ERR_INTERNAL, ERR_TIMEOUT, PromAPI
+from .engine import Engine
+from .model import SAMPLES_SCHEMA, prepare_samples
+from .promql.ast import LabelMatcher, MatchType
+from .sources.wire import (
+    decode_read_request,
+    decode_write_request,
+    encode_read_response,
+)
+from .streaming.ingest import read_samples_table, write_samples_batch
+
+#: main.go:44 — requests above this answer 413 before any decode work.
+MAX_HTTP_REQUEST_BYTES = 10 * 1024 * 1024
+
+_ERR_STATUS = {
+    ERR_BAD_DATA: 400,
+    ERR_TIMEOUT: 503,
+    ERR_EXEC: 422,
+    ERR_INTERNAL: 500,
+}
+
+_DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+              "w": 604800.0, "y": 31536000.0}
+
+
+def _parse_time(s: str | None, default: float | None = None) -> float:
+    """Prometheus API time parameter: unix float or RFC 3339."""
+    if s is None or s == "":
+        if default is None:
+            raise ValueError("missing time parameter")
+        return default
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    import datetime
+
+    return datetime.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+
+def _parse_duration(s: str) -> float:
+    """Step parameter: float seconds or a Prometheus duration (15s, 1m)."""
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    for unit in sorted(_DUR_UNITS, key=len, reverse=True):
+        if s.endswith(unit):
+            return float(s[: -len(unit)]) * _DUR_UNITS[unit]
+    raise ValueError(f"invalid duration {s!r}")
+
+
+class TimbalaServer:
+    """Single-node server: PromAPI + remote write/read over a split
+    store directory. ``port=0`` binds an ephemeral port (tests)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_body_bytes: int = MAX_HTTP_REQUEST_BYTES,
+        max_concurrent: int = 20,
+        timeout_s: float = 120.0,
+        lookback_ms: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.store_path = store_path
+        self.max_body_bytes = max_body_bytes
+        self._api_kw = {"max_concurrent": max_concurrent, "timeout_s": timeout_s}
+        self._lookback_ms = lookback_ms
+        self._lock = threading.Lock()
+        self._api: PromAPI | None = None
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet; Spark UI covers observability
+                pass
+
+            def do_GET(self) -> None:
+                outer._route_get(self)
+
+            def do_POST(self) -> None:
+                outer._route_post(self)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ----------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    # -- engine over the store ----------------------------------------
+
+    def _engine_api(self) -> PromAPI:
+        with self._lock:
+            if self._api is None:
+                import os
+
+                if os.path.isdir(f"{self.store_path}/samples") or os.path.isdir(
+                    f"{self.store_path}/series"
+                ):
+                    samples = read_samples_table(self.spark, self.store_path)
+                else:  # nothing written yet: empty canonical frame
+                    samples = self.spark.createDataFrame([], SAMPLES_SCHEMA)
+                kw = {}
+                if self._lookback_ms is not None:
+                    kw["lookback_ms"] = self._lookback_ms
+                self._api = PromAPI(
+                    Engine(self.spark, samples, **kw), **self._api_kw
+                )
+            return self._api
+
+    def _invalidate_engine(self) -> None:
+        with self._lock:
+            self._api = None
+
+    # -- request plumbing ---------------------------------------------
+
+    def _read_body(self, h: BaseHTTPRequestHandler) -> bytes | None:
+        """Body with the reference's size guard: over-limit requests
+        answer 413. The handler drains the wire in small chunks (never
+        buffering the oversized body) so clients that already committed
+        to sending it still get a readable response."""
+        length = int(h.headers.get("Content-Length") or 0)
+        if length > self.max_body_bytes:
+            remaining = length
+            while remaining > 0:
+                chunk = h.rfile.read(min(65536, remaining))
+                if not chunk:
+                    break
+                remaining -= len(chunk)
+            self._respond(h, 413, b"request body too large\n",
+                          "text/plain; charset=utf-8")
+            return None
+        return h.rfile.read(length)
+
+    @staticmethod
+    def _respond(
+        h: BaseHTTPRequestHandler,
+        status: int,
+        body: bytes,
+        ctype: str = "application/json",
+        extra: dict[str, str] | None = None,
+    ) -> None:
+        h.send_response(status)
+        h.send_header("Content-Type", ctype)
+        h.send_header("Content-Length", str(len(body)))
+        for k, v in (extra or {}).items():
+            h.send_header(k, v)
+        h.end_headers()
+        h.wfile.write(body)
+
+    def _respond_api(self, h: BaseHTTPRequestHandler, payload: dict) -> None:
+        status = 200
+        if payload.get("status") == "error":
+            status = _ERR_STATUS.get(payload.get("errorType"), 500)
+        self._respond(h, status, json.dumps(payload).encode())
+
+    # -- GET routes ---------------------------------------------------
+
+    def _route_get(self, h: BaseHTTPRequestHandler) -> None:
+        import time as _time
+
+        url = urlparse(h.path)
+        q = parse_qs(url.query)
+
+        def p(name: str, default: str | None = None) -> str | None:
+            return q.get(name, [default])[0]
+
+        try:
+            if url.path == "/api/v1/query":
+                expr = p("query")
+                if expr is None:
+                    raise ValueError("missing query parameter")
+                ts = _parse_time(p("time"), default=_time.time())
+                return self._respond_api(h, self._engine_api().query(expr, ts))
+            if url.path == "/api/v1/query_range":
+                expr = p("query")
+                if expr is None:
+                    raise ValueError("missing query parameter")
+                return self._respond_api(
+                    h,
+                    self._engine_api().query_range(
+                        expr,
+                        _parse_time(p("start")),
+                        _parse_time(p("end")),
+                        _parse_duration(p("step") or ""),
+                    ),
+                )
+            parts = url.path.split("/")
+            # /api/v1/label/<name>/values
+            if (
+                len(parts) == 6
+                and parts[1:4] == ["api", "v1", "label"]
+                and parts[5] == "values"
+            ):
+                return self._respond_api(
+                    h, self._engine_api().label_values(unquote(parts[4]))
+                )
+            if url.path == "/api/v1/series":
+                return self._respond_api(
+                    h,
+                    self._engine_api().series(
+                        q.get("match[]", []),
+                        _parse_time(p("start"), 0.0),
+                        _parse_time(p("end"), _time.time()),
+                    ),
+                )
+        except ValueError as e:
+            return self._respond_api(
+                h, {"status": "error", "errorType": ERR_BAD_DATA, "error": str(e)}
+            )
+        self._respond(h, 404, b"not found\n", "text/plain; charset=utf-8")
+
+    # -- POST routes --------------------------------------------------
+
+    def _route_post(self, h: BaseHTTPRequestHandler) -> None:
+        url = urlparse(h.path)
+        body = self._read_body(h)
+        if body is None:
+            return
+        if url.path == "/write":
+            return self._handle_write(h, body)
+        if url.path == "/read":
+            return self._handle_read(h, body)
+        self._respond(h, 404, b"not found\n", "text/plain; charset=utf-8")
+
+    def _handle_write(self, h: BaseHTTPRequestHandler, body: bytes) -> None:
+        try:
+            series = decode_write_request(body)
+        except Exception as e:  # malformed snappy/proto → 400 (write.go:55-71)
+            return self._respond(
+                h, 400, f"{e}\n".encode(), "text/plain; charset=utf-8"
+            )
+        rows = [
+            (s["labels"], int(t), float(v))
+            for s in series
+            for t, v in s["samples"]
+        ]
+        if rows:
+            df = self.spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+            write_samples_batch(prepare_samples(df), self.store_path)
+            self._invalidate_engine()  # next query sees the new files
+        self._respond(h, 200, b"", "text/plain; charset=utf-8")
+
+    def _handle_read(self, h: BaseHTTPRequestHandler, body: bytes) -> None:
+        try:
+            queries = decode_read_request(body)
+        except Exception as e:
+            return self._respond(
+                h, 400, f"{e}\n".encode(), "text/plain; charset=utf-8"
+            )
+        api = self._engine_api()
+        from .compiler import matcher_expr
+
+        results: list[list[dict]] = []
+        for qry in queries:
+            df = api.engine.samples.filter(
+                (F.col("t") >= qry["start_ms"]) & (F.col("t") <= qry["end_ms"])
+            )
+            for op, name, value in qry["matchers"]:
+                df = df.filter(
+                    matcher_expr(LabelMatcher(MatchType(op), name, value))
+                )
+            by_series: dict[tuple, dict] = {}
+            for r in df.select("labels", "t", "v").collect():
+                labels = dict(r["labels"])
+                key = tuple(sorted(labels.items()))
+                e = by_series.setdefault(key, {"labels": labels, "samples": []})
+                e["samples"].append([r["t"], r["v"]])
+            for e in by_series.values():
+                e["samples"].sort()
+            results.append([by_series[k] for k in sorted(by_series)])
+        self._respond(
+            h,
+            200,
+            encode_read_response(results),
+            "application/x-protobuf",
+            extra={"Content-Encoding": "snappy"},
+        )
+
+
+__all__ = ["TimbalaServer", "MAX_HTTP_REQUEST_BYTES"]

@@ -166,52 +166,164 @@ def decode_write_request(payload: bytes, compressed: bool = True) -> list[dict]:
     return series
 
 
+def _ld(field: int, body: bytes) -> bytes:
+    """Length-delimited protobuf field (wire type 2)."""
+    out = bytearray()
+    v = (field << 3) | 2
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    w = len(body)
+    while True:
+        b = w & 0x7F
+        w >>= 7
+        out.append(b | (0x80 if w else 0))
+        if not w:
+            break
+    return bytes(out) + body
+
+
+def _varint_field(field: int, val: int) -> bytes:
+    """Varint protobuf field (wire type 0)."""
+    out = bytearray([(field << 3) | 0])
+    v = val & ((1 << 64) - 1)  # two's complement for negatives
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    return bytes(out)
+
+
+def _ts_bytes(labels: dict, samples: list) -> bytes:
+    """prompb.TimeSeries: labels sorted by name (the reference sorts
+    via labels.Labels), then samples."""
+    ts = bytearray()
+    for name, value in sorted(labels.items()):
+        ts += _ld(1, _ld(1, name.encode()) + _ld(2, value.encode()))
+    for t, v in samples:
+        ts += _ld(
+            2,
+            bytes([0x09]) + struct.pack("<d", float(v)) + _varint_field(2, int(t)),
+        )
+    return bytes(ts)
+
+
 def encode_write_request(series: list[dict], compress: bool = True) -> bytes:
     """Inverse of ``decode_write_request`` (tests / demo producers)."""
-
-    def ld(field: int, body: bytes) -> bytes:
-        out = bytearray()
-        v = (field << 3) | 2
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            out.append(b | (0x80 if v else 0))
-            if not v:
-                break
-        w = len(body)
-        while True:
-            b = w & 0x7F
-            w >>= 7
-            out.append(b | (0x80 if w else 0))
-            if not w:
-                break
-        return bytes(out) + body
-
-    def varint_field(field: int, val: int) -> bytes:
-        out = bytearray([(field << 3) | 0])
-        v = val & ((1 << 64) - 1)  # two's complement for negatives
-        while True:
-            b = v & 0x7F
-            v >>= 7
-            out.append(b | (0x80 if v else 0))
-            if not v:
-                break
-        return bytes(out)
-
     body = bytearray()
     for s in series:
-        ts = bytearray()
-        for name, value in s["labels"].items():
-            ts += ld(1, ld(1, name.encode()) + ld(2, value.encode()))
-        for t, v in s["samples"]:
-            ts += ld(
-                2,
-                bytes([0x09]) + struct.pack("<d", float(v))
-                + varint_field(2, int(t)),
-            )
-        body += ld(1, bytes(ts))
+        body += _ld(1, _ts_bytes(s["labels"], s["samples"]))
     raw = bytes(body)
     return snappy_compress_literal(raw) if compress else raw
+
+
+#: prompb.LabelMatcher.Type enum order (types.proto): EQ NEQ RE NRE.
+READ_MATCH_OPS = ("=", "!=", "=~", "!~")
+
+
+def decode_read_request(payload: bytes, compressed: bool = True) -> list[dict]:
+    """snappy+proto ``prompb.ReadRequest`` →
+    ``[{"start_ms", "end_ms", "matchers": [(op, name, value), ...]}]``
+    (the shape the /read handler evaluates; reference
+    ``internal/read/read.go:60-79``)."""
+    buf = snappy_decompress(payload) if compressed else payload
+    queries: list[dict] = []
+    for field, _, qbuf in _fields(buf):
+        if field != 1:
+            continue
+        q: dict = {"start_ms": 0, "end_ms": 0, "matchers": []}
+        for f2, w2, val in _fields(qbuf):
+            if f2 == 1 and w2 == 0:
+                q["start_ms"] = _i64(val)
+            elif f2 == 2 and w2 == 0:
+                q["end_ms"] = _i64(val)
+            elif f2 == 3 and w2 == 2:
+                mtype = 0
+                name = value = ""
+                for f3, w3, mv in _fields(val):
+                    if f3 == 1 and w3 == 0:
+                        mtype = mv
+                    elif f3 == 2:
+                        name = mv.decode("utf-8")
+                    elif f3 == 3:
+                        value = mv.decode("utf-8")
+                q["matchers"].append((READ_MATCH_OPS[mtype], name, value))
+        queries.append(q)
+    return queries
+
+
+def encode_read_request(queries: list[dict], compress: bool = True) -> bytes:
+    """Inverse of ``decode_read_request`` (tests / remote-read clients)."""
+    body = bytearray()
+    for q in queries:
+        qb = bytearray()
+        qb += _varint_field(1, int(q["start_ms"]))
+        qb += _varint_field(2, int(q["end_ms"]))
+        for op, name, value in q["matchers"]:
+            qb += _ld(
+                3,
+                _varint_field(1, READ_MATCH_OPS.index(op))
+                + _ld(2, name.encode())
+                + _ld(3, value.encode()),
+            )
+        body += _ld(1, bytes(qb))
+    raw = bytes(body)
+    return snappy_compress_literal(raw) if compress else raw
+
+
+def encode_read_response(results: list[list[dict]], compress: bool = True) -> bytes:
+    """Per-query series lists → snappy+proto ``prompb.ReadResponse``
+    (reference ``internal/read/read.go:107-125``). ``results[i]`` is
+    the i-th query's ``[{"labels": {...}, "samples": [[t, v], ...]}]``."""
+    body = bytearray()
+    for series_list in results:
+        qr = bytearray()
+        for s in series_list:
+            qr += _ld(1, _ts_bytes(s["labels"], s["samples"]))
+        body += _ld(1, bytes(qr))
+    raw = bytes(body)
+    return snappy_compress_literal(raw) if compress else raw
+
+
+def decode_read_response(payload: bytes, compressed: bool = True) -> list[list[dict]]:
+    """Inverse of ``encode_read_response`` (tests / remote-read clients)."""
+    buf = snappy_decompress(payload) if compressed else payload
+    results: list[list[dict]] = []
+    for field, _, qr_buf in _fields(buf):
+        if field != 1:
+            continue
+        series_list: list[dict] = []
+        for f2, _, ts_buf in _fields(qr_buf):
+            if f2 != 1:
+                continue
+            labels: dict[str, str] = {}
+            samples: list[list] = []
+            for f3, _, val in _fields(ts_buf):
+                if f3 == 1:
+                    name = value = ""
+                    for f4, _, lv in _fields(val):
+                        if f4 == 1:
+                            name = lv.decode("utf-8")
+                        elif f4 == 2:
+                            value = lv.decode("utf-8")
+                    labels[name] = value
+                elif f3 == 2:
+                    v = 0.0
+                    t = 0
+                    for f4, w4, sv in _fields(val):
+                        if f4 == 1 and w4 == 1:
+                            (v,) = struct.unpack("<d", sv)
+                        elif f4 == 2 and w4 == 0:
+                            t = _i64(sv)
+                    samples.append([t, v])
+            series_list.append({"labels": labels, "samples": samples})
+        results.append(series_list)
+    return results
 
 
 # -- distributed decode -----------------------------------------------------
