@@ -171,3 +171,32 @@ class TestAbsentRangeBoundaries:
         assert len(rows) == 6  # every step
         # only equality matchers propagate (functions.go:511-531)
         assert all(dict(r["labels"]) == {"job": "x"} for r in rows)
+
+
+class TestOutputOrdering:
+    """VERDICT r3 #6: the default programmatic path must not end in a
+    global Sort (the one all-to-one stage in an otherwise
+    shuffle-minimal plan); the wire order lives in the API layer."""
+
+    def test_default_plan_has_no_global_sort(self, engine):
+        df = engine.query_range("m", 0, 600, 60)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Sort [" not in plan, plan
+
+    def test_sorted_true_restores_canonical_order(self, engine):
+        df = engine.query_range("m", 0, 600, 60, sorted=True)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Sort [" in plan
+        rows = df.collect()
+        keys = [
+            (tuple(sorted(dict(r["labels"]).items())), r["t"]) for r in rows
+        ]
+        assert keys == sorted(keys)
+
+    def test_sorted_and_default_same_content(self, engine):
+        a = engine.query_range("m", 0, 600, 60).collect()
+        b = engine.query_range("m", 0, 600, 60, sorted=True).collect()
+        key = lambda r: (tuple(sorted(dict(r["labels"]).items())), r["t"])  # noqa: E731
+        assert sorted(
+            [(key(r), r["v"]) for r in a]
+        ) == sorted([(key(r), r["v"]) for r in b])

@@ -17,7 +17,14 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from .engine import Engine
-from .model import METRIC_NAME_LABEL, label_get
+from .model import METRIC_NAME_LABEL, SEP_KV, SEP_PAIR, label_get
+
+
+def _canon_key(labels: dict) -> str:
+    """Driver-side twin of ``model.canonical_labels_expr`` — the wire
+    output order is applied here, after the (bounded) collect, instead
+    of as a Spark-side all-to-one sort stage in the engine plan."""
+    return SEP_PAIR.join(f"{k}{SEP_KV}{v}" for k, v in sorted(labels.items()))
 from .promql.ast import ValueType
 from .promql.lexer import PromQLSyntaxError
 from .promql.parser import parse, parse_metric_selector
@@ -143,6 +150,22 @@ class PromAPI:
             return self._success(
                 {"resultType": "matrix", "result": self._matrix(rows)}
             )
+        # sort()/sort_desc() results carry their own order (the engine
+        # preserves it); everything else gets the canonical wire order,
+        # applied post-collect
+        from .promql.ast import Call, ParenExpr
+
+        inner = expr
+        while isinstance(inner, ParenExpr):
+            inner = inner.expr
+        value_ordered = isinstance(inner, Call) and inner.func.name in (
+            "sort",
+            "sort_desc",
+        )
+        if not value_ordered:
+            rows = sorted(
+                rows, key=lambda r: (_canon_key(dict(r["labels"])), r["t"])
+            )
         result = [
             {
                 "metric": dict(r["labels"]),
@@ -183,6 +206,8 @@ class PromAPI:
             key = tuple(sorted(labels.items()))
             entry = by_series.setdefault(key, {"metric": labels, "values": []})
             entry["values"].append([r["t"] / 1000.0, go_float_str(r["v"])])
+        for entry in by_series.values():  # engine output is unsorted now
+            entry["values"].sort(key=lambda tv: tv[0])
         return [by_series[k] for k in sorted(by_series)]
 
     # -- POST /read (remote-read serve, internal/read/read.go:45-126) -

@@ -54,21 +54,34 @@ class Engine:
         self.max_points = max_points
 
     # -- public API ----------------------------------------------------
-    def query(self, promql: str, ts: float) -> DataFrame:
-        """Instant query at unix-seconds ``ts`` (api.go:142-185)."""
+    def query(self, promql: str, ts: float, sorted: bool = False) -> DataFrame:
+        """Instant query at unix-seconds ``ts`` (api.go:142-185).
+
+        ``sorted=True`` appends the canonical (label-set, t) output
+        order as a Spark-side sort — an all-to-one stage that a
+        programmatic caller composing further transformations never
+        needs (and the one serialization point in an otherwise
+        shuffle-minimal plan at scale). The HTTP layer orders its
+        (collected, bounded) wire output driver-side instead."""
         expr = parse(promql)
         t_ms = _to_ms(ts)
         ctx = self._ctx(t_ms, t_ms, 1)
         inner = _unparen(expr)
         if isinstance(inner, MatrixSelector):
-            return self._matrix_result(inner, ctx)
+            return self._matrix_result(inner, ctx, sorted)
         val = compile_query(expr, ctx)
-        return self._shape(val, ctx)
+        return self._shape(val, ctx, sorted)
 
     def query_range(
-        self, promql: str, start: float, end: float, step: float
+        self,
+        promql: str,
+        start: float,
+        end: float,
+        step: float,
+        sorted: bool = False,
     ) -> DataFrame:
-        """Range query; ``step`` in seconds (api.go:187-250)."""
+        """Range query; ``step`` in seconds (api.go:187-250).
+        ``sorted``: see :meth:`query`."""
         expr = parse(promql)
         if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
             raise PromQLEvalError(
@@ -84,7 +97,7 @@ class Engine:
             )
         ctx = self._ctx(start_ms, end_ms, step_ms)
         val = compile_query(expr, ctx)
-        return self._shape(val, ctx)
+        return self._shape(val, ctx, sorted)
 
     def explain(self, promql: str, start: float, end: float, step: float) -> None:
         """Print the physical plan for a range query (debug/perf tool)."""
@@ -102,7 +115,7 @@ class Engine:
             strict=self.strict,
         )
 
-    def _shape(self, val, ctx: EvalContext) -> DataFrame:
+    def _shape(self, val, ctx: EvalContext, sorted_out: bool = False) -> DataFrame:
         if isinstance(val, VectorValue):
             out = val.df.select(
                 F.col("labels"),
@@ -111,24 +124,31 @@ class Engine:
             )
             if val.ordered:  # sort()/sort_desc() define the output order
                 return out
-            return out.orderBy(canonical_labels_expr(F.col("labels")), F.col("t"))
+            if sorted_out:
+                return out.orderBy(
+                    canonical_labels_expr(F.col("labels")), F.col("t")
+                )
+            return out
         if isinstance(val, ScalarValue):
             sdf = ctx.scalar_df(val)
             empty_map = F.map_from_arrays(
                 F.array().cast("array<string>"), F.array().cast("array<string>")
             )
-            return sdf.select(
+            out = sdf.select(
                 empty_map.alias("labels"),
                 F.col("step_t").alias("t"),
                 F.col("v").cast("double").alias("v"),
-            ).orderBy("t")
+            )
+            return out.orderBy("t") if sorted_out else out
         if isinstance(val, StringValue):
             raise PromQLEvalError(
                 "string results are driver-side values; use parse() directly"
             )
         raise PromQLEvalError(f"unexpected value {type(val).__name__}")
 
-    def _matrix_result(self, ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
+    def _matrix_result(
+        self, ms: MatrixSelector, ctx: EvalContext, sorted_out: bool = False
+    ) -> DataFrame:
         """Top-level `m[5m]` instant query → raw samples in the window
         (engine.go:836-892)."""
         lo = ctx.start - ms.range_ms - ms.offset_ms
@@ -140,7 +160,9 @@ class Engine:
             (F.col("t") + F.lit(ms.offset_ms)).alias("t"),
             F.col("v").cast("double").alias("v"),
         )
-        return out.orderBy(canonical_labels_expr(F.col("labels")), F.col("t"))
+        if sorted_out:
+            return out.orderBy(canonical_labels_expr(F.col("labels")), F.col("t"))
+        return out
 
     # convenience for tests / smoke checks
     def query_values(self, promql: str, ts: float):

@@ -294,10 +294,14 @@ def embedding_near_dup_pairs(
     from .similarity import as_double_array, dot_expr, lsh_bucket_expr, norm_expr, _planes
 
     # norm once per row (bit-identical to computing it per pair; see the
-    # cosine_topk note) — the per-pair cost is a single dot fold
+    # cosine_topk note) — the per-pair cost is a single dot fold.
+    # Persisted: every mode consumes `e` from 2+ plan branches (both
+    # sides of the pair join at minimum), and the array conversion +
+    # norm fold are interpreted-HOF work worth computing exactly once.
     e = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
     ).withColumn("_norm", norm_expr(F.col("_v")))
+    e = tracked_persist(e)
     if mode == "exact":
         a = e.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
@@ -315,7 +319,8 @@ def embedding_near_dup_pairs(
         # blocked mode collects the corpus matrix to the driver and
         # broadcasts it — fine to ~1M×64-d (~0.5 GB), fatal beyond.
         # Fail fast with a clear message instead of OOMing the driver;
-        # the LSH mode is the unbounded-scale path.
+        # the LSH mode is the unbounded-scale path. (`e` is persisted
+        # above, so this count and the collect below share one pass.)
         n_corpus = e.count()
         if n_corpus > blocked_max_rows:
             raise ValueError(
@@ -374,26 +379,36 @@ def embedding_near_dup_pairs(
             "id_b",
         )
     elif mode == "lsh":
-        parts = []
-        for t in range(n_tables):
-            planes = _planes(dim, n_planes, seed + t)
-            parts.append(
-                e.select(
-                    "_id",
-                    F.lit(t).alias("_tbl"),
-                    lsh_bucket_expr(F.col("_v"), planes).alias("_bkt"),
+        # ONE pass computes every table's bucket (explode of a struct
+        # array, same shape as minhash banding) — the previous
+        # one-branch-per-table union re-scanned the source and re-ran
+        # the array conversion n_tables times. Values are identical:
+        # lsh_bucket_expr over the same planes, just evaluated in a
+        # single projection.
+        banded = e.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("_tbl"),
+                            lsh_bucket_expr(
+                                F.col("_v"), _planes(dim, n_planes, seed + t)
+                            ).alias("_bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
                 )
-            )
-        banded = parts[0]
-        for p in parts[1:]:
-            banded = banded.unionByName(p)
+            ).alias("_tb"),
+        ).select("_id", F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt"))
         # bucket signatures (n_tables × n_planes dot products per row)
         # feed both sides of the self-join — persist (see
-        # minhash_lsh_pairs note). The candidate join carries IDS ONLY:
-        # shipping the vectors through it multiplies the shuffle by the
-        # embedding width × duplicate bucket hits (OOMed at sf0.1);
-        # vectors are re-attached per distinct pair afterwards.
-        banded = tracked_persist(banded)
+        # minhash_lsh_pairs note; chained with `e`'s persist above).
+        # The candidate join carries IDS ONLY: shipping the vectors
+        # through it multiplies the shuffle by the embedding width ×
+        # duplicate bucket hits (OOMed at sf0.1); vectors are
+        # re-attached per distinct pair afterwards.
+        banded = tracked_persist(banded, release_previous=False)
         pair_ids = (
             banded.alias("x")
             .join(

@@ -128,34 +128,32 @@ def lsh_cosine_topk(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
     ).withColumn("_qn", norm_expr(F.col("_qv")))
-    c_b = []
-    q_b = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed + t)
-        c_b.append(
-            c.select(
-                "neighbor_id",
-                "_cv",
-                "_cn",
-                F.lit(t).alias("_tbl"),
-                lsh_bucket_expr(F.col("_cv"), planes).alias("_bkt"),
-            )
+    # one pass per side: every table's bucket in a single projection
+    # (explode of a struct array) instead of one union branch per table
+    # re-scanning the source n_tables times — identical values, same
+    # lsh_bucket_expr over the same planes
+    def _banded(src: DataFrame, vec: str, carry: list[str]) -> DataFrame:
+        return src.select(
+            *carry,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("_tbl"),
+                            lsh_bucket_expr(
+                                F.col(vec), _planes(dim, n_planes, seed + t)
+                            ).alias("_bkt"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tb"),
+        ).select(
+            *carry, F.col("_tb._tbl").alias("_tbl"), F.col("_tb._bkt").alias("_bkt")
         )
-        q_b.append(
-            q.select(
-                "query_id",
-                "_qv",
-                "_qn",
-                F.lit(t).alias("_tbl"),
-                lsh_bucket_expr(F.col("_qv"), planes).alias("_bkt"),
-            )
-        )
-    cb = c_b[0]
-    for x in c_b[1:]:
-        cb = cb.unionByName(x)
-    qb = q_b[0]
-    for x in q_b[1:]:
-        qb = qb.unionByName(x)
+
+    cb = _banded(c, "_cv", ["neighbor_id", "_cv", "_cn"])
+    qb = _banded(q, "_qv", ["query_id", "_qv", "_qn"])
     cand = (
         cb.join(F.broadcast(qb), ["_tbl", "_bkt"])
         .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")

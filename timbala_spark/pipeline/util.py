@@ -32,7 +32,7 @@ def hash64_expr(c: Column, algo: str = "xxhash64") -> Column:
 _TRACKED: list[DataFrame] = []
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
+def tracked_persist(df: DataFrame, release_previous: bool = True) -> DataFrame:
     """``persist()`` with lifecycle tracking.
 
     Sketch/signature stages feed several plan branches and must be
@@ -44,8 +44,14 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     before pinning the new stage, bounding resident persisted data to
     the live query. Results already returned to callers stay correct —
     re-consuming one simply recomputes its lineage.
+
+    ``release_previous=False`` chains a second persist within the SAME
+    query (e.g. the normalized-vector frame AND the LSH signature frame
+    both feed multiple branches); the pair is released together when the
+    next query's first tracked_persist runs.
     """
-    release_tracked()
+    if release_previous:
+        release_tracked()
     out = df.persist()
     _TRACKED.append(out)
     return out

@@ -21,6 +21,7 @@ of this request path — same decode, same store layout.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -67,16 +68,26 @@ def _parse_time(s: str | None, default: float | None = None) -> float:
     return datetime.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
 
 
+_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y)")
+
+
 def _parse_duration(s: str) -> float:
-    """Step parameter: float seconds or a Prometheus duration (15s, 1m)."""
+    """Step parameter: float seconds or a Prometheus duration —
+    including compound forms like ``1m30s`` (model.ParseDuration accepts
+    repeated <number><unit> groups; summed here the same way)."""
     try:
         return float(s)
     except ValueError:
         pass
-    for unit in sorted(_DUR_UNITS, key=len, reverse=True):
-        if s.endswith(unit):
-            return float(s[: -len(unit)]) * _DUR_UNITS[unit]
-    raise ValueError(f"invalid duration {s!r}")
+    pos, total = 0, 0.0
+    for m in _DUR_RE.finditer(s):
+        if m.start() != pos:  # gap → junk between groups
+            raise ValueError(f"invalid duration {s!r}")
+        total += float(m.group(1)) * _DUR_UNITS[m.group(2)]
+        pos = m.end()
+    if pos == 0 or pos != len(s):
+        raise ValueError(f"invalid duration {s!r}")
+    return total
 
 
 class TimbalaServer:
@@ -167,21 +178,35 @@ class TimbalaServer:
 
     # -- request plumbing ---------------------------------------------
 
+    #: 413 path: drain at most max_body_bytes + this slack of an
+    #: oversized body before giving up on connection reuse — a client
+    #: declaring a multi-GB Content-Length must not tie up a handler
+    #: thread and the wire (the reference's MaxBytesReader stops
+    #: reading at the limit).
+    DRAIN_SLACK_BYTES = 4 * 1024 * 1024
+
     def _read_body(self, h: BaseHTTPRequestHandler) -> bytes | None:
         """Body with the reference's size guard: over-limit requests
-        answer 413. The handler drains the wire in small chunks (never
-        buffering the oversized body) so clients that already committed
-        to sending it still get a readable response."""
+        answer 413. A modestly-oversized body is drained in chunks (so
+        a client that already committed to sending it still gets a
+        readable response on a reusable connection); beyond
+        max_body_bytes + DRAIN_SLACK_BYTES the server stops reading and
+        closes the connection instead."""
         length = int(h.headers.get("Content-Length") or 0)
         if length > self.max_body_bytes:
-            remaining = length
+            drain_limit = self.max_body_bytes + self.DRAIN_SLACK_BYTES
+            remaining = min(length, drain_limit)
             while remaining > 0:
                 chunk = h.rfile.read(min(65536, remaining))
                 if not chunk:
                     break
                 remaining -= len(chunk)
+            extra = None
+            if length > drain_limit:  # undrained bytes remain on the wire
+                extra = {"Connection": "close"}
+                h.close_connection = True
             self._respond(h, 413, b"request body too large\n",
-                          "text/plain; charset=utf-8")
+                          "text/plain; charset=utf-8", extra=extra)
             return None
         return h.rfile.read(length)
 
