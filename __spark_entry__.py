@@ -634,11 +634,10 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 
 
 def q_sim_ivf_topk(spark, sf_dir):
-    """IVF ANN — the ONE intentionally rows-only entry: the k-means
-    centroid training folds floats in partition order, so the trained
-    cells (and thus which neighbors land in probed cells) are not
-    bit-replayable from SQL; correctness is covered by the recall
-    assertions in tests/test_pipeline.py instead."""
+    """IVF ANN, full value check: training sums member vectors in
+    ascending-id order (similarity.ivf_topk), so the oracle replays the
+    whole Lloyd loop — init, 3 assignment/recompute rounds, final
+    assignment, n_probe probing, exact re-rank — as unrolled CTEs."""
     from timbala_spark.pipeline import ivf_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
@@ -1975,6 +1974,101 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5
 """
+
+    # IVF oracle: replay the ENTIRE training loop in SQL. The Spark side
+    # trains with fully deterministic fp (ordered sequential-fold means,
+    # similarity.ivf_topk), so DuckDB reproduces the same centroids
+    # bit-for-bit: init = n_cells lowest-id corpus vectors, `iterations`
+    # unrolled Lloyd rounds (assign by min L2 with cell-index
+    # tie-break, recompute centroids as the id-ordered fold mean with a
+    # zero-array init matching Spark's aggregate(), empty cells keep
+    # their previous centroid), then final assignment, n_probe nearest
+    # cells per query, exact cosine re-rank. This upgrades the entry
+    # from rows-only to a full value check.
+    def _ivf_sql(n_cells: int, n_probe: int, iterations: int, k: int) -> str:
+        d2 = (
+            "list_sum(list_transform(list_zip({v}, {c}), "
+            "dd -> (dd[1]-dd[2])*(dd[1]-dd[2])))"
+        )
+        parts = [
+            f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+queries AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+cent0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cell, v AS cv FROM (
+    SELECT row_number() OVER (ORDER BY vec_id) AS rn, v FROM corpus
+  ) WHERE rn <= {n_cells}
+)"""
+        ]
+        for i in range(1, iterations + 1):
+            prev = f"cent{i - 1}"
+            dist = d2.format(v="c.v", c="p.cv")
+            parts.append(
+                f"""asg{i} AS (
+  SELECT c.vec_id, c.v, p.cell
+  FROM corpus c CROSS JOIN {prev} p
+  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+                             ORDER BY {dist} ASC, p.cell ASC) = 1
+),
+sum{i} AS (
+  SELECT cell, list(v ORDER BY vec_id) AS lv, count(*) AS n
+  FROM asg{i} GROUP BY cell
+),
+new{i} AS (
+  SELECT cell,
+         list_transform(
+           list_reduce(
+             list_prepend(list_transform(lv[1], x -> CAST(0.0 AS DOUBLE)), lv),
+             (a, b) -> list_transform(list_zip(a, b), zz -> zz[1] + zz[2])),
+           x -> x / n) AS cv
+  FROM sum{i}
+),
+cent{i} AS (
+  SELECT p.cell, COALESCE(nw.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN new{i} nw ON nw.cell = p.cell
+)"""
+            )
+        last = f"cent{iterations}"
+        parts.append(
+            f"""af AS (
+  SELECT c.vec_id AS neighbor_id, c.v AS cv, p.cell
+  FROM corpus c CROSS JOIN {last} p
+  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+                             ORDER BY {d2.format(v="c.v", c="p.cv")} ASC,
+                                      p.cell ASC) = 1
+),
+qc AS (
+  SELECT q.vec_id AS query_id, q.v AS qv, p.cell
+  FROM queries q CROSS JOIN {last} p
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY {d2.format(v="q.v", c="p.cv")} ASC,
+                                      p.cell ASC) <= {n_probe}
+),
+s AS (
+  SELECT qc.query_id, af.neighbor_id,
+         list_sum(list_transform(list_zip(qc.qv, af.cv), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qc.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(af.cv, x -> x * x)))) AS cos
+  FROM qc JOIN af ON af.cell = qc.cell
+)"""
+        )
+        return (
+            "WITH "
+            + ",\n".join(parts)
+            + f"""
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       neighbor_id, ROUND(cos, 4) AS cos
+FROM s
+QUALIFY rank <= {k}
+"""
+        )
+
+    sql["sim_ivf_topk"] = _ivf_sql(16, 4, 3, 5)
 
     sql["embeddings_stats"] = """
 SELECT label, count(*) AS n,

@@ -186,7 +186,14 @@ def ivf_topk(
     """IVF-style ANN: learn ``n_cells`` coarse centroids with a few
     Lloyd iterations (deterministic init: lowest ids), assign corpus
     vectors to cells, probe only the ``n_probe`` nearest cells per
-    query. Centroids are tiny → broadcast; assignment is map-only."""
+    query. Centroids are tiny → broadcast; assignment is map-only.
+
+    Training is fully deterministic, including float summation order:
+    each centroid update folds the member vectors in ascending-id order
+    (``array_sort(collect_list)`` + sequential ``aggregate``), never a
+    partition-order ``avg`` — so the trained centroids, and therefore
+    the probed candidate sets, are bit-replayable by a SQL oracle that
+    sums in the same order (driver contract ``sim_ivf_topk``)."""
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
@@ -197,6 +204,7 @@ def ivf_topk(
         for r in c.orderBy("neighbor_id").limit(n_cells).collect()
     ]
     centroids = init
+    dim = len(init[0]) if init else 0
     for _ in range(iterations):
         cent_arr = F.array(
             *[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in centroids]
@@ -205,14 +213,32 @@ def ivf_topk(
             "_cell",
             _nearest_cell_expr(F.col("_cv"), cent_arr),
         )
+        # centroid = element-wise mean, summed as a sequential fold over
+        # members sorted by id (deterministic fp; ~n_cells rows out)
         new = (
-            assigned.select("_cell", F.posexplode("_cv").alias("_i", "_x"))
-            .groupBy("_cell", "_i")
-            .agg(F.avg("_x").alias("_m"))
-            .groupBy("_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("_i", "_m"))).alias("_ms"))
+            assigned.groupBy("_cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("neighbor_id").alias("_id"),
+                            F.col("_cv").alias("_v"),
+                        )
+                    )
+                ).alias("_xs")
+            )
             .select(
-                "_cell", F.transform("_ms", lambda s: s["_m"]).alias("_centroid")
+                "_cell",
+                F.transform(
+                    F.aggregate(
+                        F.col("_xs"),
+                        F.array_repeat(F.lit(0.0).cast("double"), dim),
+                        lambda acc, s: F.zip_with(
+                            acc, s["_v"], lambda a, b: a + b
+                        ),
+                    ),
+                    lambda x: x / F.size("_xs"),
+                ).alias("_centroid"),
             )
             .collect()
         )
