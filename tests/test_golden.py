@@ -864,3 +864,136 @@ load 5m
 
 eval_fail instant at 0m foo * on(job) group_left dup
 """)
+
+
+def test_staleness_boundary_lookback_edges(spark):
+    """Series birth/death at exactly the lookback edge
+    (vendored promql staleness.test / selectors.test analogs): the
+    window is [T-5m, T] inclusive on BOTH ends, so a series is still
+    visible at exactly death+5m and born at exactly its first sample."""
+    run_golden(spark, """
+load 1m
+  metric 0+1x10
+  late_born _ _ _ _ _ 5 6 7
+
+eval instant at 15m metric
+  metric 10
+
+eval instant at 15m1s metric
+
+eval instant at 16m metric
+
+eval instant at 4m59s late_born
+
+eval instant at 5m late_born
+  late_born 5
+
+eval instant at 12m late_born
+  late_born 7
+
+eval instant at 12m1s late_born
+""")
+
+
+def test_staleness_marker_shadows_window(spark):
+    """A stale marker is "most recent" for the whole lookback window
+    that follows it: the series stays absent even while older real
+    samples are still inside the window, and reappears the moment a
+    real sample lands (staleness.test:1-20 analog)."""
+    run_golden(spark, """
+load 1m
+  s 5 6 stale 8
+  dies 1 2 stale
+
+eval instant at 1m s
+  s 6
+
+eval instant at 2m s
+
+eval instant at 2m30s s
+
+eval instant at 3m s
+  s 8
+
+eval instant at 6m59s dies
+
+eval instant at 1m59s dies
+  dies 2
+
+eval instant at 2m dies
+
+eval instant at 0m59s dies
+  dies 1
+""")
+
+
+def test_staleness_markers_and_range_vectors(spark):
+    """Markers never appear inside range vectors (engine.go:869): the
+    *_over_time family and rate() skip them rather than going stale."""
+    run_golden(spark, """
+load 1m
+  s 5 stale 7
+  ctr 0 10 stale 30 40
+
+eval instant at 2m count_over_time(s[3m])
+  {} 2
+
+eval instant at 2m avg_over_time(s[3m])
+  {} 6
+
+eval instant at 2m s[3m]
+  s 5
+  s 7
+
+eval instant at 4m rate(ctr[4m])
+  {} 0.16666666666666666
+
+eval instant at 4m count_over_time(ctr[4m])
+  {} 4
+""")
+
+
+def test_selector_window_edges_inclusive(spark):
+    """Range selector [W] at T covers [T-W, T] inclusive; offsets shift
+    the window, not its width (selectors.test analog)."""
+    run_golden(spark, """
+load 1m
+  metric 0+1x10
+
+eval instant at 10m count_over_time(metric[5m])
+  {} 6
+
+eval instant at 10m min_over_time(metric[5m])
+  {} 5
+
+eval instant at 10m count_over_time(metric[5m] offset 5m)
+  {} 6
+
+eval instant at 10m min_over_time(metric[5m] offset 5m)
+  {} 0
+
+eval instant at 15m count_over_time(metric[5m])
+  {} 1
+
+eval instant at 15m1s count_over_time(metric[5m])
+
+eval instant at 5m metric offset 5m
+  metric 0
+
+eval instant at 4m59s metric offset 5m
+""")
+
+
+def test_absent_at_death_boundary(spark):
+    run_golden(spark, """
+load 1m
+  metric 1 2 3
+
+eval instant at 7m absent(metric)
+
+eval instant at 7m1s absent(metric)
+  {} 1
+
+eval instant at 2m absent(nonexistent)
+  {} 1
+""")

@@ -553,10 +553,62 @@ def simhash_expr(text: Column, hash_algo: str = "xxhash64") -> Column:
     return out
 
 
-def with_simhash(
-    df: DataFrame, text_col: str = "text", hash_algo: str = "xxhash64"
+def _simhash_votes_by_id(
+    df: DataFrame, id_col: str, text_col: str, hash_algo: str
 ) -> DataFrame:
-    return df.withColumn("simhash", simhash_expr(F.col(text_col), hash_algo))
+    """(_sh_id, simhash) via explode + 64 whole-stage-codegen SUM
+    aggregates. Bit-identical to ``simhash_expr``'s fold — the votes
+    are order-independent integer ±1 sums — but the hot loop runs in
+    generated JVM code instead of the interpreted higher-order-function
+    evaluator (measured ~20 s → ~1 s on 5k docs at sf0.1). Requires
+    ``id_col`` unique. Docs with no tokens get simhash 0 (the fold's
+    zero-count result)."""
+    toks = tokens_expr(F.col(text_col))
+    hashes = df.select(
+        F.col(id_col).alias("_sh_id"),
+        F.explode(
+            F.transform(toks, lambda t: hash64_expr(t, hash_algo))
+        ).alias("_h"),
+    )
+    votes = hashes.groupBy("_sh_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long")
+                * 2
+                - 1
+            ).alias(f"_c{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            F.col(f"_c{b}") > 0,
+            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    sums = votes.select("_sh_id", sim.alias("simhash"))
+    ids = df.select(F.col(id_col).alias("_sh_id"))
+    return ids.join(sums, "_sh_id", "left").select(
+        "_sh_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    hash_algo: str = "xxhash64",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Adds a ``simhash`` column. Pass a unique ``id_col`` to compute
+    the bit votes with the codegen'd grouped-sum path (same values,
+    ~20× faster — see ``_simhash_votes_by_id``); without one it falls
+    back to the single-expression fold."""
+    if id_col is None:
+        return df.withColumn("simhash", simhash_expr(F.col(text_col), hash_algo))
+    sums = _simhash_votes_by_id(df, id_col, text_col, hash_algo)
+    return df.join(
+        sums.withColumnRenamed("_sh_id", id_col), id_col, "left"
+    )
 
 
 def simhash_pairs(
@@ -575,13 +627,13 @@ def simhash_pairs(
     full cross product.
     """
     n_bands = 64 // band_bits
-    # the 64-wide bit-vote fold is the expensive part and feeds both
-    # sides of the band self-join — persist (see minhash_lsh_pairs note)
-    h = with_simhash(
-        ensure_parallelism(df).select(F.col(id_col).alias("_id"), text_col),
-        text_col,
-        hash_algo,
-    )
+    # the 64-wide bit vote is the expensive part and feeds both sides
+    # of the band self-join — computed by the codegen'd grouped-sum
+    # path on ids only (the text never reaches the join), then persist
+    # (see minhash_lsh_pairs note)
+    h = _simhash_votes_by_id(
+        ensure_parallelism(df), id_col, text_col, hash_algo
+    ).withColumnRenamed("_sh_id", "_id")
     h = tracked_persist(h)
     mask = (1 << band_bits) - 1
     banded = h.select(
