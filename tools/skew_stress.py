@@ -47,6 +47,7 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -90,11 +91,14 @@ def main() -> None:
 
     # parse per-task Executor Run Time per stage
     stages: dict[int, list[float]] = {}
-    logs = sorted(
-        (os.path.join(evdir, f) for f in os.listdir(evdir)),
-        key=os.path.getmtime,
-    )
-    for path in logs:
+    logs = []
+    for root, _dirs, files in os.walk(evdir):  # v2 logs are directories
+        logs.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.startswith("events_")
+        )
+    for path in sorted(logs, key=os.path.getmtime):
         with open(path) as fh:
             for line in fh:
                 try:
