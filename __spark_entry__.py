@@ -473,11 +473,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_text_token_count(spark, sf_dir):
+    """MERGED entry (50-entry cap): whitespace token count + the
+    GPT-2-shaped regex pre-tokenizer count (words / numbers / single
+    punctuation) per document — both map-only column expressions."""
     from timbala_spark.pipeline import with_token_count
+    from timbala_spark.pipeline.text import bpe_ish_tokens_expr
 
     docs = _tbl(spark, sf_dir, "documents")
     return with_token_count(docs).select(
-        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(bpe_ish_tokens_expr(F.col("text")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
     )
 
 
@@ -567,15 +575,22 @@ def q_dedup_embedding_clusters(spark, sf_dir):
     return out.select("vec_id", F.col("component").alias("cluster_id"))
 
 
-def q_text_bpe_tokens(spark, sf_dir):
-    """GPT-2-shaped regex pre-tokenizer count (words / numbers / single
-    punctuation)."""
-    from timbala_spark.pipeline.text import bpe_ish_tokens_expr
+def q_events_rollup(spark, sf_dir):
+    """Streaming surface, driver-verified: the continuous downsampler's
+    transformation (``streaming/downsample.py``) applied to the batch
+    events→samples pivot — batch and streaming share the ONE plan
+    (``withWatermark`` is a no-op on a batch frame; append-on-watermark
+    emission is the only streaming-only difference). Hourly avg per
+    series, ``t`` = window end, name suffixed ``:rollup``."""
+    from timbala_spark.streaming.downsample import streaming_downsample
 
-    docs = _tbl(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(bpe_ish_tokens_expr(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    eng, _t = _engine(spark, sf_dir)
+    out = streaming_downsample(eng.samples, window="1 hour", agg="avg")
+    return out.select(
+        "name",
+        label_get(F.col("labels"), "user").alias("user"),
+        "t",
+        F.round("v", 6).alias("v"),
     )
 
 
@@ -1003,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "events_sessions": q_events_sessions,
         "events_daily": q_events_daily,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1011,7 +1027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
-        "text_bpe_tokens": q_text_bpe_tokens,
         "multimodal_decode": q_multimodal_decode,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -1609,7 +1624,8 @@ WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
 
     sql["text_token_count"] = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens
+       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens
 FROM documents
 """
 
@@ -1812,10 +1828,22 @@ s AS (
 SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4
 """
 
-    sql["text_bpe_tokens"] = r"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens
-FROM documents
+    # events_rollup: the streaming downsampler's hourly-avg windows are
+    # epoch-aligned, so t = floor(t/1h)*1h + 1h (window END, the
+    # recording-rule convention) and avg replays directly.
+    sql["events_rollup"] = f"""
+WITH s AS (
+  SELECT event_type AS name,
+         CAST(user_id % {USER_BUCKETS} AS VARCHAR) AS user,
+         epoch_ms(ts) AS t,
+         value AS v
+  FROM events
+)
+SELECT name || ':rollup' AS name, user,
+       (t - t % 3600000) + 3600000 AS t,
+       ROUND(AVG(v), 6) AS v
+FROM s
+GROUP BY 1, 2, 3
 """
 
     def _hexbyte(i: int) -> str:
