@@ -1090,6 +1090,10 @@ class Compiler:
     def _fn_scalar(self, node):
         inner = self.compile(node.args[0])
         assert isinstance(inner, VectorValue)
+        # first() without ordering is nondeterministic when _n > 1 —
+        # harmless by construction: the value is only read when _n == 1
+        # (scalar() is NaN otherwise, functions.go:998-1008). Do NOT
+        # "fix" this into a sort; any one row is correct when it counts.
         g = inner.df.groupBy("step_t").agg(
             F.count(F.lit(1)).alias("_n"), F.first("v").alias("_v")
         )
