@@ -54,9 +54,9 @@ def write_samples_batch(
     ``layout="row"`` keeps the original single-table layout (labels
     per sample) for small fixtures.
     """
-    deduped = dedup_replicas(samples) if dedup else samples
-    out = deduped.withColumn("day", utc_day_expr(F.col("t")))
     if layout == "row":
+        deduped = dedup_replicas(samples) if dedup else samples
+        out = deduped.withColumn("day", utc_day_expr(F.col("t")))
         out.write.mode("append").partitionBy("day").parquet(path)
         return
     # No persist: materializing the wide (labels-map) batch costs more
@@ -65,21 +65,41 @@ def write_samples_batch(
     # replica dedup cannot change the distinct series set — so it
     # column-prunes to 3 columns and its dropDuplicates(series_id)
     # partial-aggregates map-side to ~one row per series per partition;
-    # only the samples branch pays the (series_id, t) dedup shuffle.
-    (
-        out.select("series_id", "t", "v", "day")
-        .sortWithinPartitions("series_id", "t")
-        .write.mode("append")
-        .option("parquet.writer.version", "v2")
-        .partitionBy("day")
-        .parquet(f"{path}/samples")
-    )
-    (
-        samples.select("series_id", "name", "labels")
-        .dropDuplicates(["series_id"])
-        .write.mode("append")
-        .parquet(f"{path}/series")
-    )
+    # only the samples branch pays the (series_id, t) dedup shuffle —
+    # and it dedups AFTER projecting to (series_id, t, v), so the
+    # labels map never enters that shuffle either (measured: the wide
+    # dedup alone cost 3.5 s of the 8 s batch at 5M rows).
+    narrow = samples.select("series_id", "t", "v")
+    if dedup:
+        narrow = dedup_replicas(narrow)
+
+    def _write_samples() -> None:
+        (
+            narrow.withColumn("day", utc_day_expr(F.col("t")))
+            .sortWithinPartitions("series_id", "t")
+            .write.mode("append")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("day")
+            .parquet(f"{path}/samples")
+        )
+
+    def _write_dict() -> None:
+        (
+            samples.select("series_id", "name", "labels")
+            .dropDuplicates(["series_id"])
+            .write.mode("append")
+            .parquet(f"{path}/series")
+        )
+
+    # the two writes are independent jobs; submitting them from two
+    # threads lets the scheduler overlap the dict's shuffle with the
+    # samples write's I/O (measured ~660k → ~900k samples/s at 5M rows)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(_write_samples), ex.submit(_write_dict)]
+        for f in futs:
+            f.result()  # propagate either failure
 
 
 def start_ingest(
