@@ -133,6 +133,12 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    # ingest throughput FIRST, in its own JVM, while the machine is
+    # otherwise idle — the parent's (24g-heap) JVM doesn't exist yet,
+    # and the child is gone before any query timing starts (measured
+    # 3× degradation running it after the query session instead)
+    ingest_secondary = _ingest_subprocess()
+
     spark = _build_session("timbala-spark-bench")
     # Session costs, paid before any timing starts:
     # 1. JVM/codegen warmup on synthetic data (JIT + executor threads)
@@ -185,10 +191,7 @@ def main() -> None:
 
     secondary = _query_throughput_metric(spark, qs)
     spark.stop()
-
-    # ingest throughput in its OWN JVM: the 5M-row write's GC and page
-    # cache damage must not leak into (or out of) the query timings
-    secondary.update(_ingest_subprocess())
+    secondary.update(ingest_secondary)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
