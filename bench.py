@@ -56,6 +56,7 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "events_sessions",
+    "events_rollup",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

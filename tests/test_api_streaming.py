@@ -641,3 +641,26 @@ class TestWireFormat:
 
         assert math.isinf(got[0]["samples"][0][1])
         assert math.isnan(got[0]["samples"][1][1])
+
+
+class TestWireOrder:
+    """The engine returns unsorted frames (r4); the API layer owns the
+    canonical wire order, applied driver-side post-collect."""
+
+    def test_vector_result_canonical_order(self, api):
+        out = api.query("test_metric1", 600)
+        metrics = [r["metric"] for r in out["data"]["result"]]
+        keys = [tuple(sorted(m.items())) for m in metrics]
+        assert len(keys) == 2
+        assert keys == sorted(keys)
+
+    def test_matrix_values_time_order(self, api):
+        out = api.query_range("test_metric1", 0, 600, 60)
+        for series in out["data"]["result"]:
+            ts = [t for t, _v in series["values"]]
+            assert ts == sorted(ts)
+
+    def test_sort_desc_order_preserved(self, api):
+        out = api.query("sort_desc(test_metric1)", 600)
+        vals = [float(r["value"][1]) for r in out["data"]["result"]]
+        assert vals == sorted(vals, reverse=True)
