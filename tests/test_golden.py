@@ -997,3 +997,52 @@ eval instant at 7m1s absent(metric)
 eval instant at 2m absent(nonexistent)
   {} 1
 """)
+
+
+def test_edge_empty_vectors_phi_bounds_nan_aggs(spark):
+    """Remaining upstream edge semantics: empty selectors propagate
+    through aggregation and arithmetic; quantile_over_time clamps
+    φ∉[0,1] to ∓Inf (functions.go quantile rules); rate composes with
+    offset; NaN loses min/max (but wins when alone); comparison
+    against NaN is false, bool-style gives 0."""
+    run_golden(spark, """
+load 1m
+  m{a="1"} 0+1x10
+  m{a="2"} 0+2x10
+  n{a="1"} NaN NaN NaN
+  n{a="2"} 3 3 3
+
+eval instant at 5m sum(nothere)
+
+eval instant at 5m 2 * nothere
+
+eval instant at 5m nothere + m{a="1"}
+
+eval instant at 5m quantile_over_time(0, m{a="1"}[5m])
+  {a="1"} 0
+
+eval instant at 5m quantile_over_time(1, m{a="1"}[5m])
+  {a="1"} 5
+
+eval instant at 5m quantile_over_time(-0.5, m{a="1"}[5m])
+  {a="1"} -Inf
+
+eval instant at 5m quantile_over_time(1.5, m{a="1"}[5m])
+  {a="1"} +Inf
+
+eval instant at 10m rate(m{a="2"}[4m] offset 2m)
+  {a="2"} 0.03333333333333333
+
+eval instant at 2m min(n)
+  {} 3
+
+eval instant at 2m max(n)
+  {} 3
+
+eval instant at 2m min(n{a="1"})
+  {} NaN
+
+eval instant at 2m n == bool 3
+  {a="1"} 0
+  {a="2"} 1
+""")

@@ -1323,7 +1323,13 @@ class Compiler:
             final = F.lit(INF).cast("double")
         else:
             final = F.col("_v")
-        return self._over_time(node, {"_v": F.percentile(F.col("v"), F.lit(q))}, final)
+        # φ∉[0,1] → ∓Inf per quantile() semantics (functions.go) — but
+        # Spark's percentile() REJECTS out-of-range φ at analysis time,
+        # so feed it a placeholder; `final` ignores _v in those branches
+        q_safe = min(max(q, 0.0), 1.0)
+        return self._over_time(
+            node, {"_v": F.percentile(F.col("v"), F.lit(q_safe))}, final
+        )
 
     # ---- rate family -------------------------------------------------
     def _rate_like(self, node, is_counter: bool, is_rate: bool) -> VectorValue:
