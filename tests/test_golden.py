@@ -1046,3 +1046,37 @@ eval instant at 2m n == bool 3
   {a="1"} 0
   {a="2"} 1
 """)
+
+
+def test_nan_counter_semantics(spark):
+    """Go float comparisons are FALSE on NaN; Spark ranks NaN above
+    everything. These blocks pin the guarded kernels: resets/rate
+    ignore NaN transitions (no bogus reset), irate propagates NaN
+    through its pair difference, changes counts NaN<->value
+    transitions but not NaN->NaN (functions.go:144-240)."""
+    run_golden(spark, """
+load 1m
+  c 1 NaN NaN 2 2
+  ctr 0 10 NaN 30 40
+
+eval instant at 4m resets(c[10m])
+  {} 0
+
+eval instant at 4m changes(c[10m])
+  {} 2
+
+eval instant at 4m resets(ctr[10m])
+  {} 0
+
+eval instant at 4m rate(ctr[4m])
+  {} 0.16666666666666666
+
+eval instant at 4m delta(ctr[4m])
+  {} 40
+
+eval instant at 3m irate(ctr[4m])
+  {} NaN
+
+eval instant at 4m irate(ctr[4m])
+  {} 0.16666666666666666
+""")

@@ -488,6 +488,11 @@ def _counter_correction(pts: Column, first_v: Column) -> Column:
     init = F.struct(
         first_v.cast("double").alias("prev"), F.lit(0.0).cast("double").alias("corr")
     )
+    # Go's `sample.V < lastValue` is FALSE when either side is NaN, so a
+    # NaN sample never triggers a correction (the rate stays finite when
+    # only interior samples are NaN); Spark ranks NaN above everything,
+    # which would add a bogus NaN correction on the NaN→x transition —
+    # guard both sides explicitly.
     folded = F.aggregate(
         rest,
         init,
@@ -495,7 +500,11 @@ def _counter_correction(pts: Column, first_v: Column) -> Column:
             x["v"].cast("double").alias("prev"),
             (
                 acc["corr"]
-                + F.when(x["v"] < acc["prev"], acc["prev"]).otherwise(F.lit(0.0))
+                + F.when(
+                    ~F.isnan(x["v"]) & ~F.isnan(acc["prev"])
+                    & (x["v"] < acc["prev"]),
+                    acc["prev"],
+                ).otherwise(F.lit(0.0))
             ).alias("corr"),
         ),
     )
@@ -1370,9 +1379,15 @@ class Compiler:
         # cheap preconditions first (see _rate_like)
         df = df.filter((n >= 2) & (dt_ms != 0))
         if is_rate:
-            dv = F.when(last["v"] < prev["v"], last["v"]).otherwise(
-                last["v"] - prev["v"]
-            )
+            # Go's reset check `last < prev` is false on NaN (the
+            # difference NaN propagates instead); Spark's NaN-is-greatest
+            # ordering would take the reset branch and return a finite
+            # value — guard so NaN pairs propagate NaN like the reference
+            dv = F.when(
+                ~F.isnan(last["v"]) & ~F.isnan(prev["v"])
+                & (last["v"] < prev["v"]),
+                last["v"],
+            ).otherwise(last["v"] - prev["v"])
             val = dv / (dt_ms.cast("double") / F.lit(1000.0))
         else:
             val = last["v"] - prev["v"]
@@ -1391,9 +1406,15 @@ class Compiler:
     def _fn_resets(self, node):
         ms = self._matrix_arg(node.args[0])
         df = _matrix_points(ms, self.ctx)
+        # Go `cur < prev` is FALSE whenever either side is NaN
+        # (functions.go resets); Spark's ordering comparison instead
+        # ranks NaN above everything (so 2.0 < NaN would count a bogus
+        # reset on a NaN→2 transition) — guard both sides explicitly
         cnt = _fold_count(
             F.col("pts"),
-            lambda prev, cur: F.when(cur < prev, 1.0).otherwise(0.0),
+            lambda prev, cur: F.when(
+                ~F.isnan(prev) & ~F.isnan(cur) & (cur < prev), 1.0
+            ).otherwise(0.0),
         )
         out = df.select(
             "step_t", "labels", cnt.cast("double").alias("v"),
