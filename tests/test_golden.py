@@ -1080,3 +1080,56 @@ eval instant at 3m irate(ctr[4m])
 eval instant at 4m irate(ctr[4m])
   {} 0.16666666666666666
 """)
+
+
+def test_empty_label_matcher_semantics(spark):
+    """A matcher against "" matches series MISSING the label
+    (labels.go semantics): {a=""} selects rows without `a`, {a!=""}
+    requires it, .* matches absence, .+ requires presence."""
+    run_golden(spark, """
+load 1m
+  m{a="x"} 1
+  m 2
+
+eval instant at 0m m{a=""}
+  m 2
+
+eval instant at 0m m{a!=""}
+  m{a="x"} 1
+
+eval instant at 0m m{a=~".*"}
+  m{a="x"} 1
+  m 2
+
+eval instant at 0m m{a=~".+"}
+  m{a="x"} 1
+
+eval instant at 0m m{a!~".+"}
+  m 2
+
+eval instant at 0m m{a=~"x|"}
+  m{a="x"} 1
+  m 2
+""")
+
+
+def test_nan_over_time_propagation(spark):
+    """min/max_over_time use Go math.Min/Max, which propagate NaN —
+    unlike Spark's ordering-based min/max (NaN-greatest), which would
+    return the finite value for min."""
+    run_golden(spark, """
+load 1m
+  g 1 NaN 3
+
+eval instant at 2m min_over_time(g[5m])
+  {} NaN
+
+eval instant at 2m max_over_time(g[5m])
+  {} NaN
+
+eval instant at 2m sum_over_time(g[5m])
+  {} NaN
+
+eval instant at 2m count_over_time(g[5m])
+  {} 3
+""")
