@@ -1133,3 +1133,25 @@ eval instant at 2m sum_over_time(g[5m])
 eval instant at 2m count_over_time(g[5m])
   {} 3
 """)
+
+
+def test_histogram_quantile_nan_phi(spark):
+    """bucketQuantile has no NaN(φ) early-return in the vendored
+    engine (quantile.go:71-93): rank=NaN fails every sort.Search
+    probe, the search lands past the last finite bucket, and the
+    result is the SECOND-TO-LAST bucket's upper bound."""
+    run_golden(spark, """
+load 1m
+  h{le="1"} 1
+  h{le="2.5"} 2
+  h{le="+Inf"} 3
+
+eval instant at 0m histogram_quantile(NaN, h)
+  {} 2.5
+
+eval instant at 0m histogram_quantile(1, h)
+  {} 2.5
+
+eval instant at 0m histogram_quantile(0.5, h)
+  {} 1.75
+""")

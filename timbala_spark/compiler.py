@@ -1571,10 +1571,16 @@ class Compiler:
         total = F.get(mono, n - 1)["v"]
         rank = F.lit(q) * total
         # counts are non-decreasing after ensureMonotonic, so the buckets
-        # with count >= rank form a suffix: first match = n - |suffix|
-        idxed = F.filter(mono, lambda b: b["v"] >= rank)
+        # with count >= rank form a suffix. Go's sort.Search runs over
+        # the first n-1 buckets ONLY (quantile.go:89) and lands on n-2's
+        # bound when nothing matches — reproduce that domain exactly, or
+        # a NaN rank (q=NaN: every comparison false) would index past
+        # the array and emit NULL instead of the reference's answer.
+        idxed = F.filter(
+            F.slice(mono, 1, n - 1), lambda b: b["v"] >= rank
+        )
         b_le = F.get(idxed, 0)["le"]
-        b_idx = n - F.size(idxed)  # 0-based index of the located bucket
+        b_idx = (n - 1) - F.size(idxed)  # 0-based index of located bucket
         prev = F.get(mono, b_idx - 1)
         bucket_start = F.when(b_idx > 0, prev["le"]).otherwise(F.lit(0.0))
         count_in = F.get(mono, b_idx)["v"] - F.when(b_idx > 0, prev["v"]).otherwise(
