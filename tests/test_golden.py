@@ -1155,3 +1155,25 @@ eval instant at 0m histogram_quantile(1, h)
 eval instant at 0m histogram_quantile(0.5, h)
   {} 1.75
 """)
+
+
+def test_nan_aggregation_params(spark):
+    """NaN parameters: topk/bottomk truncate via Go int(NaN) → minimum
+    int → empty result (no error); quantile's NaN rank dies in the
+    reference as a recovered runtime panic → query error."""
+    run_golden(spark, """
+load 1m
+  m{a="x"} 1
+  m{a="y"} 2
+
+eval instant at 0m topk(NaN, m)
+
+eval instant at 0m bottomk(NaN, m)
+
+eval instant at 0m topk(1.5, m)
+  m{a="y"} 2
+
+eval_fail instant at 0m quantile(NaN, m)
+
+eval_fail instant at 0m quantile_over_time(NaN, m[5m])
+""")

@@ -875,7 +875,11 @@ class Compiler:
         op = node.op
         if op in ("topk", "bottomk"):
             k = self._const_param(node.param, "topk/bottomk")
-            k = int(k)
+            # Go truncates the scalar param with int(k); int(NaN) on
+            # amd64 is the minimum integer, so topk(NaN, v) silently
+            # selects nothing rather than erroring (engine.go evalInt
+            # has no integral check in the vendored version)
+            k = -1 if math.isnan(k) else int(k)
             if k < 1:
                 return VectorValue(
                     self.ctx.spark.createDataFrame([], _vv(df).schema)
@@ -947,6 +951,13 @@ class Compiler:
             return F.coalesce(F.var_pop(v), _nan_lit())
         if op == "quantile":
             q = self._const_param(node.param, "quantile")
+            if math.isnan(q):
+                # the reference's quantile() indexes values[int(NaN)]
+                # and dies with a recovered runtime panic → query error
+                # (quantile.go:183-190); surface the same failure shape
+                raise PromQLEvalError(
+                    "quantile: invalid quantile value NaN"
+                )
             if q < 0:
                 return F.max(F.lit(-INF)).cast("double")
             if q > 1:
@@ -1326,6 +1337,12 @@ class Compiler:
 
     def _fn_quantile_over_time(self, node):
         q = self._const_param(node.args[0], "quantile_over_time")
+        if math.isnan(q):
+            # same recovered-panic → error path as the quantile
+            # aggregator (quantile.go:183-190)
+            raise PromQLEvalError(
+                "quantile_over_time: invalid quantile value NaN"
+            )
         if q < 0:
             final = F.lit(-INF).cast("double")
         elif q > 1:
