@@ -1177,3 +1177,27 @@ eval_fail instant at 0m quantile(NaN, m)
 
 eval_fail instant at 0m quantile_over_time(NaN, m[5m])
 """)
+
+
+def test_round_zero_and_label_join_no_sources(spark):
+    """round(v, 0): Go computes 1/0 = Inf unguarded, so every value
+    rounds to Inf/Inf = NaN (functions.go:332-350); Spark's
+    bigint-floor clamp must not turn that into 0. label_join with zero
+    source labels is legal (vendored Variadic=-1 arity: min = declared
+    args - 1) and joins nothing -> "" -> deletes the dst label."""
+    run_golden(spark, """
+load 1m
+  m{a="x", dst="old"} 1.5
+
+eval instant at 0m round(m, 0)
+  {a="x", dst="old"} NaN
+
+eval instant at 0m round(m, -2)
+  {a="x", dst="old"} 2
+
+eval instant at 0m label_join(m, "dst", "-")
+  m{a="x"} 1.5
+
+eval instant at 0m label_join(m, "dst", "-", "a", "a")
+  m{a="x", dst="x-x"} 1.5
+""")

@@ -231,8 +231,11 @@ class TestCalls:
     def test_variadic(self):
         parse('label_join(m, "dst", "-", "a")')
         parse('label_join(m, "dst", "-", "a", "b", "c")')
+        # zero source labels is LEGAL (vendored Variadic=-1 arity rule:
+        # minimum = len(ArgTypes) - 1, parse.go) — joins "" into dst
+        parse('label_join(m, "dst", "-")')
         with pytest.raises(PromQLSyntaxError):
-            parse('label_join(m, "dst", "-")')
+            parse('label_join(m, "dst")')
 
     def test_nested(self):
         e = parse("sum by (job) (rate(http_requests_total{code=~'5..'}[5m]))")

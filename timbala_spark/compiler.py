@@ -1032,11 +1032,28 @@ class Compiler:
         nearest = (
             self._const_param(node.args[1], "round") if len(node.args) == 2 else 1.0
         )
-        inv = 1.0 / nearest
-        # ties round up, via floor(v·inv + 0.5)/inv (functions.go:331-350)
-        return self._elementwise(
-            node, lambda v: F.floor(v * F.lit(inv) + F.lit(0.5)) / F.lit(inv)
+        # Go computes 1.0/toNearest without guarding zero: ±0 → ±Inf,
+        # and every value rounds to Inf/Inf = NaN (functions.go:332-350).
+        # Python's ZeroDivisionError must not leak instead.
+        inv = (
+            math.copysign(math.inf, nearest)
+            if nearest == 0
+            else 1.0 / nearest
         )
+        # ties round up, via floor(v·inv + 0.5)/inv (functions.go:331-350).
+        # Spark's floor() returns BIGINT and clamps ±Inf/huge doubles to
+        # long range (so round(v, 0) would yield maxlong/Inf = 0, not
+        # Go's Inf/Inf = NaN); Go's float floor is the identity for NaN
+        # and every |x| >= 2^53 (all integral doubles) — branch there.
+        big = F.lit(9007199254740992.0)  # 2^53
+        def _round(v):
+            prod = v * F.lit(inv) + F.lit(0.5)
+            floored = F.when(
+                F.isnan(prod) | (F.abs(prod) >= big), prod
+            ).otherwise(F.floor(prod).cast("double"))
+            return floored / F.lit(inv)
+
+        return self._elementwise(node, _round)
 
     def _clamp(self, node, is_max: bool):
         arg = self.compile(node.args[0])

@@ -299,9 +299,13 @@ class Parser:
         self.expect(RPAREN)
         min_args = len(fn.arg_types) - fn.optional
         if fn.variadic:
-            if len(args) < len(fn.arg_types):
+            # vendored arity rule (parse.go): a variadic function's
+            # LAST declared arg is part of the repeating tail, so the
+            # minimum is len(ArgTypes) - 1 — label_join(v, dst, sep)
+            # with zero source labels is legal
+            if len(args) < len(fn.arg_types) - 1:
                 raise PromQLSyntaxError(
-                    f"expected at least {len(fn.arg_types)} argument(s) in call to {name!r}, got {len(args)}"
+                    f"expected at least {len(fn.arg_types) - 1} argument(s) in call to {name!r}, got {len(args)}"
                 )
         elif not (min_args <= len(args) <= len(fn.arg_types)):
             raise PromQLSyntaxError(
