@@ -1201,3 +1201,37 @@ eval instant at 0m label_join(m, "dst", "-")
 eval instant at 0m label_join(m, "dst", "-", "a", "a")
   m{a="x", dst="x-x"} 1.5
 """)
+
+
+def test_label_replace_go_expand_semantics(spark):
+    """label_replace replacement templates follow Go regexp.Expand
+    (functions.go:791-833): ${1} braces, longest-run $name parsing
+    ($1a is the unknown group "1a" -> ""), $$ literal, RE2 named
+    groups, unknown names expanding to empty (deleting dst when the
+    whole expansion is empty). (?i) global flags parse anywhere RE2
+    allows them."""
+    run_golden(spark, """
+load 1m
+  m{a="xy"} 2
+
+eval instant at 0m label_replace(m, "dst", "${1}!", "a", "(x)(y)")
+  m{a="xy", dst="x!"} 2
+
+eval instant at 0m label_replace(m, "dst", "$1a", "a", "(x)(y)")
+  m{a="xy"} 2
+
+eval instant at 0m label_replace(m, "dst", "$$9", "a", "(x)(y)")
+  m{a="xy", dst="$9"} 2
+
+eval instant at 0m label_replace(m, "dst", "<$0>", "a", "x(y)")
+  m{a="xy", dst="<xy>"} 2
+
+eval instant at 0m label_replace(m, "dst", "$g-", "a", "(?P<g>x)y")
+  m{a="xy", dst="x-"} 2
+
+eval instant at 0m m{a=~"(?i)XY"}
+  m{a="xy"} 2
+
+eval instant at 0m m{a=~"(?P<g>x).*"}
+  m{a="xy"} 2
+""")

@@ -288,6 +288,52 @@ def matcher_expr(m: LabelMatcher) -> Column:
     return ~val.rlike(_anchored(m.value))
 
 
+def _expand_template_parts(template: str) -> list[tuple[str, object]]:
+    """Parse a Go ``regexp.Expand`` replacement template into
+    ``("lit", str)`` / ``("ref", int-or-name)`` parts (regexp.go:
+    ``expand``/``extract``): ``$$`` → literal ``$``; ``$name`` takes the
+    longest letter/digit/underscore run (all-digit names are numeric
+    group refs); ``${name}`` is the braced form; a malformed ``$`` is
+    literal."""
+    parts: list[tuple[str, object]] = []
+    lit: list[str] = []
+    i = 0
+    while i < len(template):
+        c = template[i]
+        if c != "$":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 < len(template) and template[i + 1] == "$":
+            lit.append("$")
+            i += 2
+            continue
+        j = i + 1
+        brace = j < len(template) and template[j] == "{"
+        if brace:
+            j += 1
+        k = j
+        while k < len(template) and (
+            template[k].isalnum() or template[k] == "_"
+        ):
+            k += 1
+        name = template[j:k]
+        if not name or (brace and (k >= len(template) or template[k] != "}")):
+            lit.append("$")  # malformed reference: literal $
+            i += 1
+            continue
+        if brace:
+            k += 1
+        if lit:
+            parts.append(("lit", "".join(lit)))
+            lit = []
+        parts.append(("ref", int(name) if name.isdigit() else name))
+        i = k
+    if lit:
+        parts.append(("lit", "".join(lit)))
+    return parts
+
+
 def _raise_if(cond: Column, value: Column, message: str) -> Column:
     """Distributed lazy error: evaluates to `value` unless `cond` holds
     somewhere in the data, in which case the Spark job fails with
@@ -1189,15 +1235,39 @@ class Compiler:
             raise PromQLEvalError(
                 f"invalid destination label name in label_replace(): {dst!r}"
             )
+        from .promql.re2 import re2_to_host
+
         try:
-            re.compile(regex)
-        except re.error as e:
+            compiled = re.compile(re2_to_host(regex, dialect="python"))
+        except (re.error, ValueError) as e:
             raise PromQLEvalError(
                 f"invalid regular expression in label_replace(): {regex!r}"
             ) from e
         src_val = F.coalesce(label_get(F.col("labels"), src), F.lit(""))
         matched = src_val.rlike(_anchored(regex))
-        new_val = F.regexp_replace(src_val, _anchored(regex), repl)
+        # The replacement template follows Go regexp.Expand
+        # (regexp.go:Expand — funcLabelReplace at functions.go:791-833),
+        # NOT Java's replacement syntax: ${1} braces, $name longest-run
+        # parsing ($1a is group "1a"), unknown groups expanding to "",
+        # and $$ as a literal $. Handing the template to Java
+        # regexp_replace crashes on ${1} and mis-parses $1a — so parse
+        # it here and assemble the value from regexp_extract parts.
+        exprs: list[Column] = []
+        for kind, payload in _expand_template_parts(repl):
+            if kind == "lit":
+                exprs.append(F.lit(payload))
+                continue
+            idx = (
+                payload
+                if isinstance(payload, int)
+                else compiled.groupindex.get(payload, -1)
+            )
+            if 0 <= idx <= compiled.groups:
+                exprs.append(
+                    F.regexp_extract(src_val, _anchored(regex), idx)
+                )
+            # unknown group name/number → expands to nothing (Expand)
+        new_val = F.concat(*exprs) if exprs else F.lit("")
         new_labels = F.when(
             matched, _map_set_conditional(F.col("labels"), dst, new_val)
         ).otherwise(F.col("labels"))

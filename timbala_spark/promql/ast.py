@@ -47,7 +47,13 @@ class LabelMatcher:
         if self.type == MatchType.NEQ:
             return self.value != ""
         try:
-            ok = re.fullmatch("(?:" + re2_to_host(self.value) + ")", "") is not None
+            # no (?:...) wrap: fullmatch already requires the whole
+            # string, and wrapping would push RE2's leading global
+            # flags ((?i)...) off the start, which Python rejects
+            ok = (
+                re.fullmatch(re2_to_host(self.value, dialect="python"), "")
+                is not None
+            )
         except (re.error, ValueError) as e:
             # invalid pattern is a parse error (parse.go reports RE2
             # compile failures as syntax errors)

@@ -35,11 +35,16 @@ POSIX_CLASSES = {
 _POSIX_RE = re.compile(r"\[:(\^?)(" + "|".join(POSIX_CLASSES) + r"):\]")
 
 
-def re2_to_host(regex: str) -> str:
+def re2_to_host(regex: str, dialect: str = "java") -> str:
     """Expand ``[:class:]`` occurrences (valid only inside bracket
     expressions, where the expansion is a plain range list). Negated
     classes (``[:^digit:]``) use RE2-only semantics with no direct
-    host form and are left for the host to reject explicitly."""
+    host form and are left for the host to reject explicitly.
+
+    ``dialect="java"`` additionally rewrites RE2/Python-style named
+    groups ``(?P<name>...)`` to Java's ``(?<name>...)`` — Java rejects
+    the ``P`` form outright; ``dialect="python"`` leaves them (Python
+    only accepts the ``P`` form)."""
 
     def sub(m: re.Match[str]) -> str:
         if m.group(1):
@@ -48,4 +53,7 @@ def re2_to_host(regex: str) -> str:
             )
         return POSIX_CLASSES[m.group(2)]
 
-    return _POSIX_RE.sub(sub, regex)
+    out = _POSIX_RE.sub(sub, regex)
+    if dialect == "java":
+        out = re.sub(r"(?<!\\)\(\?P<", "(?<", out)
+    return out
