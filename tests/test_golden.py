@@ -1166,9 +1166,11 @@ load 1m
   m{a="x"} 1
   m{a="y"} 2
 
-eval instant at 0m topk(NaN, m)
+eval_fail instant at 0m topk(NaN, m)
 
-eval instant at 0m bottomk(NaN, m)
+eval_fail instant at 0m bottomk(NaN, m)
+
+eval_fail instant at 0m topk(1e19, m)
 
 eval instant at 0m topk(1.5, m)
   m{a="y"} 2
@@ -1176,6 +1178,10 @@ eval instant at 0m topk(1.5, m)
 eval_fail instant at 0m quantile(NaN, m)
 
 eval_fail instant at 0m quantile_over_time(NaN, m[5m])
+
+eval instant at 0m quantile(NaN, absent_metric)
+
+eval instant at 0m quantile_over_time(NaN, absent_metric[5m])
 """)
 
 
@@ -1233,5 +1239,19 @@ eval instant at 0m m{a=~"(?i)XY"}
   m{a="xy"} 2
 
 eval instant at 0m m{a=~"(?P<g>x).*"}
+  m{a="xy"} 2
+
+# Java rejects group names with underscores; names are stripped to
+# plain groups (numbering preserved) so RE2-legal names still match
+eval instant at 0m m{a=~"(?P<my_name>x).*"}
+  m{a="xy"} 2
+
+# $01 is the NAME "01" per Go regexp extract() (leading zero), which
+# is unknown -> expands to empty -> dst stays absent
+eval instant at 0m label_replace(m, "dst", "$01", "a", "(x)(y)")
+  m{a="xy"} 2
+
+# numeric refs >= 1e8 are treated as names too
+eval instant at 0m label_replace(m, "dst", "$1000000000", "a", "(x)(y)")
   m{a="xy"} 2
 """)

@@ -177,23 +177,27 @@ class TestHTTPRoundtrip:
 
 
 class TestParseDuration:
-    def test_compound_durations(self):
+    def test_single_group_durations(self):
         from timbala_spark.server import _parse_duration
 
-        assert _parse_duration("1m30s") == 90.0
-        assert _parse_duration("1h30m") == 5400.0
-        assert _parse_duration("2d12h") == 2.5 * 86400
+        assert _parse_duration("90s") == 90.0
+        assert _parse_duration("30m") == 1800.0
+        assert _parse_duration("2d") == 2 * 86400
         assert _parse_duration("500ms") == 0.5
-        assert _parse_duration("1m30s500ms") == 90.5
+        assert _parse_duration("1w") == 604800.0
         assert _parse_duration("15") == 15.0
         assert _parse_duration("0.5") == 0.5
 
     def test_invalid_durations_raise(self):
+        """The vendored model.ParseDuration regex is a SINGLE
+        ``<integer><unit>`` group — compound (``1m30s``) and
+        fractional-unit (``1.5s``) forms get 400 like the reference."""
         import pytest
 
         from timbala_spark.server import _parse_duration
 
-        for bad in ["", "1x", "30s1m extra", "s", "1m30", "m30s", "1m 30s"]:
+        for bad in ["", "1x", "30s1m extra", "s", "1m30", "m30s",
+                    "1m 30s", "1m30s", "1h30m", "1.5s", "2d12h"]:
             with pytest.raises(ValueError):
                 _parse_duration(bad)
 

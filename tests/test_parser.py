@@ -276,3 +276,80 @@ def test_invalid_regex_is_syntax_error():
         parse('m{x=~"["}')
     with pytest.raises(PromQLSyntaxError):
         parse('m{x=~"[:^digit:]"}')  # negated POSIX class: unsupported
+
+
+class TestRe2Translation:
+    """re2_to_host named-group handling: escape-parity scan + name
+    stripping (Java rejects (?P<...> outright and `_` in group names)."""
+
+    def test_named_group_stripped(self):
+        from timbala_spark.promql.re2 import re2_to_host
+
+        assert re2_to_host("(?P<g>x)y") == "(x)y"
+        assert re2_to_host("(?P<my_name>x)y") == "(x)y"
+
+    def test_escaped_paren_not_a_group(self):
+        from timbala_spark.promql.re2 import re2_to_host
+
+        # \( is a literal paren — not a group opener
+        assert re2_to_host(r"\(?P<g>x") == r"\(?P<g>x"
+        # \\( is literal-backslash THEN a real group opener
+        assert re2_to_host(r"\\(?P<g>x)") == r"\\(x)"
+
+    def test_class_internal_literal_untouched(self):
+        from timbala_spark.promql.re2 import re2_to_host
+
+        assert re2_to_host("[(?P<]x") == "[(?P<]x"
+        # `]` first in class is a literal; class stays open past it
+        assert re2_to_host("[]a](?P<g>x)") == "[]a](x)"
+
+    def test_python_dialect_keeps_names(self):
+        from timbala_spark.promql.re2 import re2_to_host
+
+        assert re2_to_host("(?P<g>x)", dialect="python") == "(?P<g>x)"
+
+    def test_group_numbering_preserved(self):
+        import re
+
+        from timbala_spark.promql.re2 import re2_to_host
+
+        j = re2_to_host("(?P<a_b>x)(y)(?P<c>z)")
+        m = re.fullmatch(j, "xyz")
+        assert m and m.group(1) == "x" and m.group(2) == "y" and m.group(3) == "z"
+
+
+class TestGoTemplateRefs:
+    """Go regexp.Expand extract(): leading-zero / >=1e8 digit runs are
+    NAMES, not numeric group refs (regexp.go extract)."""
+
+    def test_digit_classification(self):
+        from timbala_spark.compiler import _template_ref
+
+        assert _template_ref("1") == 1
+        assert _template_ref("0") == 0
+        assert _template_ref("01") == "01"
+        assert _template_ref("007") == "007"
+        assert _template_ref("99999999") == 99999999
+        assert _template_ref("1000000000") == "1000000000"
+        assert _template_ref("name") == "name"
+        assert _template_ref("1a") == "1a"
+
+
+def test_go_fmt_str_matches_go_percent_v():
+    """_go_fmt_str replicates strconv.FormatFloat(v,'g',-1,64) (Go %v)."""
+    from timbala_spark.compiler import _go_fmt_str
+
+    assert _go_fmt_str(float("nan")) == "NaN"
+    assert _go_fmt_str(float("inf")) == "+Inf"
+    assert _go_fmt_str(float("-inf")) == "-Inf"
+    assert _go_fmt_str(0.0) == "0"
+    assert _go_fmt_str(-0.0) == "-0"
+    assert _go_fmt_str(1.5) == "1.5"
+    assert _go_fmt_str(-2.0) == "-2"
+    # decimal form up to 1e21, exponent form beyond ('g' shortest rule)
+    assert _go_fmt_str(1e19) == "10000000000000000000"
+    assert _go_fmt_str(1e21) == "1e+21"
+    assert _go_fmt_str(1.5e22) == "1.5e+22"
+    assert _go_fmt_str(1e-4) == "0.0001"
+    assert _go_fmt_str(1e-5) == "1e-05"
+    assert _go_fmt_str(123456789012345680.0) == "123456789012345680"

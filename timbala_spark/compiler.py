@@ -327,11 +327,29 @@ def _expand_template_parts(template: str) -> list[tuple[str, object]]:
         if lit:
             parts.append(("lit", "".join(lit)))
             lit = []
-        parts.append(("ref", int(name) if name.isdigit() else name))
+        parts.append(("ref", _template_ref(name)))
         i = k
     if lit:
         parts.append(("lit", "".join(lit)))
     return parts
+
+
+def _template_ref(name: str) -> object:
+    """Classify a ``$name`` reference as a numeric group index or a
+    group name, replicating Go ``regexp`` ``extract()``: a digit run is
+    numeric only if it has no leading zero (``$01`` is the *name*
+    ``01``) and its value never reaches 1e8 while accumulating digits
+    left-to-right."""
+    if not name.isdigit():
+        return name
+    if name[0] == "0" and len(name) > 1:
+        return name
+    num = 0
+    for ch in name:
+        if num >= 10**8:
+            return name
+        num = num * 10 + ord(ch) - ord("0")
+    return num
 
 
 def _raise_if(cond: Column, value: Column, message: str) -> Column:
@@ -340,6 +358,46 @@ def _raise_if(cond: Column, value: Column, message: str) -> Column:
     `message` — the DataFrame analog of the reference's panic/recover
     error propagation (``engine.go:588-614``)."""
     return F.when(cond, F.raise_error(F.lit(message))).otherwise(value)
+
+
+def _go_fmt_str(x: float) -> str:
+    """Go ``fmt %v`` of a float64 — ``strconv.FormatFloat(x, 'g', -1,
+    64)``: shortest round-trip digits, decimal form unless the decimal
+    exponent is < -4 or >= 21 (strconv/ftoa.go 'g' with shortest=true).
+    Used for driver-side error messages (engine.go:640 ``%v``)."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "+Inf" if x > 0 else "-Inf"
+    if x == 0:
+        return "-0" if math.copysign(1.0, x) < 0 else "0"
+    neg = x < 0
+    import decimal
+
+    sign, digits, exponent = decimal.Decimal(repr(abs(x))).as_tuple()
+    digits = list(digits)
+    while len(digits) > 1 and digits[-1] == 0:
+        digits.pop()
+        exponent += 1
+    nd = len(digits)
+    dp = nd + exponent  # value = 0.d1d2... * 10^dp
+    exp = dp - 1
+    if exp < -4 or exp >= 21:
+        mant = str(digits[0])
+        if nd > 1:
+            mant += "." + "".join(map(str, digits[1:]))
+        body = f"{mant}e{'+' if exp >= 0 else '-'}{abs(exp):02d}"
+    elif dp <= 0:
+        body = "0." + "0" * (-dp) + "".join(map(str, digits))
+    elif dp >= nd:
+        body = "".join(map(str, digits)) + "0" * (dp - nd)
+    else:
+        body = (
+            "".join(map(str, digits[:dp]))
+            + "."
+            + "".join(map(str, digits[dp:]))
+        )
+    return ("-" + body) if neg else body
 
 
 _GO_FMT_UDF = None
@@ -921,11 +979,16 @@ class Compiler:
         op = node.op
         if op in ("topk", "bottomk"):
             k = self._const_param(node.param, "topk/bottomk")
-            # Go truncates the scalar param with int(k); int(NaN) on
-            # amd64 is the minimum integer, so topk(NaN, v) silently
-            # selects nothing rather than erroring (engine.go evalInt
-            # has no integral check in the vendored version)
-            k = -1 if math.isnan(k) else int(k)
+            # evalInt (engine.go:636-643) rejects params that fail
+            # convertibleToInt64 — NaN fails both comparisons, so
+            # topk(NaN, v) is a query error, not an empty result
+            # convertibleToInt64 compares in float64 space, where
+            # maxInt64 rounds up to 2^63 (engine.go:59-62)
+            if math.isnan(k) or not (-(2.0**63) <= k <= 2.0**63):
+                raise PromQLEvalError(
+                    f"Scalar value {_go_fmt_str(k)} overflows int64"
+                )
+            k = int(k)
             if k < 1:
                 return VectorValue(
                     self.ctx.spark.createDataFrame([], _vv(df).schema)
@@ -1000,9 +1063,16 @@ class Compiler:
             if math.isnan(q):
                 # the reference's quantile() indexes values[int(NaN)]
                 # and dies with a recovered runtime panic → query error
-                # (quantile.go:183-190); surface the same failure shape
-                raise PromQLEvalError(
-                    "quantile: invalid quantile value NaN"
+                # (quantile.go:183-190) — but only when a group is
+                # actually evaluated: quantile(NaN, absent_metric) is an
+                # empty result, so the failure must be deferred to the
+                # data path, not raised at compile time
+                return F.max(
+                    _raise_if(
+                        F.isnan(v) | ~F.isnan(v),
+                        v,
+                        "quantile: invalid quantile value NaN",
+                    )
                 )
             if q < 0:
                 return F.max(F.lit(-INF)).cast("double")
@@ -1426,9 +1496,17 @@ class Compiler:
         q = self._const_param(node.args[0], "quantile_over_time")
         if math.isnan(q):
             # same recovered-panic → error path as the quantile
-            # aggregator (quantile.go:183-190)
-            raise PromQLEvalError(
-                "quantile_over_time: invalid quantile value NaN"
+            # aggregator (quantile.go:183-190), deferred to evaluation so
+            # an empty range vector yields an empty result with no error
+            mv = F.col("_v")
+            return self._over_time(
+                node,
+                {"_v": F.max("v")},
+                _raise_if(
+                    F.isnan(mv) | ~F.isnan(mv),
+                    mv,
+                    "quantile_over_time: invalid quantile value NaN",
+                ),
             )
         if q < 0:
             final = F.lit(-INF).cast("double")

@@ -42,9 +42,16 @@ def re2_to_host(regex: str, dialect: str = "java") -> str:
     host form and are left for the host to reject explicitly.
 
     ``dialect="java"`` additionally rewrites RE2/Python-style named
-    groups ``(?P<name>...)`` to Java's ``(?<name>...)`` — Java rejects
-    the ``P`` form outright; ``dialect="python"`` leaves them (Python
-    only accepts the ``P`` form)."""
+    groups ``(?P<name>...)`` to plain capturing groups ``(...)`` — Java
+    rejects the ``P`` form outright, and also rejects RE2-legal group
+    names containing ``_``; dropping the name keeps group *numbering*
+    (and thus match semantics and ``regexp_extract`` indices) identical,
+    and PromQL never reads group names from matchers. The scan tracks
+    backslash-escape parity and character-class state properly, so
+    ``\\\\(?P<x>...)`` (escaped backslash, then a real group) is
+    rewritten while ``\\(?P<x>`` (escaped paren) and class-internal
+    literals are not. ``dialect="python"`` leaves them (Python only
+    accepts the ``P`` form)."""
 
     def sub(m: re.Match[str]) -> str:
         if m.group(1):
@@ -55,5 +62,46 @@ def re2_to_host(regex: str, dialect: str = "java") -> str:
 
     out = _POSIX_RE.sub(sub, regex)
     if dialect == "java":
-        out = re.sub(r"(?<!\\)\(\?P<", "(?<", out)
+        out = _strip_group_names(out)
     return out
+
+
+_NAME_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _strip_group_names(regex: str) -> str:
+    """Replace every real ``(?P<name>`` group opener with ``(``."""
+    out: list[str] = []
+    i, n = 0, len(regex)
+    in_class = False
+    class_start = -1
+    while i < n:
+        c = regex[i]
+        if c == "\\":
+            out.append(regex[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            # `]` is a literal immediately after `[` or `[^`
+            if c == "]" and i > class_start + (
+                2 if regex[class_start + 1 : class_start + 2] == "^" else 1
+            ):
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            class_start = i
+            out.append(c)
+            i += 1
+            continue
+        if regex.startswith("(?P<", i):
+            m = _NAME_RE.match(regex, i + 4)
+            if m and regex[m.end() : m.end() + 1] == ">":
+                out.append("(")
+                i = m.end() + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)

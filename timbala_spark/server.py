@@ -68,26 +68,24 @@ def _parse_time(s: str | None, default: float | None = None) -> float:
     return datetime.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
 
 
-_DUR_RE = re.compile(r"(\d+(?:\.\d+)?)(ms|s|m|h|d|w|y)")
+_DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
 
 
 def _parse_duration(s: str) -> float:
-    """Step parameter: float seconds or a Prometheus duration —
-    including compound forms like ``1m30s`` (model.ParseDuration accepts
-    repeated <number><unit> groups; summed here the same way)."""
+    """Step/timeout parameter, matching ``internal/api/v1/api.go``
+    ``parseDuration``: a float-seconds fast path (strconv.ParseFloat),
+    else the vendored ``model.ParseDuration`` regex
+    ``^([0-9]+)(y|w|d|h|m|s|ms)$`` — a SINGLE integer ``<number><unit>``
+    group; compound (``1m30s``) and fractional-unit (``1.5s``) forms are
+    rejected with 400 exactly as the reference does."""
     try:
         return float(s)
     except ValueError:
         pass
-    pos, total = 0, 0.0
-    for m in _DUR_RE.finditer(s):
-        if m.start() != pos:  # gap → junk between groups
-            raise ValueError(f"invalid duration {s!r}")
-        total += float(m.group(1)) * _DUR_UNITS[m.group(2)]
-        pos = m.end()
-    if pos == 0 or pos != len(s):
+    m = _DUR_RE.match(s)
+    if not m:
         raise ValueError(f"invalid duration {s!r}")
-    return total
+    return float(m.group(1)) * _DUR_UNITS[m.group(2)]
 
 
 class TimbalaServer:
