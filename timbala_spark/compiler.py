@@ -560,6 +560,63 @@ def _matrix_agg(
     ).drop("_labels")
 
 
+def _matrix_lagged(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
+    """Range-selector samples exploded onto the grid, each carrying its
+    per-series predecessor (``prev_ts``/``prev_v``).
+
+    The lag is computed ONCE per series over the scanned range — before
+    the grid explode — so consecutive-pair kernels (rate's counter
+    correction, resets, changes, irate) become plain hash aggregates
+    over the exploded grid instead of per-(series, step) interpreted
+    ``aggregate`` folds over ``collect_list`` arrays. Map-side partial
+    aggregation applies; the only sort is the per-series lag window over
+    the scan, whose size is bounded by scan duration / scrape interval
+    (not by corpus size). A predecessor OUTSIDE the step's window
+    (``prev_ts < step_t - range``) must be ignored by the kernel — the
+    pair isn't consecutive *within* that window.
+
+    Columns: series_id, step_t, ts, v, labels, prev_ts, prev_v.
+    """
+    lo = ctx.start - ms.range_ms - ms.offset_ms
+    hi = ctx.end - ms.offset_ms
+    base = _base_scan(ctx, ms.name, ms.matchers, lo, hi)
+    # stale markers (NULL v) never appear inside range vectors
+    # (engine.go:869); filter BEFORE the lag so consecutiveness is
+    # between retained samples
+    base = base.filter(F.col("v").isNotNull())
+    w = Window.partitionBy("series_id").orderBy("t")
+    base = base.withColumn("_prev_t", F.lag("t").over(w)).withColumn(
+        "prev_v", F.lag("v").over(w)
+    )
+    g = _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
+    return g.withColumn(
+        "prev_ts", (F.col("_prev_t") + F.lit(int(ms.offset_ms))).cast("long")
+    ).drop("_prev_t")
+
+
+def _pair_kernel_agg(
+    ms: MatrixSelector, ctx: EvalContext, pair_aggs
+) -> DataFrame:
+    """Aggregate a lagged range selector per (series, step) with plain
+    aggregate expressions over (ts, v, prev_ts, prev_v) — the shared
+    frame for rate/increase/delta/resets/changes/irate/idelta.
+
+    ``pair_aggs(prev_in_window)`` returns the aliased aggregate columns;
+    ``prev_in_window`` is the boolean marking rows whose predecessor is
+    inside the same step window.
+    """
+    g = _matrix_lagged(ms, ctx)
+    prev_in = F.col("prev_ts").isNotNull() & (
+        F.col("prev_ts") >= F.col("step_t") - F.lit(int(ms.range_ms))
+    )
+    out = g.groupBy("series_id", "step_t").agg(
+        F.max_by("labels", "ts").alias("_labels"), *pair_aggs(prev_in)
+    )
+    return out.withColumn(
+        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
+    ).drop("_labels")
+
+
 def _matrix_points(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
     """Collect the per-(series, step) window as a time-sorted array of
     (t, v) structs, for sequential kernels (rate family, holt_winters).
@@ -582,76 +639,6 @@ def _matrix_points(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # range-vector function kernels (all pure Spark SQL expressions)
-
-
-def _counter_correction(pts: Column, first_v: Column) -> Column:
-    """Sum of pre-reset values: += prev whenever v drops below the
-    previous sample (``extrapolatedRate``, ``functions.go:50-127``)."""
-    n = F.size(pts)
-    rest = F.slice(pts, 2, F.greatest(n - 1, F.lit(0)))
-    init = F.struct(
-        first_v.cast("double").alias("prev"), F.lit(0.0).cast("double").alias("corr")
-    )
-    # Go's `sample.V < lastValue` is FALSE when either side is NaN, so a
-    # NaN sample never triggers a correction (the rate stays finite when
-    # only interior samples are NaN); Spark ranks NaN above everything,
-    # which would add a bogus NaN correction on the NaN→x transition —
-    # guard both sides explicitly.
-    folded = F.aggregate(
-        rest,
-        init,
-        lambda acc, x: F.struct(
-            x["v"].cast("double").alias("prev"),
-            (
-                acc["corr"]
-                + F.when(
-                    ~F.isnan(x["v"]) & ~F.isnan(acc["prev"])
-                    & (x["v"] < acc["prev"]),
-                    acc["prev"],
-                ).otherwise(F.lit(0.0))
-            ).alias("corr"),
-        ),
-    )
-    return folded["corr"]
-
-
-def _extrapolated_rate_expr(
-    pts: Column, step_t: Column, range_ms: int, is_counter: bool, is_rate: bool
-) -> Column:
-    """Bit-for-bit port of the extrapolation formula at
-    ``functions.go:99-119`` (see SURVEY.md §2.5): linear extrapolation to
-    the window edges, limited to half the average sample spacing beyond
-    the first/last sample, with the counter zero-point clamp."""
-    n = F.size(pts)
-    first = F.get(pts, 0)
-    last = F.get(pts, n - 1)
-    range_start = (step_t - F.lit(int(range_ms))).cast("double")
-    range_end = step_t.cast("double")
-    first_t = first["t"].cast("double")
-    last_t = last["t"].cast("double")
-    dur_start = (first_t - range_start) / F.lit(1000.0)
-    dur_end = (range_end - last_t) / F.lit(1000.0)
-    sampled = (last_t - first_t) / F.lit(1000.0)
-    avg_between = sampled / (n - 1).cast("double")
-    if is_counter:
-        base = last["v"] - first["v"] + _counter_correction(pts, first["v"])
-    else:
-        base = last["v"] - first["v"]
-    if is_counter:
-        dur_zero = sampled * (first["v"] / base)
-        dur_start = F.when(
-            (base > 0) & (first["v"] >= 0) & (dur_zero < dur_start), dur_zero
-        ).otherwise(dur_start)
-    threshold = avg_between * F.lit(1.1)
-    extrap = (
-        sampled
-        + F.when(dur_start < threshold, dur_start).otherwise(avg_between / 2)
-        + F.when(dur_end < threshold, dur_end).otherwise(avg_between / 2)
-    )
-    result = base * (extrap / sampled)
-    if is_rate:
-        result = result / F.lit(range_ms / 1000.0)
-    return result  # caller guarantees n >= 2
 
 
 def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
@@ -685,27 +672,6 @@ def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
     seeded = merge(init0, second)
     folded = F.aggregate(rest, seeded, merge)
     return folded["s1"]  # caller guarantees n >= 2
-
-
-def _fold_count(pts: Column, count_fn) -> Column:
-    """Count over consecutive sample pairs (resets/changes,
-    ``functions.go:730-776``)."""
-    n = F.size(pts)
-    rest = F.slice(pts, 2, F.greatest(n - 1, F.lit(0)))
-    first = F.get(pts, 0)
-    init = F.struct(
-        first["v"].cast("double").alias("prev"),
-        F.lit(0.0).cast("double").alias("cnt"),
-    )
-    folded = F.aggregate(
-        rest,
-        init,
-        lambda acc, x: F.struct(
-            x["v"].cast("double").alias("prev"),
-            (acc["cnt"] + count_fn(acc["prev"], x["v"])).alias("cnt"),
-        ),
-    )
-    return folded["cnt"]  # groups always contain >= 1 sample
 
 
 # ---------------------------------------------------------------------------
@@ -1524,15 +1490,73 @@ class Compiler:
 
     # ---- rate family -------------------------------------------------
     def _rate_like(self, node, is_counter: bool, is_rate: bool) -> VectorValue:
+        """Bit-for-bit port of the extrapolation formula at
+        ``functions.go:99-119`` (see SURVEY.md §2.5), expressed as plain
+        hash aggregates over the lag-carrying grid: first/last via
+        ``min_by``/``max_by`` on sample time, the counter reset
+        correction as a conditional ``sum`` over consecutive in-window
+        pairs, and the extrapolation arithmetic as post-aggregation
+        columns — all whole-stage-codegen friendly, with map-side
+        partial aggregation (no interpreted ``aggregate`` folds)."""
         ms = self._matrix_arg(node.args[0])
-        df = _matrix_points(ms, self.ctx)
-        # Filter the cheap precondition FIRST: a trailing isNotNull(v)
-        # filter would be pushed through the projection by Catalyst,
-        # duplicating the whole kernel expression into the filter.
-        df = df.filter(F.size("pts") >= 2)
-        val = _extrapolated_rate_expr(
-            F.col("pts"), F.col("step_t"), ms.range_ms, is_counter, is_rate
+        v, pv = F.col("v"), F.col("prev_v")
+
+        def aggs(prev_in):
+            cols = [
+                F.count(F.lit(1)).alias("_n"),
+                F.min("ts").alias("_first_t"),
+                F.max("ts").alias("_last_t"),
+                F.min_by("v", "ts").alias("_first_v"),
+                F.max_by("v", "ts").alias("_last_v"),
+            ]
+            if is_counter:
+                # Go's `sample.V < lastValue` is FALSE when either side
+                # is NaN, so a NaN sample never triggers a correction;
+                # Spark ranks NaN above everything, which would add a
+                # bogus NaN correction on the NaN→x transition — guard
+                # both sides explicitly (functions.go:50-127)
+                cols.append(
+                    F.sum(
+                        F.when(
+                            prev_in
+                            & ~F.isnan(v)
+                            & ~F.isnan(pv)
+                            & (v < pv),
+                            pv,
+                        ).otherwise(F.lit(0.0))
+                    ).alias("_corr")
+                )
+            return cols
+
+        df = _pair_kernel_agg(ms, self.ctx, aggs).filter(F.col("_n") >= 2)
+        n = F.col("_n")
+        first_v, last_v = F.col("_first_v"), F.col("_last_v")
+        range_start = (F.col("step_t") - F.lit(int(ms.range_ms))).cast("double")
+        range_end = F.col("step_t").cast("double")
+        first_t = F.col("_first_t").cast("double")
+        last_t = F.col("_last_t").cast("double")
+        dur_start = (first_t - range_start) / F.lit(1000.0)
+        dur_end = (range_end - last_t) / F.lit(1000.0)
+        sampled = (last_t - first_t) / F.lit(1000.0)
+        avg_between = sampled / (n - 1).cast("double")
+        if is_counter:
+            base = last_v - first_v + F.col("_corr")
+            # counter zero-point clamp (functions.go:107-113)
+            dur_zero = sampled * (first_v / base)
+            dur_start = F.when(
+                (base > 0) & (first_v >= 0) & (dur_zero < dur_start), dur_zero
+            ).otherwise(dur_start)
+        else:
+            base = last_v - first_v
+        threshold = avg_between * F.lit(1.1)
+        extrap = (
+            sampled
+            + F.when(dur_start < threshold, dur_start).otherwise(avg_between / 2)
+            + F.when(dur_end < threshold, dur_end).otherwise(avg_between / 2)
         )
+        val = base * (extrap / sampled)
+        if is_rate:
+            val = val / F.lit(ms.range_ms / 1000.0)
         out = df.select(
             "step_t",
             "labels",
@@ -1551,28 +1575,45 @@ class Compiler:
         return self._rate_like(node, is_counter=False, is_rate=False)
 
     def _instant_pair(self, node, is_rate: bool) -> VectorValue:
-        """irate/idelta from the last two samples (functions.go:144-191)."""
+        """irate/idelta from the last two samples (functions.go:144-191).
+
+        The last in-window sample's per-series predecessor IS the
+        second-to-last in-window sample whenever the window holds ≥2
+        samples (windows are intervals), so one ``max_by`` on the lagged
+        grid replaces the sorted-array indexing."""
         ms = self._matrix_arg(node.args[0])
-        df = _matrix_points(ms, self.ctx)
-        n = F.size(F.col("pts"))
-        last = F.get(F.col("pts"), n - 1)
-        prev = F.get(F.col("pts"), n - 2)
-        dt_ms = last["t"] - prev["t"]
-        # cheap preconditions first (see _rate_like)
-        df = df.filter((n >= 2) & (dt_ms != 0))
+
+        def aggs(prev_in):
+            return [
+                F.max_by(
+                    F.struct(
+                        F.col("ts"),
+                        F.col("v"),
+                        F.col("prev_ts"),
+                        F.col("prev_v"),
+                        prev_in.alias("prev_in"),
+                    ),
+                    "ts",
+                ).alias("_s")
+            ]
+
+        df = _pair_kernel_agg(ms, self.ctx, aggs)
+        s = F.col("_s")
+        dt_ms = s["ts"] - s["prev_ts"]
+        df = df.filter(s["prev_in"] & (dt_ms != 0))
         if is_rate:
             # Go's reset check `last < prev` is false on NaN (the
             # difference NaN propagates instead); Spark's NaN-is-greatest
             # ordering would take the reset branch and return a finite
             # value — guard so NaN pairs propagate NaN like the reference
             dv = F.when(
-                ~F.isnan(last["v"]) & ~F.isnan(prev["v"])
-                & (last["v"] < prev["v"]),
-                last["v"],
-            ).otherwise(last["v"] - prev["v"])
+                ~F.isnan(s["v"]) & ~F.isnan(s["prev_v"])
+                & (s["v"] < s["prev_v"]),
+                s["v"],
+            ).otherwise(s["v"] - s["prev_v"])
             val = dv / (dt_ms.cast("double") / F.lit(1000.0))
         else:
-            val = last["v"] - prev["v"]
+            val = s["v"] - s["prev_v"]
         out = df.select(
             "step_t", "labels", val.cast("double").alias("v"),
             F.lit(None).cast("long").alias("sample_t"),
@@ -1585,39 +1626,46 @@ class Compiler:
     def _fn_idelta(self, node):
         return self._instant_pair(node, is_rate=False)
 
-    def _fn_resets(self, node):
+    def _pair_count(self, node, count_cond) -> VectorValue:
+        """resets/changes (functions.go:730-776) as a conditional sum
+        over consecutive in-window pairs on the lagged grid; groups with
+        a single sample sum zero qualifying pairs → 0, like the fold."""
         ms = self._matrix_arg(node.args[0])
-        df = _matrix_points(ms, self.ctx)
-        # Go `cur < prev` is FALSE whenever either side is NaN
-        # (functions.go resets); Spark's ordering comparison instead
-        # ranks NaN above everything (so 2.0 < NaN would count a bogus
-        # reset on a NaN→2 transition) — guard both sides explicitly
-        cnt = _fold_count(
-            F.col("pts"),
-            lambda prev, cur: F.when(
-                ~F.isnan(prev) & ~F.isnan(cur) & (cur < prev), 1.0
-            ).otherwise(0.0),
-        )
+
+        def aggs(prev_in):
+            return [
+                F.sum(
+                    F.when(
+                        prev_in & count_cond(F.col("prev_v"), F.col("v")),
+                        1.0,
+                    ).otherwise(0.0)
+                ).alias("_cnt")
+            ]
+
+        df = _pair_kernel_agg(ms, self.ctx, aggs)
         out = df.select(
-            "step_t", "labels", cnt.cast("double").alias("v"),
+            "step_t", "labels", F.col("_cnt").cast("double").alias("v"),
             F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
 
+    def _fn_resets(self, node):
+        # Go `cur < prev` is FALSE whenever either side is NaN
+        # (functions.go resets); Spark's ordering comparison instead
+        # ranks NaN above everything (so 2.0 < NaN would count a bogus
+        # reset on a NaN→2 transition) — guard both sides explicitly
+        return self._pair_count(
+            node,
+            lambda prev, cur: ~F.isnan(prev) & ~F.isnan(cur) & (cur < prev),
+        )
+
     def _fn_changes(self, node):
-        ms = self._matrix_arg(node.args[0])
-        df = _matrix_points(ms, self.ctx)
-        cnt = _fold_count(
-            F.col("pts"),
-            lambda prev, cur: F.when(
-                (cur != prev) & ~(F.isnan(cur) & F.isnan(prev)), 1.0
-            ).otherwise(0.0),
+        # Spark's `!=` already treats NaN = NaN as equal (no change);
+        # keep the explicit guard for parity with functions.go anyway
+        return self._pair_count(
+            node,
+            lambda prev, cur: (cur != prev) & ~(F.isnan(cur) & F.isnan(prev)),
         )
-        out = df.select(
-            "step_t", "labels", cnt.cast("double").alias("v"),
-            F.lit(None).cast("long").alias("sample_t"),
-        )
-        return VectorValue(out)
 
     def _fn_holt_winters(self, node):
         ms = self._matrix_arg(node.args[0])
