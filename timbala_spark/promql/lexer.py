@@ -168,6 +168,7 @@ def _unquote(s: str, pos: int) -> str:
 def tokenize(src: str) -> list[Token]:
     toks: list[Token] = []
     i, n = 0, len(src)
+    brace_depth = 0
     while i < n:
         c = src[i]
         if c in " \t\r\n":
@@ -178,6 +179,10 @@ def tokenize(src: str) -> list[Token]:
                 i += 1
             continue
         if c in "(){}[],":
+            if c == "{":
+                brace_depth += 1
+            elif c == "}":
+                brace_depth = max(brace_depth - 1, 0)
             toks.append(Token(c, c, i))
             i += 1
             continue
@@ -217,6 +222,17 @@ def tokenize(src: str) -> list[Token]:
             # `inf`/`nan` are number literals at the lexer level
             # (lex.go:272-274), never identifiers.
             kind = NUMBER if text.lower() in ("inf", "nan") else IDENT
+            # keywords are case-insensitive OUTSIDE braces
+            # (lexKeywordOrIdentifier does strings.ToLower before the
+            # key lookup, lex.go:853; lexIdentifier inside braces does
+            # not, lex.go:832-839) — canonicalize to lowercase so the
+            # parser's keyword comparisons match `SUM BY` / `OFFSET`
+            if (
+                kind == IDENT
+                and brace_depth == 0
+                and text.lower() in KEYWORDS
+            ):
+                text = text.lower()
             toks.append(Token(kind, text, i))
             i = m.end()
             continue
