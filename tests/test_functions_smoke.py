@@ -87,3 +87,34 @@ def test_function_evaluates(engine, name):
         assert len(rows) == 1
     else:
         assert len(rows) >= 1
+
+
+def test_go_fmt_jvm_expression(spark):
+    """_go_fmt (count_values label formatter) is a pure JVM expression
+    matching strconv.FormatFloat(v,'f',-1,64): shortest digits, never
+    exponent form, trailing fractional zeros trimmed. The one known
+    divergence is the minimum subnormal (JDK-4511638 pre-19 emits
+    '4.9E-324' where shortest is 5e-324) — unreachable in practice."""
+    import pyspark.sql.functions as F
+
+    from timbala_spark.compiler import _go_fmt
+
+    vals = [0.0, -0.0, 1.0, -2.0, 1.5, 0.1, 100.0, 123.45, 1e7, 1e-3,
+            1e-4, 1e19, 123456789012345680.0, -1.5e22, 2.5, 1 / 3,
+            1e21, 9.000000001, float("nan"), float("inf"), float("-inf")]
+    want = ["0", "-0", "1", "-2", "1.5", "0.1", "100", "123.45",
+            "10000000", "0.001", "0.0001", "10000000000000000000",
+            "123456789012345680", "-15000000000000000000000", "2.5",
+            "0.3333333333333333", "1000000000000000000000",
+            "9.000000001", "NaN", "+Inf", "-Inf"]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r["s"] for r in df.select(_go_fmt(F.col("v")).alias("s")).collect()]
+    assert got == want
+    # and it must be JVM-only: no Python eval node in the plan
+    plan = (
+        df.select(_go_fmt(F.col("v")).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan

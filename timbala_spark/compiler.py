@@ -400,36 +400,52 @@ def _go_fmt_str(x: float) -> str:
     return ("-" + body) if neg else body
 
 
-_GO_FMT_UDF = None
-
-
 def _go_fmt(col: Column) -> Column:
     """Go ``strconv.FormatFloat(v, 'f', -1, 64)`` — shortest round-trip
-    decimal, never exponent notation (``engine.go:1283-1284``)."""
-    global _GO_FMT_UDF
-    if _GO_FMT_UDF is None:
-        import decimal
+    decimal, never exponent notation (``engine.go:1283-1284``) — as a
+    pure JVM expression (no Python UDF on the PromQL path).
 
-        def _one(x):
-            if x is None:
-                return None
-            if math.isnan(x):
-                return "NaN"
-            if math.isinf(x):
-                return "+Inf" if x > 0 else "-Inf"
-            txt = format(decimal.Decimal(repr(x)), "f")
-            if "." in txt:
-                txt = txt.rstrip("0").rstrip(".")
-            return txt if txt not in ("", "-") else "0"
-
-        def go_fmt(it):
-            for s in it:
-                yield s.map(_one)
-
-        _GO_FMT_UDF = F.pandas_udf(
-            go_fmt, "string", F.PandasUDFType.SCALAR_ITER
+    ``cast(double as string)`` is Java ``Double.toString``: the same
+    unique-shortest digit sequence Go emits, rendered either plain
+    (``123.45``, for 1e-3 ≤ |v| < 1e7, always with a fraction part) or
+    as ``d.dddEp``. The plain form just needs its trailing fractional
+    zeros trimmed; the exponent form is re-expanded to decimal by
+    shifting the point. (Pre-19 JVMs may emit one extra digit than
+    strictly shortest for rare doubles — JDK-4511638; the goldens pin
+    the practically reachable cases.)"""
+    s = col.cast("string")
+    neg = s.startswith("-")
+    a = F.when(neg, F.substr(s, F.lit(2))).otherwise(s)
+    mant = F.split_part(a, F.lit("E"), F.lit(1))
+    expo = F.split_part(a, F.lit("E"), F.lit(2)).cast("int")
+    digits = F.replace(mant, F.lit("."), F.lit(""))
+    nd = F.length(digits)
+    dp = expo + F.lit(1)  # value = 0.<digits> * 10^dp (mantissa is d.ddd)
+    exp_body = (
+        F.when(dp >= nd, F.concat(digits, F.repeat(F.lit("0"), dp - nd)))
+        .when(
+            dp > 0,
+            F.concat(
+                F.substr(digits, F.lit(1), dp),
+                F.lit("."),
+                F.substr(digits, dp + 1),
+            ),
         )
-    return _GO_FMT_UDF(col)
+        .otherwise(F.concat(F.lit("0."), F.repeat(F.lit("0"), -dp), digits))
+    )
+    body = F.when(a.contains("E"), exp_body).otherwise(a)
+    # trim trailing fractional zeros (then a bare point): 100.0 -> 100,
+    # 0.0015900 -> 0.00159; integral trailing zeros have no '.' here
+    body = F.when(
+        body.contains("."), F.regexp_replace(body, r"\.?0+$", "")
+    ).otherwise(body)
+    body = F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == F.lit(INF), F.lit("+Inf"))
+        .when(col == F.lit(-INF), F.lit("-Inf"))
+        .otherwise(body)
+    )
 
 
 # ---------------------------------------------------------------------------
