@@ -70,12 +70,28 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.2,
-    max_postings: int | None = None,
+    max_postings: int | None = 256,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair of
     documents sharing at least one shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    ``max_postings`` (default 256) caps the inverted-index posting
+    lists used for CANDIDATE GENERATION: shingles occurring in more
+    than that many documents ("stop-shingles") generate no candidates,
+    bounding the self-join at ``max_postings²`` pairs per shingle —
+    without it, a 100 TB corpus's degenerate shingles (boilerplate,
+    common phrases) blow up quadratically on exactly the keys that
+    carry no signal. Capped candidates are then verified with an EXACT
+    ``array_intersect`` Jaccard over the full (uncapped) shingle sets,
+    so the cap is recall-only: reported values are exact, and the only
+    misses are pairs whose *every* shared shingle is a stop-shingle.
+    At a Jaccard threshold ≥ 0.2 such a pair would have to be built
+    almost entirely from >256-document boilerplate — run ``exact_dedup``
+    first (as ``near_dup_pipeline`` does) so identical copies don't
+    inflate posting lists. ``None`` opts out (pure inverted-index
+    count, no verify join: cheaper when the corpus is known clean).
     """
     sh = (
         ensure_parallelism(df)
@@ -88,7 +104,6 @@ def ngram_jaccard_pairs(
         # so shingling runs once (see minhash_lsh_pairs note)
     )
     sh = tracked_persist(sh)
-    sizes = sh.select("_id", "_n")
     posting = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_postings is not None:
         hot = (
@@ -100,22 +115,53 @@ def ngram_jaccard_pairs(
         posting = posting.join(F.broadcast(hot), "_s", "left_anti")
     a = posting.select(F.col("_id").alias("id_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), "_s")
-    shared = (
-        a.join(b, "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
-    )
-    out = (
-        shared.join(
+    if max_postings is not None:
+        # candidate pairs from capped postings; exact verify from the
+        # full shingle sets (ids-only shuffle for the candidate dedup)
+        cand = (
+            a.join(b, "_s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        out = (
+            cand.join(
+                sh.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("_sh").alias("_sha"),
+                    F.col("_n").alias("_na"),
+                ),
+                "id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("_sh").alias("_shb"),
+                    F.col("_n").alias("_nb"),
+                ),
+                "id_b",
+            )
+            .withColumn(
+                "_shared", F.size(F.array_intersect("_sha", "_shb"))
+            )
+        )
+    else:
+        sizes = sh.select("_id", "_n")
+        shared = (
+            a.join(b, "_s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+        out = shared.join(
             sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
-        )
-        .join(
+        ).join(
             sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
         )
-        .withColumn(
+    return (
+        out.withColumn(
             "jaccard",
             F.col("_shared")
             / (F.col("_na") + F.col("_nb") - F.col("_shared")).cast("double"),
@@ -123,7 +169,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def _perm_constants(num_hashes: int, seed: int = 42) -> list[int]:
