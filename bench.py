@@ -241,7 +241,9 @@ def _query_throughput_metric(spark, qs) -> dict:
         dt = time.monotonic() - t0
         secondary["query_throughput_qps"] = round(n_q / dt, 2)
         secondary["query_throughput_note"] = (
-            f"{n_q} warmed PromQL queries, {conc} concurrent; baseline >=5 q/s"
+            f"{n_q} warmed PromQL queries, {conc} concurrent, "
+            "engine plan cache on (repeat shapes skip Catalyst); "
+            "baseline >=5 q/s"
         )
     except Exception as e:
         print(f"bench: query throughput failed: {e}", file=sys.stderr)

@@ -14,6 +14,9 @@ milliseconds internally like the reference engine.
 
 from __future__ import annotations
 
+import threading
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .compiler import (
@@ -52,6 +55,32 @@ class Engine:
         self.lookback_ms = lookback_ms
         self.strict = strict
         self.max_points = max_points
+        # Compiled-plan cache: identical (promql, grid) requests return
+        # the SAME DataFrame object, so Catalyst analysis/optimization
+        # runs once per distinct query shape — the analog of the
+        # reference parsing the expression once per request but our
+        # driver-side planning being the measured per-query overhead
+        # (PERF.md §6). Safe because `samples` is fixed for an Engine's
+        # lifetime (the HTTP layer rebuilds the Engine on writes) and a
+        # DataFrame is immutable. `plan_cache_size=0` disables.
+        self.plan_cache_size = 128
+        self._plan_cache: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self._plan_lock = threading.Lock()
+
+    def _cached_plan(self, key: tuple, build) -> DataFrame:
+        if self.plan_cache_size <= 0:
+            return build()
+        with self._plan_lock:
+            if key in self._plan_cache:
+                self._plan_cache.move_to_end(key)
+                return self._plan_cache[key]
+        df = build()
+        with self._plan_lock:
+            self._plan_cache[key] = df
+            self._plan_cache.move_to_end(key)
+            while len(self._plan_cache) > self.plan_cache_size:
+                self._plan_cache.popitem(last=False)
+        return df
 
     # -- public API ----------------------------------------------------
     def query(self, promql: str, ts: float, sorted: bool = False) -> DataFrame:
@@ -63,8 +92,13 @@ class Engine:
         needs (and the one serialization point in an otherwise
         shuffle-minimal plan at scale). The HTTP layer orders its
         (collected, bounded) wire output driver-side instead."""
-        expr = parse(promql)
         t_ms = _to_ms(ts)
+        return self._cached_plan(
+            ("i", promql, t_ms, sorted), lambda: self._query(promql, t_ms, sorted)
+        )
+
+    def _query(self, promql: str, t_ms: int, sorted: bool) -> DataFrame:
+        expr = parse(promql)
         ctx = self._ctx(t_ms, t_ms, 1)
         inner = _unparen(expr)
         if isinstance(inner, MatrixSelector):
@@ -82,12 +116,20 @@ class Engine:
     ) -> DataFrame:
         """Range query; ``step`` in seconds (api.go:187-250).
         ``sorted``: see :meth:`query`."""
+        start_ms, end_ms, step_ms = _to_ms(start), _to_ms(end), _to_ms(step)
+        return self._cached_plan(
+            ("r", promql, start_ms, end_ms, step_ms, sorted),
+            lambda: self._query_range(promql, start_ms, end_ms, step_ms, sorted),
+        )
+
+    def _query_range(
+        self, promql: str, start_ms: int, end_ms: int, step_ms: int, sorted: bool
+    ) -> DataFrame:
         expr = parse(promql)
         if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
             raise PromQLEvalError(
                 "invalid expression type for range query, must be scalar or instant vector"
             )
-        start_ms, end_ms, step_ms = _to_ms(start), _to_ms(end), _to_ms(step)
         if step_ms <= 0:
             raise PromQLEvalError("zero or negative query resolution step")
         if (end_ms - start_ms) // step_ms + 1 > self.max_points:
