@@ -791,3 +791,81 @@ class TestStreamingBatchEquivalence:
             assert len(streamed) == len(rows) - 1  # replica deduped
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestRuleFileParsing:
+    """VERDICT r4 stretch: the reference's rule-STATEMENT grammar
+    (parse.go:354-439) parses into evaluatable rules; a recorded
+    series must equal its source expression evaluated directly."""
+
+    RULES = """
+    job:metric1:sum{team = "x"} = sum(test_metric1)
+
+    ALERT Metric1High
+      IF sum(test_metric1) > 500
+      FOR 5m
+      LABELS { severity = "page" }
+      ANNOTATIONS { summary = "metric1 is high" }
+    """
+
+    def test_parse_shapes(self):
+        from timbala_spark.streaming.rules import (
+            AlertingRule,
+            RecordingRule,
+            parse_rule_file,
+        )
+
+        rec, alert = parse_rule_file(self.RULES)
+        assert isinstance(rec, RecordingRule)
+        assert rec.record == "job:metric1:sum"
+        assert rec.labels == {"team": "x"}
+        assert isinstance(alert, AlertingRule)
+        assert alert.name == "Metric1High"
+        assert alert.duration_ms == 300_000
+        assert alert.labels == {"severity": "page"}
+        assert alert.annotations == {"summary": "metric1 is high"}
+
+    def test_parse_errors(self):
+        import pytest
+
+        from timbala_spark.promql.lexer import PromQLSyntaxError
+        from timbala_spark.streaming.rules import parse_rule_file
+
+        # alerts require a vector expression (parse.go:380)
+        with pytest.raises(PromQLSyntaxError):
+            parse_rule_file("ALERT x IF 1 + 1")
+        # missing IF
+        with pytest.raises(PromQLSyntaxError):
+            parse_rule_file("ALERT x sum(y) > 1")
+        # garbage between statements
+        with pytest.raises(PromQLSyntaxError):
+            parse_rule_file("a = b ]")
+
+    def test_recorded_series_matches_source_expression(self, spark, api):
+        from timbala_spark.streaming.rules import (
+            evaluate_alert,
+            evaluate_rule,
+            parse_rule_file,
+        )
+
+        eng = api.engine
+        rec, alert = parse_rule_file(self.RULES)
+
+        out = evaluate_rule(eng, rec, 600)
+        want = eng.query_values("sum(test_metric1)", 600)
+        got = [(dict(r["labels"]), r["v"]) for r in out.collect()]
+        assert [v for _, v in got] == [v for _, v in want]
+        assert got[0][0] == {"__name__": "job:metric1:sum", "team": "x"}
+
+        fired = evaluate_alert(eng, alert, 600)
+        rows = fired.collect()
+        assert len(rows) == 1  # sum = 1001 > 500 fires
+        labels = dict(rows[0]["labels"])
+        assert labels["__name__"] == "ALERTS"
+        assert labels["alertname"] == "Metric1High"
+        assert labels["severity"] == "page"
+        assert rows[0]["v"] == 1.0
+
+        # below-threshold alert does not fire
+        alert2 = parse_rule_file("ALERT Low IF sum(test_metric1) > 2000")[0]
+        assert evaluate_alert(eng, alert2, 600).count() == 0

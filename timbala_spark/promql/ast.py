@@ -221,6 +221,31 @@ class Function:
     variadic: bool = False  # label_join's src labels
 
 
+@dataclass
+class RecordStmt:
+    """``name[{labels}] = expr`` recording rule (``promql/ast.go:74-84``).
+
+    The reference parser accepts the statement grammar even though
+    timbala wires no rule engine; the Spark-side evaluation lives in
+    ``streaming/rules.py``."""
+
+    name: str
+    labels: dict[str, str]
+    expr: Expr
+
+
+@dataclass
+class AlertStmt:
+    """``ALERT name IF expr [FOR d] [LABELS {..}] [ANNOTATIONS {..}]``
+    (``promql/ast.go:54-66``, ``parse.go:369-418``)."""
+
+    name: str
+    expr: Expr
+    duration_ms: int
+    labels: dict[str, str]
+    annotations: dict[str, str]
+
+
 def walk(expr: Expr):
     """Yield every node of the AST (pre-order)."""
     yield expr

@@ -58,6 +58,13 @@ KEYWORDS = {
     "group_right",
     "offset",
     "bool",
+    # rule-statement keywords (lex.go:220-226) — case-folded like the
+    # rest; the reference rejects these as metric names in queries too
+    "alert",
+    "if",
+    "for",
+    "labels",
+    "annotations",
     # aggregators are keywords in the reference lexer (lex.go:168-181)
     "sum",
     "avg",

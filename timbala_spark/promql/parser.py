@@ -462,6 +462,94 @@ def parse(src: str) -> Expr:
     return Parser(src).parse_expr()
 
 
+def parse_rules(src: str):
+    """Parse a rule file body into ``RecordStmt``/``AlertStmt`` lists
+    (``parse.go:354-439``): statements are ``name[{labels}] = expr``
+    recording rules or ``ALERT name IF expr [FOR d] [LABELS {..}]
+    [ANNOTATIONS {..}]`` alerting rules, concatenated freely."""
+    from .ast import AlertStmt, RecordStmt
+
+    p = Parser(src)
+    stmts: list = []
+    while p.peek().kind != EOF:
+        t = p.peek()
+        if t.kind != IDENT:
+            raise PromQLSyntaxError(
+                f"no valid statement detected at {t.pos} ({t.text!r})"
+            )
+        if t.text == "alert":
+            stmts.append(_parse_alert_stmt(p))
+        else:
+            stmts.append(_parse_record_stmt(p))
+    for s in stmts:
+        typecheck(s.expr)
+        if isinstance(s, AlertStmt) and s.expr.type != ValueType.VECTOR:
+            # alerts require an instant-vector expression (parse.go:380)
+            raise PromQLSyntaxError(
+                "alert expression must evaluate to an instant vector"
+            )
+    return stmts
+
+
+def _parse_label_set(p: Parser) -> dict[str, str]:
+    """``{name="value", ...}`` — equality pairs only (labelSet,
+    parse.go:556-580)."""
+    p.expect("{")
+    out: dict[str, str] = {}
+    while p.peek().kind != "}":
+        name = p.expect(IDENT)
+        if ":" in name.text:
+            raise PromQLSyntaxError(f"invalid label name {name.text!r}")
+        p.expect("=")
+        val = p.expect(STRING)
+        if name.text in out:
+            raise PromQLSyntaxError(f"duplicate label {name.text!r}")
+        out[name.text] = val.text
+        if not p.accept(","):
+            break
+    p.expect("}")
+    return out
+
+
+def _parse_record_stmt(p: Parser):
+    from .ast import RecordStmt
+
+    name = p.expect(IDENT).text
+    labels: dict[str, str] = {}
+    if p.peek().kind == "{":
+        labels = _parse_label_set(p)
+    p.expect("=")
+    expr = p.parse_binary(0)
+    return RecordStmt(name=name, labels=labels, expr=expr)
+
+
+def _parse_alert_stmt(p: Parser):
+    from .ast import AlertStmt
+    from .lexer import parse_duration_ms
+
+    p.next()  # 'alert'
+    name = p.expect(IDENT).text
+    if not p.accept_keyword("if"):
+        raise PromQLSyntaxError("expected 'IF' in alert statement")
+    expr = p.parse_binary(0)
+    duration_ms = 0
+    if p.accept_keyword("for"):
+        duration_ms = parse_duration_ms(p.expect(DURATION).text)
+    labels: dict[str, str] = {}
+    annotations: dict[str, str] = {}
+    if p.accept_keyword("labels"):
+        labels = _parse_label_set(p)
+    if p.accept_keyword("annotations"):
+        annotations = _parse_label_set(p)
+    return AlertStmt(
+        name=name,
+        expr=expr,
+        duration_ms=duration_ms,
+        labels=labels,
+        annotations=annotations,
+    )
+
+
 def parse_metric_selector(src: str) -> list[LabelMatcher]:
     """Parse a bare series selector (used by the /series API path,
     reference ``promql/parse.go:79-90``)."""
@@ -476,6 +564,7 @@ def parse_metric_selector(src: str) -> list[LabelMatcher]:
 
 __all__ = [
     "parse",
+    "parse_rules",
     "parse_metric_selector",
     "Parser",
     "PromQLSyntaxError",

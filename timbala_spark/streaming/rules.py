@@ -78,3 +78,81 @@ def append_rule_results(
         "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
     )
     out.write.mode("append").partitionBy("day").parquet(path)
+
+
+@dataclass
+class AlertingRule:
+    """``ALERT name IF expr [FOR d] [LABELS {..}] [ANNOTATIONS {..}]``
+    (the reference's AlertStmt, promql/ast.go:54-66). Evaluation emits
+    the Prometheus ``ALERTS{alertname=...}``-shaped series: one sample
+    per firing label set, value 1."""
+
+    name: str
+    expr: str
+    duration_ms: int = 0
+    labels: dict[str, str] = field(default_factory=dict)
+    annotations: dict[str, str] = field(default_factory=dict)
+
+
+def parse_rule_file(src: str) -> list[RecordingRule | AlertingRule]:
+    """Parse the reference's rule-file grammar (``parse.go:354-439``)
+    into evaluatable rule objects. Expressions are round-tripped
+    through the printer so a rule's `expr` is always a plain PromQL
+    string."""
+    from ..promql.ast import AlertStmt, RecordStmt
+    from ..promql.parser import parse_rules
+    from ..promql.printer import to_promql
+
+    out: list[RecordingRule | AlertingRule] = []
+    for s in parse_rules(src):
+        if isinstance(s, RecordStmt):
+            out.append(
+                RecordingRule(
+                    record=s.name, expr=to_promql(s.expr), labels=s.labels
+                )
+            )
+        else:
+            assert isinstance(s, AlertStmt)
+            out.append(
+                AlertingRule(
+                    name=s.name,
+                    expr=to_promql(s.expr),
+                    duration_ms=s.duration_ms,
+                    labels=s.labels,
+                    annotations=s.annotations,
+                )
+            )
+    return out
+
+
+def evaluate_alert(
+    engine: Engine, rule: AlertingRule, ts: float
+) -> DataFrame:
+    """One alert evaluation at ``ts``: label sets where the expression
+    returns samples are firing. Result is canonical samples named
+    ``ALERTS`` with ``alertname`` + the rule's extra labels, value 1
+    (the active-alert series convention)."""
+    out = engine.query(rule.expr, ts)
+    labels = F.map_filter(
+        F.col("labels"), lambda k, _v: k != METRIC_NAME_LABEL
+    )
+
+    def drop_key(key):
+        return lambda kk, _v: kk != key
+
+    pairs = [
+        F.lit(METRIC_NAME_LABEL),
+        F.lit("ALERTS"),
+        F.lit("alertname"),
+        F.lit(rule.name),
+    ]
+    labels = F.map_filter(labels, drop_key("alertname"))
+    for k, v in sorted(rule.labels.items()):
+        labels = F.map_filter(labels, drop_key(k))
+        pairs.extend([F.lit(k), F.lit(v)])
+    labels = F.map_concat(labels, F.create_map(*pairs))
+    return prepare_samples(
+        out.select(
+            labels.alias("labels"), F.col("t"), F.lit(1.0).alias("v")
+        )
+    )

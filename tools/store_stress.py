@@ -45,6 +45,7 @@ def main() -> None:
         write_samples_batch,
     )
 
+    evdir = tempfile.mkdtemp(prefix="store_stress_evlog_")
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("store-stress")
@@ -54,6 +55,9 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", evdir)
+        .config("spark.eventLog.compress", "false")
         .getOrCreate()
     )
 
@@ -97,15 +101,19 @@ def main() -> None:
     compact_s = round(time.monotonic() - t0, 1)
 
     eng = Engine(spark, read_samples_table(spark, store))
+    # bypass the engine's compiled-plan cache: a cached DataFrame's
+    # re-execution reuses shuffle map outputs, so repeat runs would
+    # measure shuffle-reuse, not query execution
+    eng.plan_cache_size = 0
     end_s = (BASE_MS + (samples_per_series - 1) * INTERVAL_S * 1000) / 1000.0
 
     def timed(fn):
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.monotonic()
             fn().collect()
             runs.append(round(time.monotonic() - t0, 2))
-        return statistics.median(runs), runs
+        return statistics.median(runs[1:]), runs  # runs[0] is cold
 
     day = 86_400.0
     shapes = {
@@ -139,6 +147,33 @@ def main() -> None:
         results[name] = med
         print(f"stress: {name}: median {med}s of {runs}", file=sys.stderr)
 
+    spark.stop()  # flush the event log
+
+    # spill audit over every task of the run (the "no stage spills past
+    # the memory budget" gate): task-end metrics carry memory/disk
+    # bytes spilled
+    mem_spill = disk_spill = 0
+    peak_exec_mem = 0
+    logs = []
+    for root, _dirs, files in os.walk(evdir):
+        logs.extend(os.path.join(root, f) for f in files if "eventLog" in f or f.startswith("local-") or f.startswith("app"))
+    for path in logs:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                mem_spill += tm.get("Memory Bytes Spilled", 0)
+                disk_spill += tm.get("Disk Bytes Spilled", 0)
+                peak_exec_mem = max(
+                    peak_exec_mem, tm.get("Peak Execution Memory", 0)
+                )
+    shutil.rmtree(evdir, ignore_errors=True)
+
     out = {
         "n_samples": n_rows,
         "n_series": METRICS * instances,
@@ -148,6 +183,9 @@ def main() -> None:
         "compact_s": compact_s,
         "cpus": int(CPUS),
         "shapes": results,
+        "memory_bytes_spilled": mem_spill,
+        "disk_bytes_spilled": disk_spill,
+        "peak_task_execution_memory": peak_exec_mem,
     }
     print(json.dumps(out))
     if not os.environ.get("STRESS_KEEP"):
