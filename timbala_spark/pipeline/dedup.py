@@ -112,7 +112,16 @@ def ngram_jaccard_pairs(
             .filter(F.col("count") > max_postings)
             .select("_s")
         )
-        posting = posting.join(F.broadcast(hot), "_s", "left_anti")
+        # adaptive: on a corpus with NO hot shingles (the common case
+        # after exact dedup) the capped candidate set IS the full one
+        # and every inverted-index count is exact — skip the exclusion
+        # join and the array-verify join entirely and take the pure
+        # count path below. One cheap aggregation over the persisted
+        # shingle stage decides; the capped path needs `hot` anyway.
+        if hot.isEmpty():
+            max_postings = None
+        else:
+            posting = posting.join(F.broadcast(hot), "_s", "left_anti")
     a = posting.select(F.col("_id").alias("id_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), "_s")
     if max_postings is not None:
