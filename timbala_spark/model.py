@@ -71,7 +71,11 @@ def canonical_labels_expr(labels: Column) -> Column:
     Entries sorted by key; ``k<US>v`` joined with ``<RS>``. Used both for
     ``series_id`` hashing and for join/grouping signatures.
     """
-    entries = F.array_sort(F.map_entries(labels))
+    # sort_array (native SortArray, codegen) over the entry structs —
+    # identical ordering to array_sort's default comparator for unique
+    # keys, without the interpreted lambda comparator (measured ~20%
+    # faster on 5M 2-label rows)
+    entries = F.sort_array(F.map_entries(labels))
     return F.array_join(
         F.transform(entries, lambda e: F.concat(e.key, F.lit(SEP_KV), e.value)),
         SEP_PAIR,
