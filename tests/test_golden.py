@@ -1185,6 +1185,45 @@ eval instant at 0m quantile_over_time(NaN, absent_metric[5m])
 """)
 
 
+def test_quantile_nan_sorts_first(spark):
+    """The value heap's comparator sorts NaN FIRST
+    (functions.go:1257-1262), so NaN samples occupy the lowest ranks
+    and the interpolation v[lo]*(1-w)+v[hi]*w propagates NaN whenever
+    an endpoint is NaN — Spark's percentile ranks NaN greatest, which
+    diverged (found by direct probing, r5)."""
+    run_golden(spark, """
+load 1m
+  m{i="a"} 1
+  m{i="b"} 2
+  m{i="c"} NaN
+  q{i="a"} 3 NaN 1
+
+eval instant at 0m quantile(0, m)
+  {} NaN
+
+eval instant at 0m quantile(0.25, m)
+  {} NaN
+
+eval instant at 0m quantile(0.5, m)
+  {} 1
+
+eval instant at 0m quantile(0.75, m)
+  {} 1.5
+
+eval instant at 0m quantile(1, m)
+  {} 2
+
+eval instant at 2m quantile_over_time(0.5, q[5m])
+  {i="a"} 1
+
+eval instant at 2m quantile_over_time(0.25, q[5m])
+  {i="a"} NaN
+
+eval instant at 2m quantile_over_time(1, q[5m])
+  {i="a"} 3
+""")
+
+
 def test_round_zero_and_label_join_no_sources(spark):
     """round(v, 0): Go computes 1/0 = Inf unguarded, so every value
     rounds to Inf/Inf = NaN (functions.go:332-350); Spark's

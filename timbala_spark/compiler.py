@@ -690,6 +690,44 @@ def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
     return folded["s1"]  # caller guarantees n >= 2
 
 
+def _go_quantile_agg(q: float, v: Column) -> Column:
+    """PromQL ``quantile()`` (``quantile.go:156-183``) as an aggregate
+    expression, with the reference's NaN placement: the value heap's
+    comparator sorts NaN FIRST (``functions.go:1257-1262`` —
+    ``Less(i,j)`` is true whenever ``s[i]`` is NaN), so NaN samples
+    occupy the lowest ranks and the interpolation
+    ``v[lo]·(1-w) + v[hi]·w`` propagates NaN whenever either endpoint
+    is NaN (including via ``NaN·0``). Spark's ``percentile`` instead
+    ranks NaN greatest — a measured divergence (r5) — so the sorted
+    array is built explicitly: non-NaN values ascending via
+    ``array_sort(collect_list(...))`` (NaN→null is dropped by
+    collect_list), with indexes below the group's NaN count reading as
+    NaN."""
+    cnt = F.count(F.lit(1)).cast("double")
+    nn = F.sum(F.when(F.isnan(v), 1).otherwise(0)).cast("double")
+    arr = F.array_sort(F.collect_list(F.when(~F.isnan(v), v)))
+    return _go_quantile_from_parts(q, cnt, nn, arr)
+
+
+def _go_quantile_from_parts(
+    q: float, cnt: Column, nn: Column, arr: Column
+) -> Column:
+    """Interpolate the Go quantile from (count, NaN-count, sorted
+    non-NaN values) — shared by the aggregator and
+    ``quantile_over_time``."""
+    rank = F.lit(q) * (cnt - 1)
+    lo = F.floor(rank).cast("double")  # q ∈ [0,1] → rank ≥ 0
+    hi = F.least(cnt - 1, lo + 1)
+    w = rank - lo
+
+    def val(i: Column) -> Column:
+        return F.when(i < nn, _nan_lit()).otherwise(
+            F.get(arr, (i - nn).cast("int"))
+        )
+
+    return val(lo) * (1 - w) + val(hi) * w
+
+
 # ---------------------------------------------------------------------------
 # compiler
 
@@ -1060,7 +1098,7 @@ class Compiler:
                 return F.max(F.lit(-INF)).cast("double")
             if q > 1:
                 return F.max(F.lit(INF)).cast("double")
-            return F.percentile(v, F.lit(q))
+            return _go_quantile_agg(q, v)
         raise PromQLEvalError(f"unknown aggregation {op!r}")
 
     def _const_param(self, param: Expr | None, what: str) -> float:
@@ -1491,17 +1529,30 @@ class Compiler:
                 ),
             )
         if q < 0:
-            final = F.lit(-INF).cast("double")
-        elif q > 1:
-            final = F.lit(INF).cast("double")
-        else:
-            final = F.col("_v")
-        # φ∉[0,1] → ∓Inf per quantile() semantics (functions.go) — but
-        # Spark's percentile() REJECTS out-of-range φ at analysis time,
-        # so feed it a placeholder; `final` ignores _v in those branches
-        q_safe = min(max(q, 0.0), 1.0)
+            # φ∉[0,1] → ∓Inf per quantile() semantics (functions.go)
+            return self._over_time(
+                node, {"_v": F.max("v")}, F.lit(-INF).cast("double")
+            )
+        if q > 1:
+            return self._over_time(
+                node, {"_v": F.max("v")}, F.lit(INF).cast("double")
+            )
+        v = F.col("v")
+        # Go quantile with NaN-first ordering (see _go_quantile_agg)
         return self._over_time(
-            node, {"_v": F.percentile(F.col("v"), F.lit(q_safe))}, final
+            node,
+            {
+                "_cnt": F.count(F.lit(1)).cast("double"),
+                "_nn": F.sum(F.when(F.isnan(v), 1).otherwise(0)).cast(
+                    "double"
+                ),
+                "_arr": F.array_sort(
+                    F.collect_list(F.when(~F.isnan(v), v))
+                ),
+            },
+            _go_quantile_from_parts(
+                q, F.col("_cnt"), F.col("_nn"), F.col("_arr")
+            ),
         )
 
     # ---- rate family -------------------------------------------------
