@@ -1185,6 +1185,47 @@ eval instant at 0m quantile_over_time(NaN, absent_metric[5m])
 """)
 
 
+def test_stddev_naive_formula_cancellation(spark):
+    """stddev/stdvar use the reference's one-pass sqsum/n - mean^2
+    (engine.go:1359-1407), kept bug-for-bug: at large magnitudes the
+    cancellation is observable — stdvar([1e8, 1e8+1]) is 0, not the
+    mathematically true 0.25. Cases chosen so every partial sum is an
+    exact integer < 2^53, making the result summation-order-proof."""
+    run_golden(spark, """
+load 1m
+  big{i="a"} 100000000
+  big{i="b"} 100000001
+  med{i="a"} 30000000
+  med{i="b"} 30000001
+  med{i="c"} 30000002
+
+eval instant at 0m stdvar(big)
+  {} 0
+
+eval instant at 0m stddev(big)
+  {} 0
+
+eval instant at 0m stdvar(med)
+  {} 0.625
+
+eval instant at 0m stddev(med)
+  {} 0.7905694150420949
+
+eval instant at 0m stddev(med) - 0.7905694150420949
+  {} 0
+""")
+    run_golden(spark, """
+load 1m
+  s 100000000 100000001
+
+eval instant at 1m stdvar_over_time(s[5m])
+  {} 0
+
+eval instant at 1m stddev_over_time(s[5m])
+  {} 0
+""")
+
+
 def test_quantile_nan_sorts_first(spark):
     """The value heap's comparator sorts NaN FIRST
     (functions.go:1257-1262), so NaN samples occupy the lowest ranks

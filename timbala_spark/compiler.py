@@ -690,6 +690,33 @@ def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
     return folded["s1"]  # caller guarantees n >= 2
 
 
+def _naive_var_expr(v: Column) -> Column:
+    """Population variance exactly as the reference computes it:
+    ``sqsum/n − mean²`` in one pass (``engine.go:1359-1407``,
+    ``functions.go:472-497``) — kept bug-for-bug rather than using
+    Spark's numerically stable ``var_pop``: the cancellation at large
+    magnitudes is observable reference behavior (``stdvar`` of
+    ``[3e9, 3e9+1, 3e9+2]`` is 1024, not ~0.67, and ``stddev`` goes
+    NaN when the cancellation lands negative)."""
+    n = F.count(F.lit(1)).cast("double")
+    mean = F.sum(v) / n
+    return F.sum(v * v) / n - mean * mean
+
+
+def _NAIVE_VAR_AGGS() -> dict[str, Column]:
+    v = F.col("v")
+    return {
+        "_n": F.count(F.lit(1)).cast("double"),
+        "_s": F.sum(v),
+        "_sq": F.sum(v * v),
+    }
+
+
+def _naive_var_final() -> Column:
+    mean = F.col("_s") / F.col("_n")
+    return F.col("_sq") / F.col("_n") - mean * mean
+
+
 def _go_quantile_agg(q: float, v: Column) -> Column:
     """PromQL ``quantile()`` (``quantile.go:156-183``) as an aggregate
     expression, with the reference's NaN placement: the value heap's
@@ -1075,9 +1102,9 @@ class Compiler:
             agg = F.min(clean) if op == "min" else F.max(clean)
             return F.coalesce(agg, _nan_lit())
         if op == "stddev":
-            return F.coalesce(F.stddev_pop(v), _nan_lit())
+            return F.sqrt(_naive_var_expr(v))
         if op == "stdvar":
-            return F.coalesce(F.var_pop(v), _nan_lit())
+            return _naive_var_expr(v)
         if op == "quantile":
             q = self._const_param(node.param, "quantile")
             if math.isnan(q):
@@ -1507,10 +1534,12 @@ class Compiler:
         )
 
     def _fn_stddev_over_time(self, node):
-        return self._over_time(node, {"_v": F.stddev_pop("v")}, F.col("_v"))
+        return self._over_time(
+            node, _NAIVE_VAR_AGGS(), F.sqrt(_naive_var_final())
+        )
 
     def _fn_stdvar_over_time(self, node):
-        return self._over_time(node, {"_v": F.var_pop("v")}, F.col("_v"))
+        return self._over_time(node, _NAIVE_VAR_AGGS(), _naive_var_final())
 
     def _fn_quantile_over_time(self, node):
         q = self._const_param(node.args[0], "quantile_over_time")
