@@ -1185,6 +1185,45 @@ eval instant at 0m quantile_over_time(NaN, absent_metric[5m])
 """)
 
 
+def test_pow_ieee_special_cases(spark):
+    """Go math.Pow is IEEE 754-2008: Pow(1, y) = 1 for ANY y and
+    Pow(-1, ±Inf) = 1; Java Math.pow returns NaN for |x|=1 with an
+    infinite exponent and for 1^NaN (found by direct probing, r5)."""
+    run_golden(spark, """
+load 1m
+  one 1
+  negone -1
+  nanm NaN
+
+eval instant at 0m one ^ NaN
+  {} 1
+
+eval instant at 0m one ^ Inf
+  {} 1
+
+eval instant at 0m negone ^ Inf
+  {} 1
+
+eval instant at 0m negone ^ (0 - Inf)
+  {} 1
+
+eval instant at 0m nanm ^ 0
+  {} 1
+
+eval instant at 0m nanm ^ 2
+  {} NaN
+
+eval instant at 0m negone ^ NaN
+  {} NaN
+
+eval instant at 0m 1 ^ NaN
+  1
+
+eval instant at 0m -1 ^ Inf
+  -1
+""")
+
+
 def test_stddev_naive_formula_cancellation(spark):
     """stddev/stdvar use the reference's one-pass sqsum/n - mean^2
     (engine.go:1359-1407), kept bug-for-bug: at large magnitudes the

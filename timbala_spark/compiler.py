@@ -217,7 +217,16 @@ def _arith_col(op: str, l: Column, r: Column) -> Column:
     if op == "%":
         return F.when(r == 0, _nan_lit()).otherwise(l % F.when(r != 0, r))
     if op == "^":
-        return F.power(l, r)
+        # Go math.Pow follows IEEE 754-2008: Pow(1, y) = 1 for ANY y
+        # (including NaN/±Inf) and Pow(-1, ±Inf) = 1; Java Math.pow
+        # returns NaN for |x| == 1 with an infinite exponent and for
+        # 1^NaN — guard those three divergent cases explicitly
+        return (
+            F.when(l == 1.0, F.lit(1.0))
+            .when((l == -1.0) & ~F.isnan(r) & (F.abs(r) == F.lit(INF)),
+                  F.lit(1.0))
+            .otherwise(F.power(l, r))
+        )
     raise PromQLEvalError(f"operator {op} not allowed")
 
 
