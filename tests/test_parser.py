@@ -255,13 +255,14 @@ class TestDurations:
         assert parse_duration_ms("1h") == 3_600_000
         assert parse_duration_ms("1d") == 86_400_000
         assert parse_duration_ms("1w") == 7 * 86_400_000
-        assert parse_duration_ms("1h30m") == 5_400_000
+        assert parse_duration_ms("90s") == 90_000
 
     def test_invalid(self):
-        with pytest.raises(PromQLSyntaxError):
-            parse_duration_ms("5")
-        with pytest.raises(PromQLSyntaxError):
-            parse_duration_ms("0s")
+        # the vendored model.ParseDuration is a single <int><unit>
+        # group: compound and fractional forms are syntax errors
+        for bad in ["5", "0s", "1h30m", "1m30s", "1.5s", "-5m"]:
+            with pytest.raises(PromQLSyntaxError):
+                parse_duration_ms(bad)
 
 
 def test_invalid_regex_is_syntax_error():

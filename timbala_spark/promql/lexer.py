@@ -97,14 +97,23 @@ _DUR_UNIT_MS = {
 }
 
 
+_SINGLE_DUR_RE = re.compile(r"([0-9]+)(ms|[smhdwy])")
+
+
 def parse_duration_ms(s: str) -> int:
-    """Duration string → milliseconds. Accepts compound forms (`1h30m`)
-    as a superset of the reference's single-unit durations."""
-    if not _DUR_RE.fullmatch(s):
-        raise PromQLSyntaxError(f"invalid duration {s!r}")
-    total = 0
-    for num, unit in re.findall(r"([0-9]+)(ms|[smhdwy])", s):
-        total += int(num) * _DUR_UNIT_MS[unit]
+    """Duration string → milliseconds.
+
+    The vendored ``model.ParseDuration`` regex is a SINGLE
+    ``<integer><unit>`` group (``^([0-9]+)(y|w|d|h|m|s|ms)$``,
+    common/model/time.go:178) and the promql parser routes every query
+    duration through it (``parse.go:1131-1139``), so compound forms
+    like ``1m30s`` are syntax errors — the lexer still consumes them
+    as one token so the error is a clean "not a valid duration" rather
+    than trailing-input noise."""
+    m = _SINGLE_DUR_RE.fullmatch(s)
+    if not m:
+        raise PromQLSyntaxError(f"not a valid duration string: {s!r}")
+    total = int(m.group(1)) * _DUR_UNIT_MS[m.group(2)]
     if total == 0:
         raise PromQLSyntaxError(f"duration must be greater than 0: {s!r}")
     return total

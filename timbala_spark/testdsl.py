@@ -25,7 +25,28 @@ from pyspark.sql import SparkSession
 
 from .engine import Engine
 from .model import METRIC_NAME_LABEL, prepare_samples
-from .promql.lexer import PromQLSyntaxError, parse_duration_ms
+from .promql.lexer import PromQLSyntaxError
+
+_DSL_DUR_RE = re.compile(r"([0-9]+)(ms|[smhdwy])")
+_DSL_UNIT_MS = {
+    "ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+    "d": 86_400_000, "w": 7 * 86_400_000, "y": 365 * 86_400_000,
+}
+
+
+def _dsl_duration_ms(s: str) -> int:
+    """Test-script timestamps accept COMPOUND durations (``2m30s``) —
+    a harness convenience; the query language itself is restricted to
+    the reference's single ``<int><unit>`` form."""
+    pos, total = 0, 0
+    for m in _DSL_DUR_RE.finditer(s):
+        if m.start() != pos:
+            raise PromQLSyntaxError(f"invalid duration {s!r}")
+        total += int(m.group(1)) * _DSL_UNIT_MS[m.group(2)]
+        pos = m.end()
+    if pos == 0 or pos != len(s):
+        raise PromQLSyntaxError(f"invalid duration {s!r}")
+    return total
 
 EPSILON = 1e-6
 
@@ -128,7 +149,7 @@ class GoldenTest:
             if not line or line.startswith("#"):
                 continue
             if line.startswith("load"):
-                step = parse_duration_ms(line.split()[1])
+                step = _dsl_duration_ms(line.split()[1])
                 while i < len(lines) and lines[i].startswith((" ", "\t")):
                     sline = lines[i].rstrip()
                     i += 1
@@ -154,7 +175,7 @@ class GoldenTest:
                 if re.fullmatch(r"0+(?:ms|[smhdwy])?", at):
                     at_ms = 0
                 else:
-                    at_ms = parse_duration_ms(at)
+                    at_ms = _dsl_duration_ms(at)
                 cmd = EvalCmd(
                     at_ms=at_ms,
                     query=q,
