@@ -39,6 +39,7 @@ from .lexer import (
     DURATION,
     EOF,
     IDENT,
+    KEYWORDS,
     LBRACE,
     LBRACKET,
     LPAREN,
@@ -253,6 +254,15 @@ class Parser:
             fn = get_function(t.text)
             if fn is not None and self.toks[self.pos + 1].kind == LPAREN:
                 return self.parse_call()
+            if t.text in KEYWORDS:
+                # a bare keyword (`on`, `bool`, `alert`, ...) lexes as
+                # its keyword item in the reference and can never start
+                # an expression (lex.go:201-234) — a metric by that
+                # name is only reachable via {__name__="on"}
+                raise PromQLSyntaxError(
+                    f"no valid expression found at position {t.pos} "
+                    f"({t.text!r} is a reserved keyword)"
+                )
             self.next()
             return self.parse_selector(t.text)
         raise PromQLSyntaxError(
