@@ -180,3 +180,87 @@ def test_quantile_matches_go_interpolation(random_engine):
         want = values[lo] * (1 - w) + values[hi] * w
         assert len(got) == 1
         assert got[0][1] == pytest.approx(want, rel=1e-9)
+
+
+def py_go_quantile(q, values):
+    """Port of quantile() (quantile.go:156-183) with the NaN-first
+    heap ordering (functions.go:1257-1262)."""
+    if not values:
+        return math.nan
+    if q < 0:
+        return -math.inf
+    if q > 1:
+        return math.inf
+    vals = sorted(values, key=lambda x: (not math.isnan(x), x))
+    n = len(vals)
+    rank = q * (n - 1)
+    lo = max(0, math.floor(rank))
+    hi = min(n - 1, lo + 1)
+    w = rank - math.floor(rank)
+    return vals[int(lo)] * (1 - w) + vals[int(hi)] * w
+
+
+def py_naive_var(values):
+    """Port of the one-pass stdvar (engine.go:1359-1407)."""
+    s = sq = 0.0
+    for v in values:
+        s += v
+        sq += v * v
+    mean = s / len(values)
+    return sq / len(values) - mean * mean
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_quantile_agg_matches_reference_port(random_engine, q):
+    """quantile() across series incl. NaN samples: the engine must
+    reproduce the NaN-first ordering and interpolation arithmetic."""
+    eng, rows = random_engine
+    eval_s = 1200
+    # per-series latest sample within lookback (the selector input)
+    latest = {}
+    for labels, t, v in rows:
+        if labels["__name__"] != "gauge":
+            continue
+        if t <= eval_s * 1000 and (eval_s * 1000) - t <= 5 * 60 * 1000:
+            key = labels["series"]
+            if key not in latest or t > latest[key][0]:
+                latest[key] = (t, v)
+    values = [v for _, v in latest.values()]
+    # make some inputs NaN via an engine-side expression: gauge^0.5 of
+    # negative values is NaN with the same label sets
+    got = eng.query_values(f"quantile({q}, sqrt(gauge))", eval_s)
+    want = py_go_quantile(q, [math.sqrt(v) if v >= 0 else math.nan
+                              for v in values])
+    assert len(got) == 1
+    gv = got[0][1]
+    if math.isnan(want):
+        assert math.isnan(gv)
+    else:
+        assert gv == pytest.approx(want, rel=1e-12)
+
+
+def test_stdvar_agg_matches_reference_port(random_engine):
+    eng, rows = random_engine
+    eval_s = 1200
+    latest = {}
+    for labels, t, v in rows:
+        if labels["__name__"] != "gauge":
+            continue
+        if t <= eval_s * 1000 and (eval_s * 1000) - t <= 5 * 60 * 1000:
+            key = labels["series"]
+            if key not in latest or t > latest[key][0]:
+                latest[key] = (t, v)
+    values = [v for _, v in latest.values()]
+    got = eng.query_values("stdvar(gauge)", eval_s)
+    want = py_naive_var(values)
+    assert len(got) == 1
+    # summation order differs (Spark partials vs left fold): allow the
+    # relative wobble that reordering float sums can introduce
+    assert got[0][1] == pytest.approx(want, rel=1e-9)
+
+    got_ot = eng.query_values("stdvar_over_time(gauge[10m])", eval_s)
+    win = _windows(rows, "gauge", eval_s * 1000, 10 * 60 * 1000)
+    want_ot = {k: py_naive_var([v for _, v in pts]) for k, pts in win.items()}
+    assert {lab["series"]: v for lab, v in got_ot}.keys() == want_ot.keys()
+    for lab, v in got_ot:
+        assert v == pytest.approx(want_ot[lab["series"]], rel=1e-9)
