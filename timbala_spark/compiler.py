@@ -1275,12 +1275,18 @@ class Compiler:
         assert isinstance(inner, VectorValue)
         present = inner.df.select("step_t").distinct()
         missing = self.ctx.steps.join(present, "step_t", "left_anti")
-        pairs: list[Column] = []
+        by_name: dict[str, str] = {}
         if isinstance(inner_expr, VectorSelector):
-            # equality matchers only, __name__ excluded (functions.go:511-531)
+            # equality matchers only, __name__ excluded (functions.go:511-531).
+            # Duplicate matcher names (absent(x{a="1", a="2"})) produce a
+            # degenerate duplicate-label set upstream (labels.New does not
+            # dedup) — unrepresentable in a label MAP, so last-wins here.
             for m in inner_expr.matchers:
                 if m.type == MatchType.EQ and m.name != METRIC_NAME_LABEL:
-                    pairs.extend([F.lit(m.name), F.lit(m.value)])
+                    by_name[m.name] = m.value
+        pairs: list[Column] = []
+        for k, v in by_name.items():
+            pairs.extend([F.lit(k), F.lit(v)])
         labels = (
             F.create_map(*pairs)
             if pairs
