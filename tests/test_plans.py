@@ -102,3 +102,31 @@ class TestEventsPivotPlans:
         )
         assert "event_id" not in rs, rs
         assert "rangepartitioning" not in plan
+
+
+class TestRateKernelPlan:
+    def test_single_exchange_no_python(self, stored_engine):
+        """r5 lag-aggregate rate kernel: ONE exchange
+        (hashpartitioning on series_id for the per-series lag window);
+        the (series_id, step_t) aggregation reuses that partitioning —
+        a second exchange would mean the no-reshuffle property
+        regressed. No interpreted `aggregate` HOF and no Python
+        anywhere in the kernel."""
+        ts = (BASE_MS + 4 * DAY_MS + 49 * 60_000) / 1000
+        plan = _plan(
+            stored_engine.query_range("rate(m[30m])", ts - 3600, ts, 60)
+        )
+        # formatted plans list each Exchange's partitioning on an
+        # `Arguments: hashpartitioning(...)` detail line
+        kernel_exchanges = [
+            l
+            for l in plan.splitlines()
+            if "hashpartitioning" in l and "Arguments" in l
+        ]
+        assert len(kernel_exchanges) == 1, kernel_exchanges
+        assert "series_id" in kernel_exchanges[0]
+        assert "rangepartitioning" not in plan
+        assert "Python" not in plan
+        # the extrapolation runs as plain column projection, not as an
+        # interpreted lambda fold over collected arrays
+        assert "collect_list" not in plan
