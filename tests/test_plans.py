@@ -117,14 +117,16 @@ class TestRateKernelPlan:
             stored_engine.query_range("rate(m[30m])", ts - 3600, ts, 60)
         )
         # formatted plans list each Exchange's partitioning on an
-        # `Arguments: hashpartitioning(...)` detail line
-        kernel_exchanges = [
-            l
-            for l in plan.splitlines()
-            if "hashpartitioning" in l and "Arguments" in l
-        ]
+        # `Arguments: hashpartitioning(...)` detail line; the kernel's
+        # shuffle keys on series_id ALONE (the store's dict-attach side
+        # may add a small (series_id, name) exchange plus a broadcast —
+        # those are not the kernel)
+        import re as _re
+
+        kernel_exchanges = _re.findall(
+            r"Arguments: hashpartitioning\(series_id#\d+L?, \d+\)", plan
+        )
         assert len(kernel_exchanges) == 1, kernel_exchanges
-        assert "series_id" in kernel_exchanges[0]
         assert "rangepartitioning" not in plan
         assert "Python" not in plan
         # the extrapolation runs as plain column projection, not as an
