@@ -361,12 +361,13 @@ def _template_ref(name: str) -> object:
     return num
 
 
-def _raise_if(cond: Column, value: Column, message: str) -> Column:
+def _raise_if(cond: Column, value: Column, message: str | Column) -> Column:
     """Distributed lazy error: evaluates to `value` unless `cond` holds
     somewhere in the data, in which case the Spark job fails with
     `message` — the DataFrame analog of the reference's panic/recover
     error propagation (``engine.go:588-614``)."""
-    return F.when(cond, F.raise_error(F.lit(message))).otherwise(value)
+    msg = message if isinstance(message, Column) else F.lit(message)
+    return F.when(cond, F.raise_error(msg)).otherwise(value)
 
 
 def _go_fmt_str(x: float) -> str:
@@ -746,12 +747,14 @@ def _go_quantile_agg(q: float, v: Column) -> Column:
 
 
 def _go_quantile_from_parts(
-    q: float, cnt: Column, nn: Column, arr: Column
+    q: float | Column, cnt: Column, nn: Column, arr: Column
 ) -> Column:
     """Interpolate the Go quantile from (count, NaN-count, sorted
     non-NaN values) — shared by the aggregator and
-    ``quantile_over_time``."""
-    rank = F.lit(q) * (cnt - 1)
+    ``quantile_over_time``. ``q`` may be a Column for step-varying
+    params (the reference evaluates aggregation params per step)."""
+    qcol = q if isinstance(q, Column) else F.lit(q)
+    rank = qcol * (cnt - 1)
     lo = F.floor(rank).cast("double")  # q ∈ [0,1] → rank ≥ 0
     hi = F.least(cnt - 1, lo + 1)
     w = rank - lo
@@ -1034,31 +1037,58 @@ class Compiler:
 
         op = node.op
         if op in ("topk", "bottomk"):
-            k = self._const_param(node.param, "topk/bottomk")
-            # evalInt (engine.go:636-643) rejects params that fail
-            # convertibleToInt64 — NaN fails both comparisons, so
-            # topk(NaN, v) is a query error, not an empty result
-            # convertibleToInt64 compares in float64 space, where
-            # maxInt64 rounds up to 2^63 (engine.go:59-62)
-            if math.isnan(k) or not (-(2.0**63) <= k <= 2.0**63):
-                raise PromQLEvalError(
-                    f"Scalar value {_go_fmt_str(k)} overflows int64"
-                )
-            k = int(k)
-            if k < 1:
-                return VectorValue(
-                    self.ctx.spark.createDataFrame([], _vv(df).schema)
-                )
+            pv = self._scalar_param(node.param, "topk/bottomk")
             order = (
                 [F.isnan(F.col("v")).asc(), F.col("v").desc()]
                 if op == "topk"
                 else [F.isnan(F.col("v")).asc(), F.col("v").asc()]
             )
             w = Window.partitionBy("step_t", "_gsig").orderBy(*order)
+            if pv.const is not None:
+                k = pv.const
+                # evalInt (engine.go:636-643) rejects params that fail
+                # convertibleToInt64 — NaN fails both comparisons, so
+                # topk(NaN, v) is a query error, not an empty result
+                # convertibleToInt64 compares in float64 space, where
+                # maxInt64 rounds up to 2^63 (engine.go:59-62)
+                if math.isnan(k) or not (-(2.0**63) <= k <= 2.0**63):
+                    raise PromQLEvalError(
+                        f"Scalar value {_go_fmt_str(k)} overflows int64"
+                    )
+                k = int(k)
+                if k < 1:
+                    return VectorValue(
+                        self.ctx.spark.createDataFrame([], _vv(df).schema)
+                    )
+                k_col: Column = F.lit(k)
+            else:
+                # step-varying parameter (engine.go:1250-1258 re-runs
+                # evalInt at every step). The join is on the ≤11k-row
+                # step grid → broadcast; the evalInt failure happens in
+                # the data path only for steps that evaluate a group,
+                # like the reference's per-step panic.
+                kdf = self.ctx.scalar_df(pv).select(
+                    "step_t", F.col("v").alias("_kraw")
+                )
+                df = df.join(F.broadcast(kdf), "step_t", "inner")
+                kraw = F.col("_kraw")
+                bad = (
+                    F.isnan(kraw)
+                    | (kraw < F.lit(-(2.0**63)))
+                    | (kraw > F.lit(2.0**63))
+                )
+                msg = F.concat(
+                    F.lit("Scalar value "),
+                    _go_fmt(kraw),
+                    F.lit(" overflows int64"),
+                )
+                # Go int64(float64) truncates toward zero; k < 1 keeps
+                # no rows for that step (row_number starts at 1)
+                k_col = _raise_if(bad, kraw, msg).cast("long")
             out = (
                 df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= k)
-                .drop("_rn", "_gmap", "_gsig")
+                .filter(F.col("_rn") <= k_col)
+                .drop("_rn", "_gmap", "_gsig", "_kraw")
             )
             return VectorValue(_vv(out))
 
@@ -1083,7 +1113,19 @@ class Compiler:
             )
             return VectorValue(out)
 
-        agg_expr = self._agg_value_expr(node)
+        dynamic_q = False
+        if op == "quantile":
+            pv = self._scalar_param(node.param, "quantile")
+            if pv.const is None:
+                # step-varying φ: join it on the broadcast step grid so
+                # the aggregate can read it (constant within a group —
+                # step_t is part of the grouping key)
+                qdf = self.ctx.scalar_df(pv).select(
+                    "step_t", F.col("v").alias("_q")
+                )
+                df = df.join(F.broadcast(qdf), "step_t", "inner")
+                dynamic_q = True
+        agg_expr = self._agg_value_expr(node, dynamic_q=dynamic_q)
         grouped = df.groupBy("step_t", "_gsig").agg(
             F.first("_gmap").alias("labels"), agg_expr.alias("v")
         )
@@ -1095,7 +1137,9 @@ class Compiler:
         )
         return VectorValue(out)
 
-    def _agg_value_expr(self, node: AggregateExpr) -> Column:
+    def _agg_value_expr(
+        self, node: AggregateExpr, dynamic_q: bool = False
+    ) -> Column:
         v = F.col("v")
         op = node.op
         if op == "sum":
@@ -1115,6 +1159,27 @@ class Compiler:
         if op == "stdvar":
             return _naive_var_expr(v)
         if op == "quantile":
+            if dynamic_q:
+                # per-step φ (already joined as _q, constant per group);
+                # the reference re-checks φ at every evaluated step —
+                # NaN panics inside quantile() (quantile.go:183-190),
+                # φ<0 / φ>1 clamp to ∓Inf
+                qa = F.min(F.col("_q"))
+                cnt = F.count(F.lit(1)).cast("double")
+                nn = F.sum(F.when(F.isnan(v), 1).otherwise(0)).cast("double")
+                arr = F.array_sort(F.collect_list(F.when(~F.isnan(v), v)))
+                base = _go_quantile_from_parts(qa, cnt, nn, arr)
+                return (
+                    F.when(
+                        F.isnan(qa),
+                        F.raise_error(
+                            F.lit("quantile: invalid quantile value NaN")
+                        ),
+                    )
+                    .when(qa < 0, F.lit(-INF).cast("double"))
+                    .when(qa > 1, F.lit(INF).cast("double"))
+                    .otherwise(base)
+                )
             q = self._const_param(node.param, "quantile")
             if math.isnan(q):
                 # the reference's quantile() indexes values[int(NaN)]
@@ -1144,6 +1209,18 @@ class Compiler:
                 f"{what} parameter must be a constant scalar expression"
             )
         return float(val.const)
+
+    def _scalar_param(self, param: Expr | None, what: str) -> ScalarValue:
+        """Aggregation params are full scalar expressions in the
+        reference — evaluated at every step (engine.go:1250-1258), so
+        ``topk(scalar(count(x)), x)`` is legal and may vary over a
+        range query's grid."""
+        val = self.compile(param)
+        if not isinstance(val, ScalarValue):
+            raise PromQLEvalError(
+                f"{what} parameter must be a scalar expression"
+            )
+        return val
 
     # -- function calls ----------------------------------------------
     def _call(self, node: Call) -> Value:
