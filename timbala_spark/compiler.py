@@ -667,10 +667,16 @@ def _matrix_points(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
 # range-vector function kernels (all pure Spark SQL expressions)
 
 
-def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
+def _holt_winters_expr(
+    pts: Column, sf: float | Column, tf: float | Column
+) -> Column:
     """Double exponential smoothing, returning the last smoothed value
     (``functions.go:193-285``). A left fold: s0/s1/b carried through
-    ``aggregate`` with trend b = tf·(s1−s0) + (1−tf)·b from step 2 on."""
+    ``aggregate`` with trend b = tf·(s1−s0) + (1−tf)·b from step 2 on.
+    ``sf``/``tf`` may be Columns (outer references are legal inside
+    HOF lambdas) for step-varying parameters."""
+    sfc = sf if isinstance(sf, Column) else F.lit(sf)
+    tfc = tf if isinstance(tf, Column) else F.lit(tf)
     n = F.size(pts)
     first = F.get(pts, 0)
     second = F.get(pts, 1)
@@ -678,9 +684,9 @@ def _holt_winters_expr(pts: Column, sf: float, tf: float) -> Column:
 
     def merge(acc, x):
         b_new = F.when(acc["i"] == 1, acc["b"]).otherwise(
-            F.lit(tf) * (acc["s1"] - acc["s0"]) + F.lit(1.0 - tf) * acc["b"]
+            tfc * (acc["s1"] - acc["s0"]) + (F.lit(1.0) - tfc) * acc["b"]
         )
-        s1_new = F.lit(sf) * x["v"] + F.lit(1.0 - sf) * (acc["s1"] + b_new)
+        s1_new = sfc * x["v"] + (F.lit(1.0) - sfc) * (acc["s1"] + b_new)
         return F.struct(
             acc["s1"].alias("s0"),
             s1_new.alias("s1"),
@@ -1211,8 +1217,10 @@ class Compiler:
         return float(val.const)
 
     def _scalar_param(self, param: Expr | None, what: str) -> ScalarValue:
-        """Aggregation params are full scalar expressions in the
-        reference — evaluated at every step (engine.go:1250-1258), so
+        """Aggregation/function scalar params are full scalar
+        expressions in the reference — evaluated at every step
+        (engine.go:1250-1258 for aggregations, the per-step arg
+        evaluation in ``evalFloat`` for function calls), so
         ``topk(scalar(count(x)), x)`` is legal and may vary over a
         range query's grid."""
         val = self.compile(param)
@@ -1221,6 +1229,17 @@ class Compiler:
                 f"{what} parameter must be a scalar expression"
             )
         return val
+
+    def _scalar_col(
+        self, sv: ScalarValue, df: DataFrame, alias: str
+    ) -> tuple[DataFrame, Column]:
+        """Attach a (possibly step-varying) scalar to ``df`` as a
+        column. Constant scalars stay literals (no join); df-backed
+        scalars broadcast-join the ≤11k-row step grid on ``step_t``."""
+        if sv.const is not None:
+            return df, F.lit(float(sv.const)).cast("double")
+        sdf = self.ctx.scalar_df(sv).select("step_t", F.col("v").alias(alias))
+        return df.join(F.broadcast(sdf), "step_t"), F.col(alias)
 
     # -- function calls ----------------------------------------------
     def _call(self, node: Call) -> Value:
@@ -1278,31 +1297,47 @@ class Compiler:
         return self._elementwise(node, self._go_log(F.log10))
 
     def _fn_round(self, node):
-        nearest = (
-            self._const_param(node.args[1], "round") if len(node.args) == 2 else 1.0
-        )
-        # Go computes 1.0/toNearest without guarding zero: ±0 → ±Inf,
-        # and every value rounds to Inf/Inf = NaN (functions.go:332-350).
-        # Python's ZeroDivisionError must not leak instead.
-        inv = (
-            math.copysign(math.inf, nearest)
-            if nearest == 0
-            else 1.0 / nearest
-        )
+        if len(node.args) == 2:
+            pv = self._scalar_param(node.args[1], "round")
+        else:
+            pv = ScalarValue(const=1.0)
+        if pv.const is not None:
+            # Go computes 1.0/toNearest without guarding zero: ±0 → ±Inf,
+            # and every value rounds to Inf/Inf = NaN (functions.go:332-350).
+            # Python's ZeroDivisionError must not leak instead.
+            nearest = pv.const
+            inv_col = F.lit(
+                math.copysign(math.inf, nearest)
+                if nearest == 0
+                else 1.0 / nearest
+            ).cast("double")
+            arg = self.compile(node.args[0])
+            assert isinstance(arg, VectorValue)
+            df = arg.df
+        else:
+            # step-varying toNearest: joined per step; double division
+            # follows IEEE (1.0/±0.0 = ±Inf), matching the Go line
+            arg = self.compile(node.args[0])
+            assert isinstance(arg, VectorValue)
+            df, ncol = self._scalar_col(pv, arg.df, "_nearest")
+            inv_col = F.lit(1.0) / ncol
+
         # ties round up, via floor(v·inv + 0.5)/inv (functions.go:331-350).
         # Spark's floor() returns BIGINT and clamps ±Inf/huge doubles to
         # long range (so round(v, 0) would yield maxlong/Inf = 0, not
         # Go's Inf/Inf = NaN); Go's float floor is the identity for NaN
         # and every |x| >= 2^53 (all integral doubles) — branch there.
         big = F.lit(9007199254740992.0)  # 2^53
-        def _round(v):
-            prod = v * F.lit(inv) + F.lit(0.5)
-            floored = F.when(
-                F.isnan(prod) | (F.abs(prod) >= big), prod
-            ).otherwise(F.floor(prod).cast("double"))
-            return floored / F.lit(inv)
-
-        return self._elementwise(node, _round)
+        prod = F.col("v") * inv_col + F.lit(0.5)
+        floored = F.when(
+            F.isnan(prod) | (F.abs(prod) >= big), prod
+        ).otherwise(F.floor(prod).cast("double"))
+        out = (
+            df.withColumn("v", (floored / inv_col).cast("double"))
+            .withColumn("labels", _DROP_NAME())
+            .drop("_nearest")
+        )
+        return VectorValue(_vv(out))
 
     def _clamp(self, node, is_max: bool):
         arg = self.compile(node.args[0])
@@ -1634,7 +1669,50 @@ class Compiler:
         return self._over_time(node, _NAIVE_VAR_AGGS(), _naive_var_final())
 
     def _fn_quantile_over_time(self, node):
-        q = self._const_param(node.args[0], "quantile_over_time")
+        pv = self._scalar_param(node.args[0], "quantile_over_time")
+        if pv.const is None:
+            # step-varying φ: aggregate the window parts, then join the
+            # per-step φ and interpolate with the column-q kernel;
+            # NaN-φ errors only for (series, step) cells that evaluate,
+            # like the reference's in-loop panic (quantile.go:183-190)
+            v = F.col("v")
+            ms = self._matrix_arg(node.args[1])
+            df = _matrix_agg(
+                ms,
+                self.ctx,
+                {
+                    "_cnt": F.count(F.lit(1)).cast("double"),
+                    "_nn": F.sum(F.when(F.isnan(v), 1).otherwise(0)).cast(
+                        "double"
+                    ),
+                    "_arr": F.array_sort(
+                        F.collect_list(F.when(~F.isnan(v), v))
+                    ),
+                },
+            )
+            df, qcol = self._scalar_col(pv, df, "_q")
+            base = _go_quantile_from_parts(
+                qcol, F.col("_cnt"), F.col("_nn"), F.col("_arr")
+            )
+            val = (
+                F.when(
+                    F.isnan(qcol),
+                    F.raise_error(
+                        F.lit("quantile_over_time: invalid quantile value NaN")
+                    ),
+                )
+                .when(qcol < 0, F.lit(-INF).cast("double"))
+                .when(qcol > 1, F.lit(INF).cast("double"))
+                .otherwise(base)
+            )
+            out = df.select(
+                "step_t",
+                "labels",
+                val.cast("double").alias("v"),
+                F.lit(None).cast("long").alias("sample_t"),
+            )
+            return VectorValue(out)
+        q = pv.const
         if math.isnan(q):
             # same recovered-panic → error path as the quantile
             # aggregator (quantile.go:183-190), deferred to evaluation so
@@ -1857,17 +1935,43 @@ class Compiler:
 
     def _fn_holt_winters(self, node):
         ms = self._matrix_arg(node.args[0])
-        sf = self._const_param(node.args[1], "holt_winters smoothing factor")
-        tf = self._const_param(node.args[2], "holt_winters trend factor")
-        if not (0 < sf < 1):
-            raise PromQLEvalError(
-                f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
-            )
-        if not (0 < tf < 1):
-            raise PromQLEvalError(
-                f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
-            )
+        sfv = self._scalar_param(node.args[1], "holt_winters smoothing factor")
+        tfv = self._scalar_param(node.args[2], "holt_winters trend factor")
         df = _matrix_points(ms, self.ctx).filter(F.size("pts") >= 2)
+        sf: float | Column
+        tf: float | Column
+        if sfv.const is not None:
+            sf = sfv.const
+            if not (0 < sf < 1):
+                raise PromQLEvalError(
+                    f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
+                )
+        else:
+            df, sfc = self._scalar_col(sfv, df, "_sf")
+            sf = _raise_if(
+                ~((sfc > 0) & (sfc < 1)),
+                sfc,
+                F.concat(
+                    F.lit("invalid smoothing factor. Expected: 0 < sf < 1, got: "),
+                    _go_fmt(sfc),
+                ),
+            )
+        if tfv.const is not None:
+            tf = tfv.const
+            if not (0 < tf < 1):
+                raise PromQLEvalError(
+                    f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
+                )
+        else:
+            df, tfc = self._scalar_col(tfv, df, "_tf")
+            tf = _raise_if(
+                ~((tfc > 0) & (tfc < 1)),
+                tfc,
+                F.concat(
+                    F.lit("invalid trend factor. Expected: 0 < tf < 1, got: "),
+                    _go_fmt(tfc),
+                ),
+            )
         val = _holt_winters_expr(F.col("pts"), sf, tf)
         out = df.select(
             "step_t", "labels", val.cast("double").alias("v"),
@@ -1904,9 +2008,10 @@ class Compiler:
         if predict_seconds is None:
             val = slope
         else:
-            k = self._const_param(predict_seconds, "predict_linear")
+            pv = self._scalar_param(predict_seconds, "predict_linear")
+            out, kcol = self._scalar_col(pv, out, "_t")
             intercept = F.col("_avgv") - slope * F.col("_avgx")
-            val = slope * F.lit(k) + intercept
+            val = slope * kcol + intercept
         out = out.filter(F.col("_n") >= 2).select(
             "step_t",
             restrict_labels_expr(F.col("_labels"), drop_name=True).alias("labels"),
@@ -1923,7 +2028,7 @@ class Compiler:
 
     # ---- histogram_quantile ------------------------------------------
     def _fn_histogram_quantile(self, node):
-        q = self._const_param(node.args[0], "histogram_quantile")
+        pv = self._scalar_param(node.args[0], "histogram_quantile")
         inner = self.compile(node.args[1])
         assert isinstance(inner, VectorValue)
         df = inner.df
@@ -1948,7 +2053,10 @@ class Compiler:
                 F.collect_list(F.struct(F.col("_le").alias("le"), F.col("v")))
             ).alias("bk"),
         )
-        val = self._bucket_quantile_expr(F.col("bk"), q)
+        g, qcol = self._scalar_col(pv, g, "_q")
+        val = self._bucket_quantile_expr(
+            F.col("bk"), pv.const if pv.const is not None else qcol
+        )
         out = g.select(
             "step_t",
             "labels",
@@ -1958,13 +2066,26 @@ class Compiler:
         return VectorValue(out)
 
     @staticmethod
-    def _bucket_quantile_expr(bk: Column, q: float) -> Column:
+    def _bucket_quantile_expr(bk: Column, q: float | Column) -> Column:
         """``bucketQuantile`` + ``ensureMonotonic``
-        (``promql/quantile.go:49-153``) as a pure SQL expression."""
+        (``promql/quantile.go:49-153``) as a pure SQL expression.
+        ``q`` may be a Column for step-varying params — the φ∉[0,1]
+        clamps then move into the expression."""
+        if isinstance(q, Column):
+            body = Compiler._bucket_quantile_body(bk, q)
+            return (
+                F.when(q < 0, F.lit(-INF))
+                .when(q > 1, F.lit(INF))
+                .otherwise(body)
+            )
         if q < 0:
             return F.lit(-INF)
         if q > 1:
             return F.lit(INF)
+        return Compiler._bucket_quantile_body(bk, F.lit(q))
+
+    @staticmethod
+    def _bucket_quantile_body(bk: Column, q: Column) -> Column:
         n = F.size(bk)
         # ensureMonotonic: running max of cumulative counts
         empty = F.array().cast("array<struct<le:double,v:double>>")
@@ -1987,7 +2108,7 @@ class Compiler:
             ),
         )
         total = F.get(mono, n - 1)["v"]
-        rank = F.lit(q) * total
+        rank = q * total
         # counts are non-decreasing after ensureMonotonic, so the buckets
         # with count >= rank form a suffix. Go's sort.Search runs over
         # the first n-1 buckets ONLY (quantile.go:89) and lands on n-2's
