@@ -208,10 +208,13 @@ def _arith_col(op: str, l: Column, r: Column) -> Column:
     if op == "*":
         return l * r
     if op == "/":
-        zero_case = (
-            F.when(F.isnan(l) | (l == 0), _nan_lit())
-            .when(l > 0, F.lit(INF))
-            .otherwise(F.lit(-INF))
+        # IEEE keeps the divisor zero's SIGN: 1/-0 = -Inf. Spark's
+        # comparison can't see it (`-0.0 == 0.0`), but Math.pow can:
+        # pow(±0, -1) = ±Inf (and pow is not ANSI-guarded), so its
+        # signum recovers the zero's sign.
+        zero_sign = F.signum(F.power(r, F.lit(-1.0)))
+        zero_case = F.when(F.isnan(l) | (l == 0), _nan_lit()).otherwise(
+            F.lit(INF) * F.signum(l) * zero_sign
         )
         return F.when(r == 0, zero_case).otherwise(l / F.when(r != 0, r))
     if op == "%":
