@@ -83,6 +83,13 @@ class TestSelectors:
         e = parse('m{on="x"}')
         assert any(m.name == "on" for m in e.matchers)
 
+    def test_unknown_function(self):
+        # ident+'(' is unconditionally a call in the reference
+        # (parse.go primaryExpr -> call), so the error names the
+        # function instead of complaining about leftover input
+        with pytest.raises(PromQLSyntaxError, match="unknown function"):
+            parse("unknown_fn(1)")
+
     def test_operator_label_name_rejected(self):
         # operator tokens are not label names (parse.go:826-832)
         with pytest.raises(PromQLSyntaxError):

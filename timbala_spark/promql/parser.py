@@ -251,9 +251,6 @@ class Parser:
         if t.kind == IDENT:
             if t.text in AGGREGATORS:
                 return self.parse_aggregate()
-            fn = get_function(t.text)
-            if fn is not None and self.toks[self.pos + 1].kind == LPAREN:
-                return self.parse_call()
             if t.text in KEYWORDS:
                 # a bare keyword (`on`, `bool`, `alert`, ...) lexes as
                 # its keyword item in the reference and can never start
@@ -263,6 +260,16 @@ class Parser:
                     f"no valid expression found at position {t.pos} "
                     f"({t.text!r} is a reserved keyword)"
                 )
+            if self.toks[self.pos + 1].kind == LPAREN:
+                # the reference treats ident+'(' unconditionally as a
+                # call (parse.go primaryExpr → call), so a name missing
+                # from the registry is "unknown function", not a
+                # selector followed by junk
+                if get_function(t.text) is None:
+                    raise PromQLSyntaxError(
+                        f'unknown function with name "{t.text}"'
+                    )
+                return self.parse_call()
             self.next()
             return self.parse_selector(t.text)
         raise PromQLSyntaxError(
