@@ -101,6 +101,56 @@ class TestRangeSemantics:
         assert got[("0", 300000)] == 0.0
         assert got[("0", 600000)] == 50.0
 
+    def test_step_varying_topk_param(self, spark):
+        # the aggregation param is re-evaluated at every step
+        # (engine.go:1250-1258): `late` exists only from 2m on, so
+        # scalar(count(late)) is NaN->no rows at step 0m/1m and 1 after
+        rows = []
+        for i in range(20):
+            rows.append(({"__name__": "m", "s": "a"}, i * 60_000, 100.0))
+            rows.append(({"__name__": "m", "s": "b"}, i * 60_000, 50.0))
+            if i >= 2:
+                rows.append(({"__name__": "late", "s": "x"}, i * 60_000, 1.0))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # query only the window where `late` exists: before 2m the
+        # param is scalar() of an empty vector = NaN, which (correctly)
+        # errors — covered by the test below
+        out = eng.query_range(
+            "topk(scalar(count(late)), m)", 120, 240, 60
+        ).collect()
+        by_t = {}
+        for r in out:
+            by_t.setdefault(r["t"], []).append(dict(r["labels"])["s"])
+        assert sorted(by_t) == [120000, 180000, 240000]
+        for t in by_t:
+            assert by_t[t] == ["a"]  # k=1 keeps only the top series
+
+    def test_step_varying_topk_nan_step_errors(self, spark):
+        # a NaN param at ANY evaluated step fails the range query, like
+        # the reference's per-step evalInt panic
+        rows = []
+        for i in range(5):
+            rows.append(({"__name__": "m", "s": "a"}, i * 60_000, 100.0))
+            if i >= 2:
+                rows.append(({"__name__": "late", "s": "x"}, i * 60_000, 1.0))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        with pytest.raises(Exception, match="overflows int64"):
+            eng.query_range(
+                "topk(scalar(count(late)), m)", 0, 240, 60
+            ).collect()
+        # evalInt runs BEFORE the vector is examined
+        # (engine.go:1254-1258), so a NaN k errors even when the
+        # aggregated vector is empty — the check lives on the
+        # broadcast step grid, not the joined rows
+        with pytest.raises(Exception, match="overflows int64"):
+            eng.query("topk(scalar(count(late)), nonexistent)", 0).collect()
+
 
 class TestSeriesIdentity:
     def test_series_id_stable(self, spark):

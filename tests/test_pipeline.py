@@ -212,6 +212,46 @@ class TestMultimodal:
         plan = frame_sample_plan(media, every_n=5).collect()
         assert all(r["frame_idx"] % 5 == 0 for r in plan)
 
+    def test_resize_stub_raises(self, spark, documents):
+        from timbala_spark.pipeline.multimodal import (
+            resize_images,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, documents, n=6)
+        with pytest.raises(Exception):
+            resize_images(media, 32, 32, fake=False).collect()
+
+    def test_fake_resize_plumbing(self, spark, documents):
+        import hashlib
+
+        from timbala_spark.pipeline.multimodal import (
+            decode_features,
+            resize_images,
+            synthesize_media,
+        )
+
+        media = synthesize_media(spark, documents, n=9)
+        src = {r["media_id"]: r for r in media.collect()}
+        out = resize_images(media, 32, 48, fake=True).collect()
+        assert len(out) == 9
+        for r in out:
+            assert r["meta"]["width"] == "32" and r["meta"]["height"] == "48"
+            if r["media_type"] == "image":
+                want = hashlib.sha256(
+                    bytes(src[r["media_id"]]["payload"]) + b"32x48"
+                ).digest()
+                assert bytes(r["payload"]) == want
+            else:  # non-images pass through untouched
+                assert bytes(r["payload"]) == bytes(
+                    src[r["media_id"]]["payload"]
+                )
+        # output keeps MEDIA_SCHEMA: stages compose (resize -> decode)
+        feats = decode_features(
+            resize_images(media, 32, 48, fake=True), fake=True
+        ).collect()
+        assert len(feats) == 9
+
 
 class TestEmbeddingNearDup:
     def test_exact_matches_numpy(self, spark, embeddings):

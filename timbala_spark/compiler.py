@@ -1071,16 +1071,13 @@ class Compiler:
                     )
                 k_col: Column = F.lit(k)
             else:
-                # step-varying parameter (engine.go:1250-1258 re-runs
-                # evalInt at every step). The join is on the ≤11k-row
-                # step grid → broadcast; the evalInt failure happens in
-                # the data path only for steps that evaluate a group,
-                # like the reference's per-step panic.
-                kdf = self.ctx.scalar_df(pv).select(
-                    "step_t", F.col("v").alias("_kraw")
-                )
-                df = df.join(F.broadcast(kdf), "step_t", "inner")
-                kraw = F.col("_kraw")
+                # step-varying parameter: evalInt runs at every step
+                # BEFORE the vector is examined (engine.go:1254-1258),
+                # so a bad k errors even for steps whose input vector is
+                # empty — hence the check lives on the broadcast side,
+                # whose hashed-relation build materializes every step's
+                # projection regardless of join matches.
+                kraw = F.col("v")
                 bad = (
                     F.isnan(kraw)
                     | (kraw < F.lit(-(2.0**63)))
@@ -1093,11 +1090,16 @@ class Compiler:
                 )
                 # Go int64(float64) truncates toward zero; k < 1 keeps
                 # no rows for that step (row_number starts at 1)
-                k_col = _raise_if(bad, kraw, msg).cast("long")
+                kdf = self.ctx.scalar_df(pv).select(
+                    "step_t",
+                    _raise_if(bad, kraw, msg).cast("long").alias("_k"),
+                )
+                df = df.join(F.broadcast(kdf), "step_t", "inner")
+                k_col = F.col("_k")
             out = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= k_col)
-                .drop("_rn", "_gmap", "_gsig", "_kraw")
+                .drop("_rn", "_gmap", "_gsig", "_k")
             )
             return VectorValue(_vv(out))
 

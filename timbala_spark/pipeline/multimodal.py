@@ -86,19 +86,17 @@ def decode_features(
                     "pass fake=True for the deterministic test decoder"
                 )
             out = {
-                "media_id": [],
-                "media_type": [],
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
                 "width": [],
                 "height": [],
                 "n_frames": [],
                 "features": [],
             }
-            for _, row in pdf.iterrows():
-                w, h, nf, feats = _fake_decode(
-                    row["payload"], row["media_type"], n_features
-                )
-                out["media_id"].append(row["media_id"])
-                out["media_type"].append(row["media_type"])
+            # zip, not iterrows: pandas row materialization costs ~10x
+            # per element and this loop runs once per media row
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                w, h, nf, feats = _fake_decode(payload, mtype, n_features)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["n_frames"].append(nf)
@@ -106,6 +104,56 @@ def decode_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """payload → resized payload (images only; other media pass through
+    untouched). Same stub pattern as :func:`decode_features`: the real
+    resampler needs an imaging library (``DecoderNotAvailable``), the
+    fake emits sha256(payload ‖ WxH) so tests can assert the plumbing
+    end-to-end deterministically. Output keeps ``MEDIA_SCHEMA`` with
+    ``meta['width']/['height']`` set, so resize stages compose with
+    decode/frame-sample. Payloads stay inside the mapInPandas batch —
+    nothing here introduces a shuffle."""
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise DecoderNotAvailable(
+                    "image resampling libraries are not available; "
+                    "pass fake=True for the deterministic test resizer"
+                )
+            payloads = []
+            metas = []
+            for payload, mtype, meta in zip(
+                pdf["payload"], pdf["media_type"], pdf["meta"]
+            ):
+                if mtype == "image":
+                    payloads.append(
+                        hashlib.sha256(
+                            (payload or b"") + f"{width}x{height}".encode()
+                        ).digest()
+                    )
+                else:
+                    payloads.append(payload)
+                m = dict(meta or {})
+                m["width"] = str(width)
+                m["height"] = str(height)
+                metas.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
