@@ -1952,15 +1952,25 @@ class Compiler:
                     f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
                 )
         else:
-            df, sfc = self._scalar_col(sfv, df, "_sf")
-            sf = _raise_if(
-                ~((sfc > 0) & (sfc < 1)),
-                sfc,
-                F.concat(
-                    F.lit("invalid smoothing factor. Expected: 0 < sf < 1, got: "),
-                    _go_fmt(sfc),
-                ),
+            # funcHoltWinters sanity-checks the factors per evaluation
+            # BEFORE touching the matrix (functions.go), so the raise
+            # lives on the broadcast step grid — it fires even for
+            # steps whose every series has < 2 points
+            sdf = self.ctx.scalar_df(sfv).select(
+                "step_t",
+                _raise_if(
+                    ~((F.col("v") > 0) & (F.col("v") < 1)),
+                    F.col("v"),
+                    F.concat(
+                        F.lit(
+                            "invalid smoothing factor. Expected: 0 < sf < 1, got: "
+                        ),
+                        _go_fmt(F.col("v")),
+                    ),
+                ).alias("_sf"),
             )
+            df = df.join(F.broadcast(sdf), "step_t")
+            sf = F.col("_sf")
         if tfv.const is not None:
             tf = tfv.const
             if not (0 < tf < 1):
@@ -1968,15 +1978,21 @@ class Compiler:
                     f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
                 )
         else:
-            df, tfc = self._scalar_col(tfv, df, "_tf")
-            tf = _raise_if(
-                ~((tfc > 0) & (tfc < 1)),
-                tfc,
-                F.concat(
-                    F.lit("invalid trend factor. Expected: 0 < tf < 1, got: "),
-                    _go_fmt(tfc),
-                ),
+            tdf = self.ctx.scalar_df(tfv).select(
+                "step_t",
+                _raise_if(
+                    ~((F.col("v") > 0) & (F.col("v") < 1)),
+                    F.col("v"),
+                    F.concat(
+                        F.lit(
+                            "invalid trend factor. Expected: 0 < tf < 1, got: "
+                        ),
+                        _go_fmt(F.col("v")),
+                    ),
+                ).alias("_tf"),
             )
+            df = df.join(F.broadcast(tdf), "step_t")
+            tf = F.col("_tf")
         val = _holt_winters_expr(F.col("pts"), sf, tf)
         out = df.select(
             "step_t", "labels", val.cast("double").alias("v"),
