@@ -793,6 +793,68 @@ class TestStreamingBatchEquivalence:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+class TestStreamingRules:
+    def test_rule_stream_matches_batch(self, spark, api):
+        """Recording rules driven by a real tick stream (file source +
+        foreachBatch) append exactly what run_rules_once produces at
+        the same timestamps."""
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        from timbala_spark.streaming.rules import (
+            RecordingRule,
+            run_rules_once,
+            start_rule_stream,
+        )
+
+        eng = api.engine
+        rules = [
+            RecordingRule("job:m1:sum", "sum(test_metric1)", {"team": "x"})
+        ]
+        ticks = [300_000, 600_000]
+        tmp = tempfile.mkdtemp()
+        try:
+            src_dir = f"{tmp}/ticks"
+            os.makedirs(src_dir)
+            with open(f"{src_dir}/t1.txt", "w") as f:
+                for t in ticks:
+                    f.write(json.dumps({"ts": t}) + "\n")
+            src = (
+                spark.readStream.format("text")
+                .load(src_dir)
+                .select(
+                    F.from_json(
+                        F.col("value").cast("string"), "ts long"
+                    ).alias("r")
+                )
+                .select("r.ts")
+            )
+            q = start_rule_stream(
+                src, eng, rules, f"{tmp}/store", f"{tmp}/ckpt"
+            )
+            q.processAllAvailable()
+            q.stop()
+
+            got = sorted(
+                (sorted(dict(r["labels"]).items()), r["t"], r["v"])
+                for r in spark.read.parquet(f"{tmp}/store").select(
+                    "labels", "t", "v"
+                ).collect()
+            )
+            want = sorted(
+                (sorted(dict(r["labels"]).items()), r["t"], r["v"])
+                for ts in ticks
+                for r in run_rules_once(eng, rules, ts / 1000.0)
+                .select("labels", "t", "v")
+                .collect()
+            )
+            assert got == want and len(got) == 2
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestRuleFileParsing:
     """VERDICT r4 stretch: the reference's rule-STATEMENT grammar
     (parse.go:354-439) parses into evaluatable rules; a recorded

@@ -80,6 +80,36 @@ def append_rule_results(
     out.write.mode("append").partitionBy("day").parquet(path)
 
 
+def start_rule_stream(
+    ticks: DataFrame,
+    engine: Engine,
+    rules: list[RecordingRule],
+    store_path: str,
+    checkpoint: str,
+):
+    """Continuous rule evaluation as a Structured Streaming query.
+
+    ``ticks`` is a streaming frame with a ``ts`` column (epoch ms) —
+    the rule group's evaluation clock. In production that's a rate
+    source at the group interval; in tests a file source feeds
+    deterministic tick timestamps. Each micro-batch evaluates the
+    group once per distinct tick and appends the recorded series to
+    the day-partitioned store, so recording rules run with the same
+    exactly-once-per-micro-batch semantics as ingest. The per-batch
+    collect() is bounded by the tick count (a handful per trigger —
+    the clock, not the data)."""
+
+    def _batch(df: DataFrame, _epoch: int) -> None:
+        for row in df.select("ts").distinct().collect():
+            append_rule_results(engine, rules, row["ts"] / 1000.0, store_path)
+
+    return (
+        ticks.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 @dataclass
 class AlertingRule:
     """``ALERT name IF expr [FOR d] [LABELS {..}] [ANNOTATIONS {..}]``
