@@ -253,6 +253,46 @@ class TestMultimodal:
         assert len(feats) == 9
 
 
+class TestLshParams:
+    def test_collision_math(self):
+        import math as m
+
+        from timbala_spark.pipeline import lsh_params_for
+
+        # the returned (p, T) must actually deliver the target recall
+        # at the stated threshold: 1-(1-(1-θ/π)^p)^T >= 0.9
+        for n in (1_000, 100_000, 10_000_000):
+            for thr in (0.4, 0.7, 0.9):
+                p, t = lsh_params_for(n, thr, target_recall=0.9)
+                p1 = (1 - m.acos(thr) / m.pi) ** p
+                assert 1 - (1 - p1) ** t >= 0.9 or t == 64  # cap binds
+        # planes grow with the corpus (the fixed-shape 100 TB trap)
+        p_small, _ = lsh_params_for(2_000, 0.9)
+        p_big, _ = lsh_params_for(2_000_000, 0.9)
+        assert p_big > p_small
+        # tighter thresholds collide more per plane -> fewer tables
+        _, t_loose = lsh_params_for(100_000, 0.4)
+        _, t_tight = lsh_params_for(100_000, 0.95)
+        assert t_tight <= t_loose
+
+    def test_auto_mode_runs(self, spark, embeddings):
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        out = embedding_near_dup_pairs(
+            embeddings, threshold=0.4, mode="lsh", n_planes=None, n_tables=None
+        )
+        rows = out.collect()
+        # LSH pairs are a subset of the exact pair set
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        }
+        assert {(r["id_a"], r["id_b"]) for r in rows} <= exact
+        assert len(rows) > 0
+
+
 class TestEmbeddingNearDup:
     def test_exact_matches_numpy(self, spark, embeddings):
         import numpy as np

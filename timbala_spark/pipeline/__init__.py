@@ -8,7 +8,12 @@ from .dedup import (  # noqa: F401
     with_simhash,
 )
 from .curate import near_dup_pipeline  # noqa: F401
-from .similarity import cosine_topk, ivf_topk, lsh_cosine_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_topk,
+    lsh_cosine_topk,
+    lsh_params_for,
+)
 from .text import (  # noqa: F401
     with_fingerprint,
     with_language_id,

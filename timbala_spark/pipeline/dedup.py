@@ -319,8 +319,8 @@ def embedding_near_dup_pairs(
     threshold: float = 0.4,
     mode: str = "exact",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int | None = 6,
+    n_tables: int | None = 8,
     seed: int = 42,
     blocked_max_rows: int = 1_000_000,
 ) -> DataFrame:
@@ -433,6 +433,16 @@ def embedding_near_dup_pairs(
             "id_b",
         )
     elif mode == "lsh":
+        if n_planes is None or n_tables is None:
+            # auto-scale the bucket shape to the corpus: fixed planes
+            # do not survive growth (the 100 TB trap is 2^p buckets
+            # staying constant while N grows 1000x). One count on the
+            # persisted projection; explicit params skip it.
+            from .similarity import lsh_params_for
+
+            p_auto, t_auto = lsh_params_for(e.count(), threshold)
+            n_planes = n_planes if n_planes is not None else p_auto
+            n_tables = n_tables if n_tables is not None else t_auto
         # ONE pass computes every table's bucket (explode of a struct
         # array, same shape as minhash banding) — the previous
         # one-branch-per-table union re-scanned the source and re-ran

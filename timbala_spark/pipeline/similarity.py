@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
@@ -83,6 +85,43 @@ def cosine_topk(
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_params_for(
+    n_rows: int,
+    threshold: float,
+    target_recall: float = 0.9,
+    target_bucket_rows: int = 200,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Pick (n_planes, n_tables) for hyperplane LSH from the corpus
+    size and the cosine threshold, instead of a fixed shape.
+
+    The math: a pair at angle θ collides in one table with probability
+    p1 = (1 - θ/π)^n_planes, and in ≥1 of T independent tables with
+    1-(1-p1)^T. Candidate volume per table is ~N²/2^(n_planes+1) for
+    balanced buckets, so n_planes must GROW with the corpus —
+    log2(N / target_bucket_rows) — or buckets stay huge and the
+    verify join degenerates toward all-pairs (measured at sf0.1: 4
+    planes × 16 tables on 2k vectors admits 64% of ALL pairs).
+    n_tables is then the smallest T that restores the recall the
+    extra planes cost, capped to bound the banding explode.
+
+    Returns parameters for the *stated* threshold: recall for pairs
+    far above it is strictly higher (p1 rises toward 1 as θ→0)."""
+    if not (-1.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold {threshold} outside [-1, 1]")
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p_plane = 1.0 - theta / math.pi  # per-plane agreement probability
+    n_planes = max(2, math.ceil(math.log2(max(2, n_rows) / target_bucket_rows)))
+    p1 = p_plane**n_planes
+    if p1 <= 0.0:
+        return n_planes, max_tables
+    # smallest T with 1-(1-p1)^T >= target_recall
+    n_tables = math.ceil(
+        math.log(1.0 - target_recall) / math.log(1.0 - p1)
+    )
+    return n_planes, max(1, min(max_tables, n_tables))
 
 
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
