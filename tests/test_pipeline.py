@@ -275,6 +275,26 @@ class TestLshParams:
         _, t_tight = lsh_params_for(100_000, 0.95)
         assert t_tight <= t_loose
 
+    def test_minhash_band_inflection(self):
+        from timbala_spark.pipeline import minhash_params_for
+
+        # the chosen band count's S-curve inflection (1/b)^(1/r) must
+        # sit nearer the target than any other divisor's
+        import math as m
+
+        for thr in (0.1, 0.2, 0.5, 0.8):
+            b = minhash_params_for(thr, 64)
+            assert 64 % b == 0
+            r = 64 // b
+            chosen = abs(m.log((1 / b) ** (1 / r)) - m.log(thr))
+            for b2 in (1, 2, 4, 8, 16, 32, 64):
+                r2 = 64 // b2
+                assert chosen <= abs(
+                    m.log((1 / b2) ** (1 / r2)) - m.log(thr)
+                ) + 1e-12
+        # loose thresholds need more bands (higher collision rates)
+        assert minhash_params_for(0.1, 64) > minhash_params_for(0.9, 64)
+
     def test_auto_mode_runs(self, spark, embeddings):
         from timbala_spark.pipeline import embedding_near_dup_pairs
 

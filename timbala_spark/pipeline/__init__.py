@@ -3,6 +3,7 @@ from .dedup import (  # noqa: F401
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_params_for,
     ngram_jaccard_pairs,
     simhash_pairs,
     with_simhash,

@@ -23,6 +23,8 @@ the data path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens_expr
@@ -213,13 +215,37 @@ def minhash_signature_expr(shingle_hashes: Column, num_hashes: int) -> Column:
     )
 
 
+def minhash_params_for(threshold: float, num_hashes: int = 64) -> int:
+    """Pick the band count whose S-curve inflection sits nearest the
+    target Jaccard threshold.
+
+    With ``b`` bands of ``r = num_hashes/b`` rows, a pair at Jaccard
+    ``s`` becomes a candidate with probability ``1-(1-s^r)^b``, which
+    jumps from ~0 to ~1 around ``s ≈ (1/b)^(1/r)``. Banding below the
+    inflection floods the verify join with sub-threshold candidates;
+    above it, true pairs near the threshold are missed. Only divisors
+    of ``num_hashes`` are considered (whole bands)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold {threshold} outside (0, 1]")
+    best, best_dist = num_hashes, float("inf")
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        inflection = (1.0 / b) ** (1.0 / r)
+        dist = abs(math.log(inflection) - math.log(threshold))
+        if dist < best_dist:
+            best, best_dist = b, dist
+    return best
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = 16,
     threshold: float = 0.2,
     hash_algo: str = "xxhash64",
 ) -> DataFrame:
@@ -236,6 +262,8 @@ def minhash_lsh_pairs(
     contract oracle inlines the same XOR permutation constants and
     replays the exact banding.
     """
+    if bands is None:
+        bands = minhash_params_for(threshold, num_hashes)
     rows_per_band = num_hashes // bands
     base = (
         ensure_parallelism(df).select(
