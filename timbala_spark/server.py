@@ -65,7 +65,14 @@ def _parse_time(s: str | None, default: float | None = None) -> float:
         pass
     import datetime
 
-    return datetime.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+    try:
+        return datetime.datetime.fromisoformat(
+            s.replace("Z", "+00:00")
+        ).timestamp()
+    except ValueError:
+        # parseTime (internal/api/v1/api.go): don't leak the Python
+        # datetime error wording
+        raise ValueError(f'cannot parse "{s}" to a valid timestamp') from None
 
 
 _DUR_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
@@ -84,7 +91,8 @@ def _parse_duration(s: str) -> float:
         pass
     m = _DUR_RE.match(s)
     if not m:
-        raise ValueError(f"invalid duration {s!r}")
+        # parseDuration (internal/api/v1/api.go) wording
+        raise ValueError(f'cannot parse "{s}" to a valid duration')
     return float(m.group(1)) * _DUR_UNITS[m.group(2)]
 
 
