@@ -58,6 +58,44 @@ class TestHTTPRoundtrip:
         assert payload["data"]["resultType"] == "scalar"
         assert payload["data"]["result"] == [100, "2"]
 
+    def test_options_and_cors(self, server):
+        """api.go:54-59,122,138-140 — every API response carries the
+        CORS headers; OPTIONS answers empty 2xx."""
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/api/v1/query",
+            method="OPTIONS",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert 200 <= r.status < 300
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+        status, _ = _get(server, "/api/v1/query?query=1&time=1")
+        assert status == 200
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/api/v1/query?query=1&time=1",
+            timeout=60,
+        ) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+    def test_delete_series_disabled(self, server):
+        """api.go:343-351 — DELETE /series validates match[] then hits
+        the upstream-disabled panic; we answer a well-formed 400/500."""
+        def delete(path):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}{path}", method="DELETE"
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        status, body = delete("/api/v1/series")
+        assert status == 400
+        assert body["error"] == "no match[] parameter provided"
+        status, body = delete("/api/v1/series?match[]=m")
+        assert status == 500
+        assert "disabled" in body["error"]
+
     def test_remote_write_then_query_back(self, server):
         """acceptance_test.go:103-161 — snappy+prompb write answers
         200, and an instant query returns the sample."""

@@ -132,6 +132,12 @@ class TimbalaServer:
             def do_POST(self) -> None:
                 outer._route_post(self)
 
+            def do_OPTIONS(self) -> None:
+                outer._route_options(self)
+
+            def do_DELETE(self) -> None:
+                outer._route_delete(self)
+
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
@@ -232,11 +238,57 @@ class TimbalaServer:
         h.end_headers()
         h.wfile.write(body)
 
+    #: api.go:54-59 — set on every API response (setCORS via instr)
+    _CORS = {
+        "Access-Control-Allow-Headers": "Accept, Authorization, Content-Type, Origin",
+        "Access-Control-Allow-Methods": "GET, OPTIONS",
+        "Access-Control-Allow-Origin": "*",
+        "Access-Control-Expose-Headers": "Date",
+    }
+
     def _respond_api(self, h: BaseHTTPRequestHandler, payload: dict) -> None:
         status = 200
         if payload.get("status") == "error":
             status = _ERR_STATUS.get(payload.get("errorType"), 500)
-        self._respond(h, status, json.dumps(payload).encode())
+        self._respond(
+            h, status, json.dumps(payload).encode(), extra=self._CORS
+        )
+
+    def _route_options(self, h: BaseHTTPRequestHandler) -> None:
+        """``r.Options("/*path", ...)`` → api.options returns (nil, nil):
+        an empty 2xx with the CORS headers (api.go:122,138-140)."""
+        self._respond(h, 204, b"", extra=self._CORS)
+
+    def _route_delete(self, h: BaseHTTPRequestHandler) -> None:
+        """``DELETE /api/v1/series`` (api.go:130,343-351): match[] is
+        validated, then the reference panics("disabled") — deletion is
+        upstream-disabled. Surface that as a well-formed internal
+        error instead of a dropped connection."""
+        from urllib.parse import parse_qs, urlparse
+
+        url = urlparse(h.path)
+        if url.path != "/api/v1/series":
+            self._respond(h, 404, b"")
+            return
+        q = parse_qs(url.query)
+        if not q.get("match[]"):
+            self._respond_api(
+                h,
+                {
+                    "status": "error",
+                    "errorType": "bad_data",
+                    "error": "no match[] parameter provided",
+                },
+            )
+            return
+        self._respond_api(
+            h,
+            {
+                "status": "error",
+                "errorType": "internal",
+                "error": "series deletion is disabled",
+            },
+        )
 
     # -- GET routes ---------------------------------------------------
 
