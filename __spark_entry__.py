@@ -119,7 +119,9 @@ def _stored_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
         path = tempfile.mkdtemp(prefix="timbala_contract_store_")
         write_samples_batch(events_to_samples(spark, sf_dir), path)
         compact_store(spark, path)
-        store = read_samples_table(spark, path)
+        # dedup=False: compaction just collapsed replicas, so the
+        # read-time collapse (and its exchange) is redundant here
+        store = read_samples_table(spark, path, dedup=False)
         t_max = store.agg(F.max("t")).first()[0]
         _CACHE[key] = (
             Engine(spark, store, lookback_ms=LOOKBACK_MS),

@@ -305,9 +305,12 @@ class TestStoreMaintenance:
                 f for r, _, fs in os.walk(f"{tmp}/samples") for f in fs
                 if f.endswith(".parquet")
             ]
-            # re-sent duplicates are visible before compaction (two
-            # appended batches), collapsed after
-            assert read_samples_table(spark, tmp).count() == 55
+            # cross-batch re-sends exist physically (raw view), but the
+            # canonical read collapses them even BEFORE compaction —
+            # the reference's store never exposes duplicate (series, t)
+            # samples (tsdb append rejects them; fan-out merges)
+            assert read_samples_table(spark, tmp, dedup=False).count() == 55
+            assert read_samples_table(spark, tmp).count() == 40
             compact_store(spark, tmp)
             files_after = [
                 f for r, _, fs in os.walk(f"{tmp}/samples") for f in fs

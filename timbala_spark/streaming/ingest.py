@@ -146,7 +146,9 @@ def start_ingest(
     )
 
 
-def read_samples_table(spark: SparkSession, path: str) -> DataFrame:
+def read_samples_table(
+    spark: SparkSession, path: str, dedup: bool = True
+) -> DataFrame:
     """Read an ingested table back in canonical shape.
 
     Split layout: narrow samples join the series dictionary on
@@ -159,11 +161,30 @@ def read_samples_table(spark: SparkSession, path: str) -> DataFrame:
     the same plan degrades gracefully to a shuffle join on the 8-byte
     key. Day pruning still applies to `t` filters via the partition
     column; row-group stats on the sorted ``(series_id, t)`` prune
-    within files."""
+    within files.
+
+    ``dedup`` collapses replica resends that landed in DIFFERENT
+    micro-batches (the per-batch write already dedups within a batch):
+    without it a retried remote-write sample appears twice at one
+    ``(series, t)`` until compaction, which the reference's store
+    never exposes (tsdb append rejects duplicate timestamps; the
+    fan-out read merges replicas). The collapse runs on the narrow
+    ``(series_id, t, v)`` scan BEFORE the dict join, so the labels map
+    never enters its shuffle, and time/day filters still push through
+    the aggregate into the scan. Pass ``dedup=False`` for a
+    just-compacted store (compaction performs the same collapse) to
+    skip the exchange."""
     import os
 
     if os.path.isdir(f"{path}/samples"):
         s = spark.read.parquet(f"{path}/samples")
+        if dedup:
+            # day is a deterministic function of t, so adding it to the
+            # dedup keys changes nothing semantically — but as a
+            # grouping key the engine's day predicates push THROUGH
+            # this aggregate into the scan's PartitionFilters (same
+            # trick as keeping `name` a dedup key on the dict below)
+            s = s.dropDuplicates(["series_id", "t", "day"])
         # dedup on (series_id, name) — name is constant per series, and
         # keeping it a grouping key lets Catalyst push `__name__`
         # selector filters through this aggregate into the dict scan
@@ -179,7 +200,10 @@ def read_samples_table(spark: SparkSession, path: str) -> DataFrame:
         return s.join(d, "series_id").select(
             "name", "labels", "series_id", "t", "v", "day"
         )
-    return spark.read.parquet(path).select("name", "labels", "series_id", "t", "v")
+    out = spark.read.parquet(path).select(
+        "name", "labels", "series_id", "t", "v"
+    )
+    return dedup_replicas(out) if dedup else out
 
 
 def read_fanout(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -194,7 +218,9 @@ def read_fanout(spark: SparkSession, paths: list[str]) -> DataFrame:
     split store or a row-layout table; day partition columns survive
     the union only if every branch has them (mixed layouts degrade to
     row-group pruning)."""
-    frames = [read_samples_table(spark, p) for p in paths]
+    # per-branch dedup is skipped: the cross-store collapse below
+    # covers within-store duplicates too (one exchange, not two)
+    frames = [read_samples_table(spark, p, dedup=False) for p in paths]
     cols = set.intersection(*(set(f.columns) for f in frames))
     order = [c for c in ("name", "labels", "series_id", "t", "v", "day") if c in cols]
     out = frames[0].select(*order)
