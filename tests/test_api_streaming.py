@@ -331,6 +331,35 @@ class TestStoreMaintenance:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_stale_markers_survive_the_store(self, spark):
+        """Staleness markers (NULL v) round-trip through the split
+        store: an instant read under lookback dies at the marker, and
+        range vectors skip it (engine.go:869-871 IsStaleNaN)."""
+        from timbala_spark.streaming.ingest import (
+            read_samples_table,
+            write_samples_batch,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="timbala_stale_")
+        try:
+            rows = [
+                ({"__name__": "m", "j": "a"}, 0, 1.0),
+                ({"__name__": "m", "j": "a"}, 60_000, None),  # marker
+                ({"__name__": "m", "j": "a"}, 120_000, 3.0),
+            ]
+            df = spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+            write_samples_batch(prepare_samples(df), tmp)
+            eng = Engine(spark, read_samples_table(spark, tmp))
+            assert eng.query("m", 90.0).collect() == []  # marker kills lookback
+            assert [r["v"] for r in eng.query("m", 30.0).collect()] == [1.0]
+            assert [r["v"] for r in eng.query("m", 150.0).collect()] == [3.0]
+            got = eng.query("count_over_time(m[10m])", 300.0).collect()
+            assert [r["v"] for r in got] == [2.0]  # marker not a sample
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_split_store_day_pruning(self, spark):
         """Engine time bounds over the split store must reach the
         physical plan as `day` PARTITION filters (full-store listing →
