@@ -86,7 +86,11 @@ def series_id_expr(labels: Column) -> Column:
     """64-bit series identity: xxhash64 of the canonical label string.
 
     Mirrors the role of ``labels.Hash()`` (``pkg/labels/labels.go:85-97``)
-    without promising the same bit values (identity is internal).
+    without promising the same bit values (identity is internal). Like
+    the reference's 64-bit hash, collisions are accepted rather than
+    chased with full-label compares: at its 40M-active-series target
+    the birthday bound is ~4e-5 expected collisions; a collision would
+    merge two series under one id, same as there.
     """
     return F.xxhash64(canonical_labels_expr(labels))
 
