@@ -163,6 +163,57 @@ class TestHTTPRoundtrip:
         assert got["labels"] == {"__name__": name}
         assert got["samples"] == [[now_ms, 1234.0]]
 
+    def test_remote_read_regex_and_negative_matchers(self, server):
+        """All four prompb matcher types (types.proto EQ NEQ RE NRE)
+        evaluate server-side on the wire path."""
+        from timbala_spark.sources.wire import (
+            decode_read_response,
+            encode_read_request,
+            encode_write_request,
+        )
+
+        now_ms = int(time.time() * 1000)
+        _post(
+            server,
+            "/write",
+            encode_write_request(
+                [
+                    {
+                        "labels": {"__name__": "rr_m", "job": j},
+                        "samples": [[now_ms, float(i)]],
+                    }
+                    for i, j in enumerate(("api1", "api2", "web"))
+                ]
+            ),
+        )
+
+        def read(matchers):
+            req = encode_read_request(
+                [
+                    {
+                        "start_ms": now_ms - 60_000,
+                        "end_ms": now_ms + 60_000,
+                        "matchers": matchers,
+                    }
+                ]
+            )
+            status, body = _post(server, "/read", req)
+            assert status == 200
+            results = decode_read_response(body)
+            return sorted(s["labels"]["job"] for s in results[0])
+
+        assert read([("=", "__name__", "rr_m"), ("=~", "job", "api.*")]) == [
+            "api1",
+            "api2",
+        ]
+        assert read([("=", "__name__", "rr_m"), ("!~", "job", "api.*")]) == [
+            "web"
+        ]
+        assert read([("=", "__name__", "rr_m"), ("!=", "job", "web")]) == [
+            "api1",
+            "api2",
+        ]
+
     def test_oversized_requests_result_in_413(self, server):
         """acceptance_test.go:270-293 — >10 MiB bodies answer 413 on
         both /write and /read."""
