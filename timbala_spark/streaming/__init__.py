@@ -3,6 +3,7 @@ from .ingest import (  # noqa: F401
     read_fanout,
     read_samples_table,
     start_ingest,
+    store_is_dirty,
     synthetic_rate_source,
     write_samples_batch,
 )

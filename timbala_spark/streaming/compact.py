@@ -72,6 +72,12 @@ def compact_store(spark: SparkSession, path: str) -> None:
     os.rename(tmp_s, sp)
     shutil.rmtree(dp)
     os.rename(tmp_d, dp)
+    # the collapse above removed every cross-batch duplicate — reads
+    # may skip the replica-dedup exchange until the next write
+    try:
+        os.remove(os.path.join(path, "_dirty"))
+    except FileNotFoundError:
+        pass
 
 
 def apply_retention(path: str, min_t_ms: int) -> list[str]:
