@@ -214,6 +214,36 @@ class TestHTTPRoundtrip:
             "api2",
         ]
 
+    def test_server_compaction_pass(self, server):
+        """server.compact() = the tsdb compactor analog: collapses the
+        store, clears the dirty marker, and queries keep answering."""
+        from timbala_spark.sources.wire import encode_write_request
+        from timbala_spark.streaming import store_is_dirty
+
+        now_ms = int(time.time() * 1000)
+        for _ in range(2):  # two batches, second re-sends the first
+            _post(
+                server,
+                "/write",
+                encode_write_request(
+                    [
+                        {
+                            "labels": {"__name__": "compact_me"},
+                            "samples": [[now_ms, 7.0]],
+                        }
+                    ]
+                ),
+            )
+        assert store_is_dirty(server.store_path)
+        server.compact()
+        assert not store_is_dirty(server.store_path)
+        status, payload = _get(
+            server, f"/api/v1/query?query=compact_me&time={now_ms / 1000}"
+        )
+        assert status == 200
+        result = payload["data"]["result"]
+        assert len(result) == 1 and result[0]["value"] == [now_ms / 1000, "7"]
+
     def test_oversized_requests_result_in_413(self, server):
         """acceptance_test.go:270-293 — >10 MiB bodies answer 413 on
         both /write and /read."""

@@ -21,6 +21,7 @@ of this request path — same decode, same store layout.
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -187,6 +188,22 @@ class TimbalaServer:
     def _invalidate_engine(self) -> None:
         with self._lock:
             self._api = None
+
+    def compact(self) -> None:
+        """One store-maintenance pass: merge small batch files,
+        collapse cross-batch replicas, clear the dirty marker — the
+        tsdb compactor analog (``cmd/timbala/main.go:153`` block
+        ranges; there it runs on a background goroutine). Subsequent
+        queries read exchange-free until the next write. Run it
+        between ingest batches / in quiet windows, like the
+        compactor's own locking discipline — the rewrite is not safe
+        under a concurrently *executing* scan of the same files."""
+        from .streaming.compact import compact_store
+
+        if not os.path.isdir(f"{self.store_path}/samples"):
+            return  # nothing written yet
+        compact_store(self.spark, self.store_path)
+        self._invalidate_engine()
 
     # -- request plumbing ---------------------------------------------
 
