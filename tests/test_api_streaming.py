@@ -326,6 +326,17 @@ class TestStoreMaintenance:
             assert not store_is_dirty(tmp)
             got = read_samples_table(spark, tmp)
             assert got.count() == 40  # 30 + 10, duplicates collapsed
+            # plan gate: the clean read carries ONLY the dict-side
+            # dedup aggregate; the samples-side replica collapse (one
+            # more Aggregate) must be gone post-compaction
+            def n_aggs(df):
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                return sum(
+                    1 for ln in plan.splitlines() if "Aggregate [" in ln
+                )
+
+            assert n_aggs(got) == 1
+            assert n_aggs(read_samples_table(spark, tmp, dedup=True)) == 2
             assert got.select("series_id").distinct().count() == 3
             # series dict collapsed to one row per series
             assert spark.read.parquet(f"{tmp}/series").count() == 3
