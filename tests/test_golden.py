@@ -1328,6 +1328,27 @@ eval instant at 0m label_join(m, "dst", "-", "a", "a")
 """)
 
 
+def test_round_step_varying_zero_nearest(spark):
+    """Step-varying round(v, s) where s evaluates to 0 at a step: Go's
+    unguarded 1.0/toNearest gives +Inf and every value rounds to
+    Inf/Inf = NaN (functions.go:332-350). Spark 4's ANSI mode would
+    instead abort the whole query with DIVIDE_BY_ZERO — the compiler
+    must branch the zero out (compiler._fn_round step-varying path)."""
+    run_golden(spark, """
+load 1m
+  m{i="a"} 1.5
+  m{i="b"} 2.25
+
+eval instant at 0m round(m, scalar(count(m) - 2))
+  {i="a"} NaN
+  {i="b"} NaN
+
+eval instant at 0m round(m, scalar(count(m)) / 8)
+  {i="a"} 1.5
+  {i="b"} 2.25
+""")
+
+
 def test_label_replace_go_expand_semantics(spark):
     """label_replace replacement templates follow Go regexp.Expand
     (functions.go:791-833): ${1} braces, longest-run $name parsing

@@ -236,16 +236,19 @@ class TestMultimodal:
         out = resize_images(media, 32, 48, fake=True).collect()
         assert len(out) == 9
         for r in out:
-            assert r["meta"]["width"] == "32" and r["meta"]["height"] == "48"
             if r["media_type"] == "image":
+                assert (
+                    r["meta"]["width"] == "32" and r["meta"]["height"] == "48"
+                )
                 want = hashlib.sha256(
                     bytes(src[r["media_id"]]["payload"]) + b"32x48"
                 ).digest()
                 assert bytes(r["payload"]) == want
-            else:  # non-images pass through untouched
+            else:  # non-images pass through untouched — payload AND meta
                 assert bytes(r["payload"]) == bytes(
                     src[r["media_id"]]["payload"]
                 )
+                assert dict(r["meta"]) == dict(src[r["media_id"]]["meta"])
         # output keeps MEDIA_SCHEMA: stages compose (resize -> decode)
         feats = decode_features(
             resize_images(media, 32, 48, fake=True), fake=True

@@ -1320,12 +1320,24 @@ class Compiler:
             assert isinstance(arg, VectorValue)
             df = arg.df
         else:
-            # step-varying toNearest: joined per step; double division
-            # follows IEEE (1.0/±0.0 = ±Inf), matching the Go line
+            # step-varying toNearest: joined per step. Go's 1.0/toNearest
+            # is unguarded IEEE division (±0 → ±Inf, functions.go:332-350),
+            # but Spark 4's ANSI mode makes `/` abort on a zero divisor —
+            # so branch on zero and recover the zero's SIGN via the same
+            # pow trick _arith_col uses (signum(pow(±0, -1)) = ±1); the
+            # inner when() keeps the live branch's divisor provably
+            # nonzero so ANSI cannot fire there either
             arg = self.compile(node.args[0])
             assert isinstance(arg, VectorValue)
             df, ncol = self._scalar_col(pv, arg.df, "_nearest")
-            inv_col = F.lit(1.0) / ncol
+            inv_col = (
+                F.when(
+                    ncol == 0,
+                    F.lit(INF) * F.signum(F.power(ncol, F.lit(-1.0))),
+                )
+                .otherwise(F.lit(1.0) / F.when(ncol != 0, ncol))
+                .cast("double")
+            )
 
         # ties round up, via floor(v·inv + 0.5)/inv (functions.go:331-350).
         # Spark's floor() returns BIGINT and clamps ±Inf/huge doubles to

@@ -132,17 +132,19 @@ def resize_images(
             for payload, mtype, meta in zip(
                 pdf["payload"], pdf["media_type"], pdf["meta"]
             ):
+                m = dict(meta or {})
                 if mtype == "image":
                     payloads.append(
                         hashlib.sha256(
                             (payload or b"") + f"{width}x{height}".encode()
                         ).digest()
                     )
+                    # only images get the resize target stamped — a
+                    # video/audio row keeps its real dimensions
+                    m["width"] = str(width)
+                    m["height"] = str(height)
                 else:
                     payloads.append(payload)
-                m = dict(meta or {})
-                m["width"] = str(width)
-                m["height"] = str(height)
                 metas.append(m)
             yield pd.DataFrame(
                 {
