@@ -118,6 +118,11 @@ class TimbalaServer:
         self._api_kw = {"max_concurrent": max_concurrent, "timeout_s": timeout_s}
         self._lookback_ms = lookback_ms
         self._lock = threading.Lock()
+        #: serializes store MUTATIONS (writes vs maintenance) — the
+        #: reference's db.mtx analog. Queries never take it: readers
+        #: are generation-pinned (streaming.store), so maintenance is
+        #: safe under concurrent reads by construction.
+        self._store_lock = threading.Lock()
         self._api: PromAPI | None = None
         outer = self
 
@@ -171,9 +176,10 @@ class TimbalaServer:
             if self._api is None:
                 import os
 
-                if os.path.isdir(f"{self.store_path}/samples") or os.path.isdir(
-                    f"{self.store_path}/series"
-                ):
+                from .streaming.store import resolve_store
+
+                st = resolve_store(self.store_path)
+                if os.path.isdir(st.samples) or os.path.isdir(st.series):
                     samples = read_samples_table(self.spark, self.store_path)
                 else:  # nothing written yet: empty canonical frame
                     samples = self.spark.createDataFrame([], SAMPLES_SCHEMA)
@@ -191,18 +197,20 @@ class TimbalaServer:
 
     def compact(self) -> None:
         """One store-maintenance pass: merge small batch files,
-        collapse cross-batch replicas, clear the dirty marker — the
+        collapse cross-batch replicas, commit a clean generation — the
         tsdb compactor analog (``cmd/timbala/main.go:153`` block
         ranges; there it runs on a background goroutine). Subsequent
-        queries read exchange-free until the next write. Run it
-        between ingest batches / in quiet windows, like the
-        compactor's own locking discipline — the rewrite is not safe
-        under a concurrently *executing* scan of the same files."""
+        queries read exchange-free until the next write. Safe under
+        concurrent queries: readers stay pinned to the generation they
+        resolved (manifest commit + lazy GC, ``streaming.store``) —
+        the reference's reader-holds-block-refs guarantee. Writes are
+        serialized against the pass via ``_store_lock`` so no batch
+        can land in the retiring generation after the straggler
+        re-list (``streaming.compact`` concurrency contract)."""
         from .streaming.compact import compact_store
 
-        if not os.path.isdir(f"{self.store_path}/samples"):
-            return  # nothing written yet
-        compact_store(self.spark, self.store_path)
+        with self._store_lock:
+            compact_store(self.spark, self.store_path)
         self._invalidate_engine()
 
     # -- request plumbing ---------------------------------------------
@@ -392,7 +400,8 @@ class TimbalaServer:
             df = self.spark.createDataFrame(
                 rows, "labels map<string,string>, t long, v double"
             )
-            write_samples_batch(prepare_samples(df), self.store_path)
+            with self._store_lock:  # never race a maintenance commit
+                write_samples_batch(prepare_samples(df), self.store_path)
             self._invalidate_engine()  # next query sees the new files
         self._respond(h, 200, b"", "text/plain; charset=utf-8")
 

@@ -8,5 +8,6 @@ from .ingest import (  # noqa: F401
     write_samples_batch,
 )
 from .compact import apply_retention, compact_store  # noqa: F401
+from .store import gc_store, resolve_store  # noqa: F401
 from .downsample import streaming_downsample  # noqa: F401
 from .stateful import streaming_sessionize  # noqa: F401

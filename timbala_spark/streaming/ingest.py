@@ -61,6 +61,14 @@ def write_samples_batch(
         out.write.mode("append").partitionBy("day").parquet(path)
         _mark_dirty(path)
         return
+    # append into the CURRENT generation (store.resolve_store): appends
+    # are reader-safe (a reader's listing only ever gains files), and a
+    # batch racing a maintenance commit is carried into the new
+    # generation by compact_store's straggler re-list — see the
+    # concurrency contract in streaming.compact
+    from .store import resolve_store
+
+    st = resolve_store(path)
     # No persist: materializing the wide (labels-map) batch costs more
     # than recomputing each pruned branch (measured 0.33M vs 1.3M
     # samples/s at 5M rows). The dict branch reads the PRE-dedup batch —
@@ -100,7 +108,7 @@ def write_samples_batch(
             .write.mode("append")
             .option("parquet.writer.version", "v2")
             .partitionBy("day")
-            .parquet(f"{path}/samples")
+            .parquet(st.samples)
         )
 
     def _write_dict() -> None:
@@ -108,7 +116,7 @@ def write_samples_batch(
             samples.select("series_id", "name", "labels")
             .dropDuplicates(["series_id"])
             .write.mode("append")
-            .parquet(f"{path}/series")
+            .parquet(st.series)
         )
 
     # the two writes are independent jobs; submitting them from two
@@ -120,25 +128,33 @@ def write_samples_batch(
         futs = [ex.submit(_write_samples), ex.submit(_write_dict)]
         for f in futs:
             f.result()  # propagate either failure
-    _mark_dirty(path)
+    _mark_dirty(path, st.dirty_marker)
 
 
-def _mark_dirty(path: str) -> None:
+def _mark_dirty(path: str, marker: str | None = None) -> None:
     """Touch the store's uncompacted-tail marker: batches appended
     since the last compaction may duplicate earlier (series_id, t)
-    rows, so reads must replica-collapse. ``compact_store`` clears it
-    (it performs the same collapse). A zero-byte object — works on a
-    filesystem or an object store alike."""
+    rows, so reads must replica-collapse. Compaction leaves the NEW
+    generation clean (it performs the same collapse); the marker lives
+    inside the generation it describes, so marking and committing
+    never race. A zero-byte object — works on a filesystem or an
+    object store alike."""
     import os
 
-    with open(os.path.join(path, "_dirty"), "w"):
+    from .store import resolve_store
+
+    if marker is None:
+        marker = resolve_store(path).dirty_marker
+    with open(marker, "w"):
         pass
 
 
 def store_is_dirty(path: str) -> bool:
     import os
 
-    return os.path.exists(os.path.join(path, "_dirty"))
+    from .store import resolve_store
+
+    return os.path.exists(resolve_store(path).dirty_marker)
 
 
 def start_ingest(
@@ -201,13 +217,23 @@ def read_samples_table(
     clears it, so compacted stores read exchange-free and live stores
     stay correct. A write racing the marker check can slip one batch
     past the collapse until the next read — same visibility window as
-    the reference's WAL→head handoff. Pass True/False to override."""
+    the reference's WAL→head handoff. Pass True/False to override.
+
+    The read resolves and PINS the store's current generation
+    (``store.resolve_store``): the returned DataFrame keeps scanning
+    that generation even if a maintenance pass commits a new one
+    mid-query — the reference's reader-holds-block-refs guarantee
+    (``tsdb/db.go:292-330``). Re-call this function to see the new
+    generation (the server rebuilds its engine on invalidation)."""
     import os
 
+    from .store import resolve_store
+
+    st = resolve_store(path)
     if dedup == "auto":
-        dedup = store_is_dirty(path)
-    if os.path.isdir(f"{path}/samples"):
-        s = spark.read.parquet(f"{path}/samples")
+        dedup = os.path.exists(st.dirty_marker)
+    if os.path.isdir(st.samples):
+        s = spark.read.parquet(st.samples)
         if dedup:
             # day is a deterministic function of t, so adding it to the
             # dedup keys changes nothing semantically — but as a
@@ -220,7 +246,7 @@ def read_samples_table(
         # selector filters through this aggregate into the dict scan
         # (dropDuplicates on series_id alone turns name into first(name),
         # which blocks pushdown)
-        d = spark.read.parquet(f"{path}/series").dropDuplicates(
+        d = spark.read.parquet(st.series).dropDuplicates(
             ["series_id", "name"]
         )
         # `day` (the physical partition column) rides along so the
