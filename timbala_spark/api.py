@@ -74,13 +74,30 @@ class PromAPI:
     engine: Engine
     max_concurrent: int = 20
     timeout_s: float = 120.0
+    #: range-results cache budget in cached ROWS (0 disables): the
+    #: query-frontend analog (see timbala_spark.frontend) serving
+    #: advancing-`now()` dashboards that the engine's absolute-time
+    #: plan cache cannot. Scoped to this PromAPI — the server builds a
+    #: fresh PromAPI whenever the store changes, so nothing is ever
+    #: served across snapshots.
+    range_cache_rows: int = 2_000_000
+    #: widening quantum in seconds (None = auto: extent/4 clamped to
+    #: [60 s, 1 h], rounded up to a step multiple)
+    range_cache_quantum_s: float | None = None
 
     def __post_init__(self) -> None:
         import itertools
         import threading
 
+        from .frontend import RangeResultCache
+
         self._gate = threading.BoundedSemaphore(self.max_concurrent)
         self._gid = itertools.count()
+        self._range_cache = (
+            RangeResultCache(self.range_cache_rows)
+            if self.range_cache_rows > 0
+            else None
+        )
 
     def _gated_collect(self, df) -> list:
         import threading
@@ -187,6 +204,10 @@ class PromAPI:
             return self._error(
                 ERR_BAD_DATA, "end timestamp must not be before start time"
             )
+        if self._range_cache is not None:
+            res = self._query_range_cached(query, start, end, step)
+            if res is not None:
+                return res
         try:
             df = self.engine.query_range(query, start, end, step)
         except Exception as e:
@@ -198,6 +219,48 @@ class PromAPI:
         except Exception as e:
             return self._error(ERR_EXEC, str(e))
         return self._success({"resultType": "matrix", "result": self._matrix(rows)})
+
+    def _query_range_cached(self, query, start, end, step) -> dict | None:
+        """Serve a range query through the widened-window results cache
+        (timbala_spark.frontend). Returns None to fall back to the
+        exact direct path — on a widened grid that would trip the
+        points cap, or any evaluation error (which must surface with
+        the semantics of the REQUESTED window, not the widened one)."""
+        from .frontend import quantize_range
+
+        start_ms, end_ms = int(round(start * 1000)), int(round(end * 1000))
+        step_ms = int(round(step * 1000))
+        if step_ms <= 0:
+            return None
+        quantum_ms = (
+            int(self.range_cache_quantum_s * 1000)
+            if self.range_cache_quantum_s is not None
+            else None
+        )
+        a, b = quantize_range(start_ms, end_ms, step_ms, quantum_ms)
+        if (b - a) // step_ms + 1 > self.engine.max_points:
+            return None
+        key = (query, step_ms, a, b)
+        try:
+            rows = self._range_cache.get_or_fill(
+                key,
+                lambda: self._gated_collect(
+                    self.engine.query_range(
+                        query, a / 1000.0, b / 1000.0, step
+                    )
+                ),
+            )
+        except QueryTimeout as e:
+            return self._error(ERR_TIMEOUT, str(e))
+        except Exception:
+            return None
+        # exact restriction: the widened grid preserves the request's
+        # step phase, so rows in [start, end] are precisely the
+        # requested grid points (range eval is per-step independent)
+        rows = [r for r in rows if start_ms <= r["t"] <= end_ms]
+        return self._success(
+            {"resultType": "matrix", "result": self._matrix(rows)}
+        )
 
     def _matrix(self, rows) -> list[dict]:
         by_series: dict[tuple, dict] = {}

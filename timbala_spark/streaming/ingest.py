@@ -56,10 +56,10 @@ def write_samples_batch(
     per sample) for small fixtures.
     """
     if layout == "row":
+        _mark_dirty(path)  # BEFORE the data lands — see below
         deduped = dedup_replicas(samples) if dedup else samples
         out = deduped.withColumn("day", utc_day_expr(F.col("t")))
         out.write.mode("append").partitionBy("day").parquet(path)
-        _mark_dirty(path)
         return
     # append into the CURRENT generation (store.resolve_store): appends
     # are reader-safe (a reader's listing only ever gains files), and a
@@ -69,6 +69,13 @@ def write_samples_batch(
     from .store import resolve_store
 
     st = resolve_store(path)
+    # dirty marker FIRST, data second: readers decide whether to
+    # replica-collapse by checking the marker AFTER building their
+    # scan (read_samples_table), so marker-before-files guarantees no
+    # reader can list this batch's files under a clean marker. A
+    # failed batch leaves the marker set: conservative (one spurious
+    # collapse exchange), never wrong.
+    _mark_dirty(path, st.dirty_marker)
     # No persist: materializing the wide (labels-map) batch costs more
     # than recomputing each pruned branch (measured 0.33M vs 1.3M
     # samples/s at 5M rows). The dict branch reads the PRE-dedup batch —
@@ -128,23 +135,24 @@ def write_samples_batch(
         futs = [ex.submit(_write_samples), ex.submit(_write_dict)]
         for f in futs:
             f.result()  # propagate either failure
-    _mark_dirty(path, st.dirty_marker)
 
 
 def _mark_dirty(path: str, marker: str | None = None) -> None:
     """Touch the store's uncompacted-tail marker: batches appended
     since the last compaction may duplicate earlier (series_id, t)
-    rows, so reads must replica-collapse. Compaction leaves the NEW
-    generation clean (it performs the same collapse); the marker lives
-    inside the generation it describes, so marking and committing
-    never race. A zero-byte object — works on a filesystem or an
-    object store alike."""
+    rows, so reads must replica-collapse. Touched BEFORE the batch's
+    data files so no reader can list the files under a clean marker.
+    Compaction leaves the NEW generation clean (it performs the same
+    collapse); the marker lives inside the generation it describes, so
+    marking and committing never race. A zero-byte object — works on a
+    filesystem or an object store alike."""
     import os
 
     from .store import resolve_store
 
     if marker is None:
         marker = resolve_store(path).dirty_marker
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w"):
         pass
 
@@ -230,10 +238,15 @@ def read_samples_table(
     from .store import resolve_store
 
     st = resolve_store(path)
-    if dedup == "auto":
-        dedup = os.path.exists(st.dirty_marker)
     if os.path.isdir(st.samples):
         s = spark.read.parquet(st.samples)
+        if dedup == "auto":
+            # checked AFTER the scan above captured its file listing:
+            # writers mark BEFORE their files land, so a clean marker
+            # here proves the listing contains no un-collapsed batch
+            # (marker-before-files / check-after-listing — the pair
+            # closes the r5 "slip one batch" visibility window)
+            dedup = os.path.exists(st.dirty_marker)
         if dedup:
             # day is a deterministic function of t, so adding it to the
             # dedup keys changes nothing semantically — but as a
@@ -259,6 +272,8 @@ def read_samples_table(
     out = spark.read.parquet(path).select(
         "name", "labels", "series_id", "t", "v"
     )
+    if dedup == "auto":  # after the listing, same ordering rule as above
+        dedup = os.path.exists(st.dirty_marker)
     return dedup_replicas(out) if dedup else out
 
 

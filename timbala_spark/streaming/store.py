@@ -118,7 +118,10 @@ def list_data_files(root: str) -> set[str]:
     out: set[str] = set()
     if not os.path.isdir(root):
         return out
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, dirs, files in os.walk(root):
+        # never descend into in-flight commit dirs (_temporary) — the
+        # same hidden-path rule Spark's own file listing applies
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         rel = os.path.relpath(dirpath, root)
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):

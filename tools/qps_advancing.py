@@ -1,0 +1,90 @@
+"""Advancing-`now()` dashboard throughput: the honest q/s number.
+
+The engine plan cache keys on absolute timestamps, so the bench's
+repeat-shape q/s overstates production throughput (VERDICT r5 finding
+#2). This harness measures the pattern a real dashboard produces —
+the SAME query shapes re-issued with start/end advancing by one step
+per refresh, every request at a UNIQUE timestamp — three ways:
+
+  direct    PromAPI with the range-results cache disabled
+            (per-request: full plan build + Catalyst + execute)
+  frontend  PromAPI with the widened-window results cache on
+            (timbala_spark.frontend; misses only at quantum
+            boundaries)
+  check     every frontend response compared to its direct twin
+            (exact envelope equality — correctness while timing)
+
+Usage: python tools/qps_advancing.py [sf_dir] [n_requests]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+)
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+SHAPES = [
+    ("sum by (user) (rate(click[4h]))", 6 * 3600, 60),
+    ("topk(3, sum by (user) (click))", 3 * 3600, 60),
+    ("avg_over_time(click[30m])", 3600, 30),
+    ("count(click) by (user)", 2 * 3600, 120),
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as em
+    from timbala_spark.api import PromAPI
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    eng, t_max = em._engine(spark, SF_DIR)
+    direct = PromAPI(eng, timeout_s=600, range_cache_rows=0)
+    frontend = PromAPI(eng, timeout_s=600)
+    now0 = t_max / 1000 - 12 * 3600
+
+    def req(api, shape_i: int, refresh_i: int) -> dict:
+        expr, extent, step = SHAPES[shape_i % len(SHAPES)]
+        # step-aligned advancing window, one step per refresh
+        end = now0 + refresh_i * step
+        return api.query_range(expr, end - extent, end, step)
+
+    # warm codegen/JIT on both paths
+    req(direct, 0, 0), req(frontend, 0, 0)
+
+    def run(api) -> tuple[float, list]:
+        t0 = time.monotonic()
+        out = [req(api, i, 1 + i // len(SHAPES)) for i in range(N)]
+        return time.monotonic() - t0, out
+
+    dt_direct, res_direct = run(direct)
+    dt_front, res_front = run(frontend)
+    mismatches = sum(1 for a, b in zip(res_direct, res_front) if a != b)
+    rc = frontend._range_cache
+    print(
+        f"direct:   {N / dt_direct:6.2f} q/s  ({dt_direct / N * 1000:.0f} ms/q)"
+    )
+    print(
+        f"frontend: {N / dt_front:6.2f} q/s  ({dt_front / N * 1000:.0f} ms/q)"
+        f"  hits={rc.hits} misses={rc.misses}"
+    )
+    print(f"speedup:  {dt_direct / dt_front:.2f}x   mismatches={mismatches}")
+    assert mismatches == 0, "frontend responses diverged from direct"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
