@@ -638,16 +638,30 @@ def q_dedup_embedding_lsh(spark, sf_dir):
 
 
 def q_dedup_embedding_blocked(spark, sf_dir):
-    """Mid-scale exact pair set: BLAS prefilter (mapInPandas over a
-    broadcast matrix) + exact-fold verify — bit-identical to the
-    all-pairs baseline (asserted in tests), quadratic loop at C speed.
-    Documented bound ~1M×64-d (broadcast matrix must fit executors);
-    beyond that, q_dedup_embedding's exact-dedup→LSH path applies."""
+    """Tagged union (50-entry cap): two routes that must both equal
+    the all-pairs baseline.
+
+    * ``blocked`` — BLAS prefilter (mapInPandas over a broadcast
+      matrix) + exact-fold verify, bit-identical to the baseline
+      (asserted in tests), quadratic loop at C speed; documented bound
+      ~1M×64-d (broadcast matrix must fit executors).
+    * ``auto`` — the r6 router (VERDICT r5 #3): estimates LSH
+      candidate volume from the S-curve (a loose 0.4 threshold admits
+      most random pairs) and routes to blocked below the broadcast
+      bound, to LSH with auto-scaled params and a degenerate-bucket
+      cap above it. At this corpus size the route is deterministically
+      ``blocked``, so both tags share the exact all-pairs oracle.
+    """
     from timbala_spark.pipeline import embedding_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(emb, threshold=0.4, mode="blocked")
-    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    blocked = embedding_near_dup_pairs(emb, threshold=0.4, mode="blocked")
+    auto = embedding_near_dup_pairs(
+        emb, threshold=0.4, mode="auto", n_planes=None, n_tables=None
+    )
+    return blocked.withColumn("mode", F.lit("blocked")).unionByName(
+        auto.withColumn("mode", F.lit("auto"))
+    ).select("mode", "id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -1813,8 +1827,9 @@ SELECT doc_id,
 FROM mins
 """
 
-    # blocked mode is bit-identical to the all-pairs baseline, so its
-    # oracle IS the exact all-pairs cosine SQL
+    # both tags (blocked / auto-routed-to-blocked at this corpus size)
+    # are bit-identical to the all-pairs baseline, so the oracle is
+    # the exact all-pairs cosine SQL replayed once per tag
     sql["dedup_embedding_blocked"] = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1827,7 +1842,9 @@ s AS (
             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4
+SELECT m.mode, id_a, id_b, ROUND(cos, 6) AS cos
+FROM s CROSS JOIN (VALUES ('blocked'), ('auto')) AS m(mode)
+WHERE cos >= 0.4
 """
 
     # events_rollup: the streaming downsampler's hourly-avg windows are

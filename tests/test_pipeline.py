@@ -391,6 +391,98 @@ class TestEmbeddingNearDup:
         assert len(lsh) >= len(exact) * 0.5
 
 
+    def test_auto_routes_blocked_at_loose_threshold(self, spark, embeddings):
+        """VERDICT r5 #3: threshold 0.4 on a small corpus has weak LSH
+        locality (most random pairs admitted) — auto must route to
+        blocked and return the EXACT pair set."""
+        import logging
+
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        with self._capture_route() as records:
+            got = sorted(
+                (r["id_a"], r["id_b"])
+                for r in embedding_near_dup_pairs(
+                    embeddings, threshold=0.4, mode="auto",
+                    n_planes=None, n_tables=None,
+                ).collect()
+            )
+        exact = sorted(
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        )
+        assert got == exact
+        assert any("auto-route: blocked" in r.getMessage() for r in records)
+
+    def test_auto_routes_lsh_above_broadcast_bound(self, spark, embeddings):
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        with self._capture_route() as records:
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in embedding_near_dup_pairs(
+                    embeddings, threshold=0.4, mode="auto",
+                    n_planes=None, n_tables=None, blocked_max_rows=3,
+                ).collect()
+            }
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        }
+        assert got <= exact  # verified candidates: always a subset
+        assert any("auto-route: lsh" in r.getMessage() for r in records)
+
+    def test_lsh_bucket_cap_is_recall_only(self, spark, embeddings):
+        from timbala_spark.pipeline import embedding_near_dup_pairs
+
+        exact = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="exact"
+            ).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dup_pairs(
+                embeddings, threshold=0.4, mode="lsh", n_planes=4,
+                n_tables=16, max_bucket_rows=8,
+            ).collect()
+        }
+        assert set(capped) <= set(exact)
+        for k, c in capped.items():  # values stay exact under the cap
+            assert math.isclose(c, exact[k], rel_tol=1e-9)
+
+    @staticmethod
+    def _capture_route():
+        import contextlib
+        import logging
+
+        @contextlib.contextmanager
+        def cm():
+            records = []
+
+            class H(logging.Handler):
+                def emit(self, record):
+                    records.append(record)
+
+            logger = logging.getLogger("timbala_spark.pipeline.dedup")
+            h = H()
+            prev = logger.level
+            logger.addHandler(h)
+            logger.setLevel(logging.INFO)
+            try:
+                yield records
+            finally:
+                logger.removeHandler(h)
+                logger.setLevel(prev)
+
+        return cm()
+
+
 class TestConnectedComponents:
     def test_known_graph(self, spark):
         from timbala_spark.pipeline import connected_components

@@ -340,6 +340,15 @@ def minhash_lsh_pairs(
     return verified
 
 
+#: blocked mode evaluates all pairs but at BLAS (vector-instruction)
+#: speed inside one mapInPandas batch; an LSH candidate costs a
+#: shuffled join row + an interpreted cosine fold — roughly this many
+#: times more per pair (order-of-magnitude constant; PERF §6d's 56 s →
+#: 5.4 s exact-first measurement and the r5 threshold-0.4 probe both
+#: sit near it). LSH must prune harder than this factor to win.
+_LSH_VS_BLAS_PAIR_COST = 64
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -351,6 +360,7 @@ def embedding_near_dup_pairs(
     n_tables: int | None = 8,
     seed: int = 42,
     blocked_max_rows: int = 1_000_000,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -372,6 +382,22 @@ def embedding_near_dup_pairs(
       candidates, exact cosine verifies.  Recall tunable via
       (n_planes, n_tables); high-cosine pairs land in the same bucket
       with probability (1 - θ/π)^n_planes per table.
+      ``max_bucket_rows`` caps degenerate buckets exactly like the
+      n-gram path's stop-shingles: a (table, bucket) holding more
+      rows than the cap generates NO candidates (its pairs must
+      collide in another table), bounding the join at cap² per
+      bucket. Recall-only — survivors are still verified exactly.
+    * ``mode="auto"``: route on the estimated candidate volume
+      (VERDICT r5: at loose thresholds the LSH S-curve admits most
+      random pairs — 1.27M candidates from 2k vectors at 0.4 — while
+      blocked is exact and bounded). A random high-dimensional pair
+      sits near 90°, agreeing with each hyperplane w.p. ~1/2, so LSH
+      admits ~``n_tables/2^n_planes`` of all pairs; blocked scans
+      every pair but ~``_LSH_VS_BLAS_PAIR_COST``× cheaper per pair.
+      Below the broadcast bound with weak pruning → ``blocked``
+      (exact output); otherwise → ``lsh`` with auto-scaled
+      (planes, tables) and a default bucket cap. The decision is
+      logged (``timbala_spark.pipeline.dedup`` logger).
     """
     from .similarity import as_double_array, dot_expr, lsh_bucket_expr, norm_expr, _planes
 
@@ -384,6 +410,38 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
     ).withColumn("_norm", norm_expr(F.col("_v")))
     e = tracked_persist(e)
+    if mode == "auto":
+        import logging
+
+        from .similarity import lsh_params_for
+
+        n_corpus = e.count()  # one pass on the persisted projection
+        p_auto, t_auto = lsh_params_for(n_corpus, threshold)
+        p_eff = n_planes if n_planes is not None else p_auto
+        t_eff = n_tables if n_tables is not None else t_auto
+        # fraction of RANDOM (~90°) pairs colliding in >=1 table
+        sel = min(1.0, t_eff * 0.5 ** p_eff)
+        log = logging.getLogger(__name__)
+        if n_corpus <= blocked_max_rows and sel * _LSH_VS_BLAS_PAIR_COST > 1.0:
+            mode = "blocked"
+            log.info(
+                "embedding_near_dup auto-route: blocked (n=%d, threshold=%g: "
+                "LSH(planes=%d, tables=%d) would admit ~%.1f%% of all pairs "
+                "— prunes less than the ~%dx BLAS per-pair advantage)",
+                n_corpus, threshold, p_eff, t_eff, 100 * sel,
+                _LSH_VS_BLAS_PAIR_COST,
+            )
+        else:
+            mode = "lsh"
+            n_planes, n_tables = p_eff, t_eff
+            if max_bucket_rows is None:
+                max_bucket_rows = 2048  # degenerate-bucket backstop
+            log.info(
+                "embedding_near_dup auto-route: lsh (n=%d, threshold=%g, "
+                "planes=%d, tables=%d, est. candidate fraction %.2g, "
+                "max_bucket_rows=%d)",
+                n_corpus, threshold, n_planes, n_tables, sel, max_bucket_rows,
+            )
     if mode == "exact":
         a = e.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
@@ -501,6 +559,21 @@ def embedding_near_dup_pairs(
         # duplicate bucket hits (OOMed at sf0.1); vectors are
         # re-attached per distinct pair afterwards.
         banded = tracked_persist(banded, release_previous=False)
+        if max_bucket_rows is not None:
+            # stop-bucket exclusion, mirroring the n-gram stop-shingle
+            # cap: an over-cap (table, bucket) cell generates no
+            # candidates — with T independent tables a true pair only
+            # needs ONE non-degenerate collision, and survivors are
+            # verified exactly, so the cap is recall-only
+            hot = (
+                banded.groupBy("_tbl", "_bkt")
+                .count()
+                .filter(F.col("count") > max_bucket_rows)
+                .select("_tbl", "_bkt")
+            )
+            banded = banded.join(
+                F.broadcast(hot), ["_tbl", "_bkt"], "left_anti"
+            )
         pair_ids = (
             banded.alias("x")
             .join(
