@@ -594,6 +594,56 @@ class TestStoreMaintenance:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_lookback_and_staleness_across_day_boundary(self, spark):
+        """Staleness/lookback interplay on the STORED path (VERDICT r5
+        task 4): the lookback window and range selectors must reach
+        back across a day-partition boundary, and a stale marker just
+        before midnight must still kill the series just after it
+        (day pruning that clipped the scan at the partition edge would
+        silently resurrect or drop samples)."""
+        from timbala_spark.streaming import read_samples_table
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_daylb_")
+        try:
+            day = 86_400_000
+            midnight = 1_700_006_400_000 - (1_700_006_400_000 % day) + day
+            rows = [
+                # live: last real sample 10s before midnight
+                ({"__name__": "live", "j": "x"}, midnight - 10_000, 42.0),
+                # gone: real sample then a stale marker before midnight
+                ({"__name__": "gone", "j": "x"}, midnight - 120_000, 7.0),
+                ({"__name__": "gone", "j": "x"}, midnight - 10_000, None),
+                # next-day data so the store spans both partitions
+                ({"__name__": "live", "j": "x"}, midnight + 3_600_000, 43.0),
+            ]
+            df = prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            write_samples_batch(df, tmp)
+            eng = Engine(spark, read_samples_table(spark, tmp))
+            q_ts = (midnight + 120_000) / 1000  # 2 min past midnight
+            # lookback crosses the boundary and serves yesterday's value
+            assert [r["v"] for r in eng.query("live", q_ts).collect()] == [42.0]
+            # ... but the marker also crosses it and kills `gone` —
+            # resurrecting the 7.0 from two minutes earlier is the bug
+            assert eng.query("gone", q_ts).collect() == []
+            assert [r["v"] for r in eng.query("absent(gone)", q_ts).collect()] == [1.0]
+            # range window straddling midnight sees both live samples
+            got = eng.query(
+                "count_over_time(live[2h])", (midnight + 3_600_000) / 1000
+            ).collect()
+            assert [r["v"] for r in got] == [2.0]
+            # and skips the marker while counting the real sample
+            got = eng.query(
+                "count_over_time(gone[10m])", (midnight + 60_000) / 1000
+            ).collect()
+            assert [r["v"] for r in got] == [1.0]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_split_store_day_pruning(self, spark):
         """Engine time bounds over the split store must reach the
         physical plan as `day` PARTITION filters (full-store listing →
