@@ -565,6 +565,164 @@ class TestStoreMaintenance:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_promapi_concurrency_soak(self, spark):
+        """VERDICT r5 task 5 (reduced-duration CI soak): 20 concurrent
+        clients (the reference's gate width, engine.go:1474-1503) ×
+        mixed query shapes against one engine. Asserts no deadlock
+        between the PromAPI semaphore, the engine's _plan_lock and the
+        frontend cache lock; no cross-request result bleed (every
+        thread's responses must carry ITS matcher's labels/values);
+        and the gate fully released afterwards."""
+        import threading
+
+        from timbala_spark.api import PromAPI
+
+        t0 = 1_700_000_000_000
+        rows = [
+            ({"__name__": "m", "i": str(i)}, t0 + k * 60_000, 10.0 * (i + 1))
+            for i in range(3)
+            for k in range(30)
+        ]
+        df = prepare_samples(
+            spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+        )
+        api = PromAPI(Engine(spark, df), max_concurrent=20, timeout_s=300)
+        failures: list[str] = []
+        barrier = threading.Barrier(20)
+
+        def client(k: int) -> None:
+            i = k % 3
+            want = 10.0 * (i + 1)
+            barrier.wait()
+            try:
+                for it in range(5):
+                    ts = (t0 + (10 + it) * 60_000) / 1000
+                    if it % 3 == 0:  # instant
+                        r = api.query(f'sum(m{{i="{i}"}})', ts)
+                        vals = [
+                            float(s["value"][1]) for s in r["data"]["result"]
+                        ]
+                        if r["status"] != "success" or vals != [want]:
+                            failures.append(f"c{k} instant {r}")
+                    elif it % 3 == 1:  # range through the frontend cache
+                        r = api.query_range(
+                            f'sum by (i) (m{{i="{i}"}})', ts - 300, ts, 60
+                        )
+                        series = r["data"]["result"]
+                        ok = (
+                            r["status"] == "success"
+                            and len(series) == 1
+                            and series[0]["metric"] == {"i": str(i)}
+                            and all(
+                                float(v[1]) == want
+                                for v in series[0]["values"]
+                            )
+                        )
+                        if not ok:
+                            failures.append(f"c{k} range {r}")
+                    else:  # parse error must not poison the gate
+                        r = api.query("m{", ts)
+                        if r.get("errorType") != "bad_data":
+                            failures.append(f"c{k} err {r}")
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"c{k} raised {e!r}")
+
+        threads = [
+            threading.Thread(target=client, args=(k,)) for k in range(20)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert not any(th.is_alive() for th in threads), "soak deadlocked"
+        assert failures == []
+        # the admission gate must be fully released
+        assert api._gate._value == 20
+
+    def test_http_write_query_compact_soak(self, spark):
+        """Full-stack soak: HTTP queries race remote writes and
+        maintenance passes through TimbalaServer — store lock, engine
+        invalidation and generation GC all exercised; every query must
+        answer 200/success with the correct value."""
+        import threading
+        import urllib.parse
+        import urllib.request
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.sources.wire import encode_write_request
+
+        tmp = tempfile.mkdtemp(prefix="timbala_soak_")
+        srv = TimbalaServer(spark, tmp, timeout_s=300.0)
+        srv.start()
+        try:
+            t0 = 1_700_000_000_000
+            series = [
+                {
+                    "labels": {"__name__": "m", "i": str(i)},
+                    "samples": [
+                        [t0 + k * 60_000, 10.0 * (i + 1)] for k in range(10)
+                    ],
+                }
+                for i in range(3)
+            ]
+            body = encode_write_request(series)
+            base = f"http://127.0.0.1:{srv.port}"
+
+            def write() -> None:
+                req = urllib.request.Request(
+                    base + "/write", data=body, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    assert r.status == 200
+
+            write()
+            stop = threading.Event()
+            failures: list[str] = []
+
+            def reader(k: int) -> None:
+                import json as _json
+
+                i = k % 3
+                want = 10.0 * (i + 1)
+                while not stop.is_set():
+                    try:
+                        q = urllib.parse.quote(f'sum(m{{i="{i}"}})')
+                        ts = (t0 + 9 * 60_000) / 1000
+                        with urllib.request.urlopen(
+                            base + f"/api/v1/query?query={q}&time={ts}",
+                            timeout=300,
+                        ) as r:
+                            payload = _json.loads(r.read())
+                        vals = [
+                            float(s["value"][1])
+                            for s in payload["data"]["result"]
+                        ]
+                        if payload["status"] != "success" or vals != [want]:
+                            failures.append(f"r{k}: {payload}")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(f"r{k} raised {e!r}")
+
+            threads = [
+                threading.Thread(target=reader, args=(k,)) for k in range(6)
+            ]
+            for th in threads:
+                th.start()
+            try:
+                for _ in range(3):  # re-send (pure dups) + maintain
+                    write()
+                    srv.compact()
+            finally:
+                stop.set()
+                for th in threads:
+                    th.join(timeout=300)
+            assert not any(th.is_alive() for th in threads)
+            assert failures == []
+        finally:
+            srv.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_stale_markers_survive_the_store(self, spark):
         """Staleness markers (NULL v) round-trip through the split
         store: an instant read under lookback dies at the marker, and
