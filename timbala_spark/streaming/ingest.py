@@ -54,6 +54,10 @@ def write_samples_batch(
 
     ``layout="row"`` keeps the original single-table layout (labels
     per sample) for small fixtures.
+
+    Both tables live inside the store's CURRENT manifest generation
+    once maintenance has run (``streaming.store``); a never-compacted
+    store keeps the flat ``<path>/{samples,series}`` layout.
     """
     if layout == "row":
         _mark_dirty(path)  # BEFORE the data lands — see below
