@@ -134,6 +134,20 @@ class TestCachedEqualsDirect:
         want = direct.query_range("m[", start, end, 60)
         assert got == want and got["errorType"] == "bad_data"
 
+    def test_metadata_endpoints_cache_per_snapshot(self, apis):
+        cached, _direct, _t0 = apis
+        a = cached.label_values("i")
+        b = cached.label_values("i")
+        assert a is b  # served from the snapshot-scoped cache
+        assert a["data"] == ["0", "1", "2"]
+        s1 = cached.series(["m"], 0, 4e9)
+        s2 = cached.series(["m"], 0, 4e9)
+        assert s1 is s2 and s1["status"] == "success"
+        # errors are never cached
+        e1 = cached.label_values("0bad")
+        e2 = cached.label_values("0bad")
+        assert e1 is not e2 and e1["status"] == "error"
+
     def test_points_cap_respects_requested_grid(self, apis):
         cached, direct, t0 = apis
         start = t0 / 1000

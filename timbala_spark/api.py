@@ -98,6 +98,12 @@ class PromAPI:
             if self.range_cache_rows > 0
             else None
         )
+        # metadata endpoints are pure functions of the engine snapshot
+        # (PromAPI dies with its engine on any write/maintenance), so
+        # their envelopes cache safely — dashboards hit label_values
+        # for every variable dropdown on every refresh
+        self._meta_cache: dict[tuple, dict] = {}
+        self._meta_lock = threading.Lock()
 
     def _gated_collect(self, df) -> list:
         import threading
@@ -288,8 +294,21 @@ class PromAPI:
             df = df.filter(matcher_expr(m))
         return df.select("labels", "t", "v")
 
+    def _meta_cached(self, key: tuple, build) -> dict:
+        with self._meta_lock:
+            if key in self._meta_cache:
+                return self._meta_cache[key]
+        out = build()  # outside the lock: collects run concurrently
+        if out.get("status") == "success" and len(self._meta_cache) < 256:
+            with self._meta_lock:
+                self._meta_cache[key] = out
+        return out
+
     # -- GET /api/v1/label/:name/values (api.go:252-272) --------------
     def label_values(self, name: str) -> dict:
+        return self._meta_cached(("lv", name), lambda: self._label_values(name))
+
+    def _label_values(self, name: str) -> dict:
         import re
 
         if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", name):
@@ -307,6 +326,12 @@ class PromAPI:
 
     # -- GET /api/v1/series (api.go:279-341) --------------------------
     def series(self, match: list[str], start: float, end: float) -> dict:
+        return self._meta_cached(
+            ("series", tuple(match), float(start), float(end)),
+            lambda: self._series(match, start, end),
+        )
+
+    def _series(self, match: list[str], start: float, end: float) -> dict:
         if not match:
             return self._error(
                 ERR_BAD_DATA, "no match[] parameter provided"
