@@ -723,6 +723,100 @@ class TestStoreMaintenance:
             srv.stop()
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_background_maintenance_loop(self, spark):
+        """The reference runs its compactor on a background goroutine
+        (cmd/timbala/main.go:153); our analog is the server's
+        maintenance loop: a dirty store is compacted into a clean
+        generation within an interval, while queries keep answering
+        correctly throughout."""
+        import urllib.parse
+        import urllib.request
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.sources.wire import encode_write_request
+        from timbala_spark.streaming import resolve_store, store_is_dirty
+
+        tmp = tempfile.mkdtemp(prefix="timbala_bgmaint_")
+        srv = TimbalaServer(
+            spark, tmp, timeout_s=300.0, maintenance_interval_s=0.3
+        )
+        srv.start()
+        try:
+            t0 = 1_700_000_000_000
+            body = encode_write_request(
+                [
+                    {
+                        "labels": {"__name__": "m", "i": "0"},
+                        "samples": [[t0 + k * 60_000, 5.0] for k in range(5)],
+                    }
+                ]
+            )
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/write", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.status == 200
+            assert store_is_dirty(tmp)
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline and (
+                store_is_dirty(tmp) or resolve_store(tmp).gen == 0
+            ):
+                time.sleep(0.2)
+            assert resolve_store(tmp).gen >= 1
+            assert not store_is_dirty(tmp)
+            q = urllib.parse.quote('sum(m{i="0"})')
+            ts = (t0 + 4 * 60_000) / 1000
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/v1/query?query={q}&time={ts}",
+                timeout=300,
+            ) as r:
+                payload = json.loads(r.read())
+            assert payload["status"] == "success"
+            assert [
+                float(s["value"][1]) for s in payload["data"]["result"]
+            ] == [5.0]
+        finally:
+            srv.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_fanout_across_manifest_and_legacy_stores(self, spark):
+        """read_fanout must pin each branch's generation through the
+        manifest (compacted store) while mixing in a never-compacted
+        legacy store, and still merge-dedup replicas across stores."""
+        from timbala_spark.streaming import read_fanout, resolve_store
+        from timbala_spark.streaming.compact import compact_store
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp_a = tempfile.mkdtemp(prefix="timbala_fan_a_")
+        tmp_b = tempfile.mkdtemp(prefix="timbala_fan_b_")
+        try:
+            t0 = 1_700_000_000_000
+            mk = lambda rows: prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            rows = [
+                ({"__name__": "m", "i": str(i % 3)}, t0 + i * 60_000, float(i))
+                for i in range(30)
+            ]
+            # store A: compacted (manifest gen 1); store B: legacy,
+            # holding a replica re-send of half of A plus its own tail
+            write_samples_batch(mk(rows), tmp_a)
+            compact_store(spark, tmp_a)
+            assert resolve_store(tmp_a).gen == 1
+            extra = [
+                ({"__name__": "m", "i": "9"}, t0 + i * 60_000, 1.0)
+                for i in range(5)
+            ]
+            write_samples_batch(mk(rows[:15] + extra), tmp_b)
+            assert resolve_store(tmp_b).gen == 0
+            got = read_fanout(spark, [tmp_a, tmp_b])
+            assert got.count() == 35  # 30 + 5, replicas collapsed
+        finally:
+            shutil.rmtree(tmp_a, ignore_errors=True)
+            shutil.rmtree(tmp_b, ignore_errors=True)
+
     def test_stale_markers_survive_the_store(self, spark):
         """Staleness markers (NULL v) round-trip through the split
         store: an instant read under lookback dies at the marker, and

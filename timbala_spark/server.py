@@ -111,9 +111,22 @@ class TimbalaServer:
         max_concurrent: int = 20,
         timeout_s: float = 120.0,
         lookback_ms: int | None = None,
+        maintenance_interval_s: float | None = None,
     ) -> None:
+        """``maintenance_interval_s`` starts a background maintenance
+        loop with :meth:`start` — the analog of the reference's
+        compactor goroutine (``cmd/timbala/main.go:153`` wires the
+        tsdb compactor's 2h/10h/50h ranges onto a background loop):
+        every interval, a dirty store (uncompacted batch tail) is
+        compacted into a fresh clean generation. Safe under concurrent
+        queries by construction (reader pinning); serialized against
+        writes via the store lock. ``None`` (default) keeps
+        maintenance manual via :meth:`compact`."""
         self.spark = spark
         self.store_path = store_path
+        self.maintenance_interval_s = maintenance_interval_s
+        self._maint_stop = threading.Event()
+        self._maint_thread: threading.Thread | None = None
         self.max_body_bytes = max_body_bytes
         self._api_kw = {"max_concurrent": max_concurrent, "timeout_s": timeout_s}
         self._lookback_ms = lookback_ms
@@ -159,8 +172,31 @@ class TimbalaServer:
             target=self._httpd.serve_forever, daemon=True
         )
         self._thread.start()
+        if self.maintenance_interval_s is not None:
+            self._maint_stop.clear()
+            self._maint_thread = threading.Thread(
+                target=self._maintenance_loop, daemon=True
+            )
+            self._maint_thread.start()
+
+    def _maintenance_loop(self) -> None:
+        from .streaming.ingest import store_is_dirty
+
+        while not self._maint_stop.wait(self.maintenance_interval_s):
+            try:
+                if store_is_dirty(self.store_path):
+                    self.compact()
+            except Exception:  # noqa: BLE001 — keep the loop alive
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "background maintenance pass failed"
+                )
 
     def stop(self) -> None:
+        self._maint_stop.set()
+        if self._maint_thread:
+            self._maint_thread.join(timeout=60)
         self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
