@@ -43,6 +43,40 @@ class TestQuantizeRange:
         )
         assert hits >= 5
 
+    def test_window_invariants_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            start=st.integers(min_value=-(2**40), max_value=2**40),
+            extent=st.integers(min_value=0, max_value=10**9),
+            step=st.integers(min_value=1, max_value=10**7),
+            quantum=st.one_of(
+                st.none(), st.integers(min_value=1, max_value=10**8)
+            ),
+        )
+        def check(start, extent, step, quantum):
+            end = start + extent
+            a, b = quantize_range(start, end, step, quantum)
+            assert a <= start and b >= end
+            assert a % step == start % step  # grid superset guarantee
+            assert (b - a) % step == 0
+            # bounded widening: at most one rounded quantum each side
+            q = -(-max(quantum or 1, step) // step) * step
+            if quantum is not None:
+                assert (start - a) < q and (b - end) < q + step
+            # stability: a request sliding within the same quantum cell
+            # maps to the same window (cache-hit guarantee)
+            if quantum is not None and extent >= step:
+                a2, b2 = quantize_range(
+                    start + step, end + step, step, quantum
+                )
+                assert a2 % step == a % step
+                assert a2 in (a, a + q)
+
+        check()
+
     def test_cache_row_budget_eviction(self):
         c = RangeResultCache(max_rows=10)
         c.get_or_fill(("a",), lambda: list(range(6)))
