@@ -49,8 +49,10 @@ from .model import (
     DEFAULT_LOOKBACK_MS,
     METRIC_NAME_LABEL,
     canonical_labels_expr,
+    canonical_labels_sql,
     label_get,
     restrict_labels_expr,
+    restrict_labels_sql,
     signature_expr,
 )
 from .promql.ast import (
@@ -480,7 +482,7 @@ def _base_scan(ctx: EvalContext, name, matchers, lo_t, hi_t) -> DataFrame:
     # window bounds are INCLUSIVE on both ends in the vendored engine
     # (`t >= mint`, engine.go:796,869) — modern Prometheus later made the
     # lower bound exclusive; we match the reference.
-    df = df.filter((F.col("t") >= F.lit(lo_t)) & (F.col("t") <= F.lit(hi_t)))
+    df = df.filter(f"t >= {int(lo_t)} AND t <= {int(hi_t)}")
     if "day" in df.columns:
         # sources backed by the day-partitioned store carry the physical
         # partition column; Spark cannot derive day bounds from t bounds
@@ -495,8 +497,7 @@ def _base_scan(ctx: EvalContext, name, matchers, lo_t, hi_t) -> DataFrame:
             ).strftime("%Y%m%d")
 
         df = df.filter(
-            (F.col("day") >= F.lit(_day(int(lo_t))))
-            & (F.col("day") <= F.lit(_day(int(hi_t))))
+            f"day >= '{_day(int(lo_t))}' AND day <= '{_day(int(hi_t))}'"
         )
     return df
 
@@ -507,25 +508,33 @@ def _explode_grid(
     """Map each sample to the step indexes whose window ``[step_t - W,
     step_t]`` (both ends inclusive, matching the vendored engine) contains
     the (offset-shifted) sample time. Adds ``ts`` (shifted sample time)
-    and ``step_t``."""
-    ts = (F.col("t") + F.lit(int(offset_ms))).cast("long")
-    df = df.withColumn("ts", ts)
-    i_lo = F.greatest(_ceildiv(F.col("ts") - F.lit(ctx.start), ctx.step), F.lit(0))
-    i_hi = F.least(
-        _floordiv(
-            F.col("ts") + F.lit(int(window_ms)) - F.lit(ctx.start), ctx.step
-        ),
-        F.lit(ctx.n_steps - 1),
-    )
+    and ``step_t``.
+
+    Built as batched ``selectExpr`` SQL (parsed JVM-side in a few py4j
+    round trips) instead of a Column-op forest: this helper sits under
+    EVERY range/selector path and driver-side plan construction is
+    round-trip-bound (PERF §13). The SQL mirrors the former Column
+    tree exactly — ``_floordiv(a, s) = CAST((a - pmod(a, s)) / s AS
+    BIGINT)``, ``_ceildiv(a, s) = -_floordiv(-a, s)``."""
+    start, step, n_hi = ctx.start, ctx.step, ctx.n_steps - 1
+    off, win = int(offset_ms), int(window_ms)
+
+    def fdiv(a: str) -> str:
+        return f"CAST((({a}) - pmod({a}, {step})) / {step} AS BIGINT)"
+
+    df = df.selectExpr("*", f"CAST(t + {off} AS BIGINT) AS ts")
     df = (
-        df.withColumn("_ilo", i_lo)
-        .withColumn("_ihi", i_hi)
-        .filter(F.col("_ilo") <= F.col("_ihi"))
-        .withColumn("step_idx", F.explode(F.sequence(F.col("_ilo"), F.col("_ihi"))))
+        df.selectExpr(
+            "*",
+            f"GREATEST(-{fdiv(f'-(ts - {start})')}, CAST(0 AS BIGINT)) AS _ilo",
+            f"LEAST({fdiv(f'ts + {win} - {start}')}, "
+            f"CAST({n_hi} AS BIGINT)) AS _ihi",
+        )
+        .filter("_ilo <= _ihi")
+        .selectExpr("*", "explode(sequence(_ilo, _ihi)) AS step_idx")
     )
-    return df.withColumn(
-        "step_t",
-        (F.lit(ctx.start) + F.col("step_idx") * F.lit(ctx.step)).cast("long"),
+    return df.selectExpr(
+        "*", f"CAST({start} + step_idx * CAST({step} AS BIGINT) AS BIGINT) AS step_t"
     )
 
 
@@ -539,15 +548,13 @@ def compile_vector_selector(vs: VectorSelector, ctx: EvalContext) -> VectorValue
     # Staleness markers are NULL values (the engine's analog of the
     # reference's stale-NaN bit pattern, engine.go:796): a series whose
     # most recent in-window sample is a marker is absent at that step.
+    # (Batched SQL strings, not a Column forest — PERF §13.)
     out = (
         g.groupBy("series_id", "step_t")
-        .agg(F.max_by(F.struct("t", "v", "labels"), "t").alias("s"))
-        .filter(F.col("s.v").isNotNull())
-        .select(
-            "step_t",
-            F.col("s.labels").alias("labels"),
-            F.col("s.v").alias("v"),
-            F.col("s.t").alias("sample_t"),
+        .agg(F.expr("max_by(struct(t, v, labels), t) AS s"))
+        .filter("s.v IS NOT NULL")
+        .selectExpr(
+            "step_t", "s.labels AS labels", "s.v AS v", "s.t AS sample_t"
         )
     )
     return VectorValue(out)
@@ -582,11 +589,9 @@ def _matrix_agg(
     g = _matrix_grouped(ms, ctx)
     agg_cols = [v.alias(k) for k, v in aggs.items()]
     out = g.groupBy("series_id", "step_t").agg(
-        F.max_by("labels", "ts").alias("_labels"), *agg_cols
+        F.expr("max_by(labels, ts) AS _labels"), *agg_cols
     )
-    return out.withColumn(
-        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
-    ).drop("_labels")
+    return _relabel_dropping_name(out)
 
 
 def _matrix_lagged(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
@@ -612,14 +617,14 @@ def _matrix_lagged(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
     # stale markers (NULL v) never appear inside range vectors
     # (engine.go:869); filter BEFORE the lag so consecutiveness is
     # between retained samples
-    base = base.filter(F.col("v").isNotNull())
-    w = Window.partitionBy("series_id").orderBy("t")
-    base = base.withColumn("_prev_t", F.lag("t").over(w)).withColumn(
-        "prev_v", F.lag("v").over(w)
+    base = base.filter("v IS NOT NULL").selectExpr(
+        "*",
+        "lag(t) OVER (PARTITION BY series_id ORDER BY t) AS _prev_t",
+        "lag(v) OVER (PARTITION BY series_id ORDER BY t) AS prev_v",
     )
     g = _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
-    return g.withColumn(
-        "prev_ts", (F.col("_prev_t") + F.lit(int(ms.offset_ms))).cast("long")
+    return g.selectExpr(
+        "*", f"CAST(_prev_t + {int(ms.offset_ms)} AS BIGINT) AS prev_ts"
     ).drop("_prev_t")
 
 
@@ -630,19 +635,27 @@ def _pair_kernel_agg(
     aggregate expressions over (ts, v, prev_ts, prev_v) — the shared
     frame for rate/increase/delta/resets/changes/irate/idelta.
 
-    ``pair_aggs(prev_in_window)`` returns the aliased aggregate columns;
-    ``prev_in_window`` is the boolean marking rows whose predecessor is
-    inside the same step window.
+    ``pair_aggs(prev_in_sql)`` returns the aliased aggregate columns;
+    ``prev_in_sql`` is a SQL boolean expression (string, for embedding
+    in ``F.expr`` — PERF §13) marking rows whose predecessor is inside
+    the same step window.
     """
     g = _matrix_lagged(ms, ctx)
-    prev_in = F.col("prev_ts").isNotNull() & (
-        F.col("prev_ts") >= F.col("step_t") - F.lit(int(ms.range_ms))
+    prev_in_sql = (
+        f"(prev_ts IS NOT NULL AND prev_ts >= step_t - {int(ms.range_ms)})"
     )
     out = g.groupBy("series_id", "step_t").agg(
-        F.max_by("labels", "ts").alias("_labels"), *pair_aggs(prev_in)
+        F.expr("max_by(labels, ts) AS _labels"), *pair_aggs(prev_in_sql)
     )
-    return out.withColumn(
-        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
+    return _relabel_dropping_name(out)
+
+
+def _relabel_dropping_name(out: DataFrame) -> DataFrame:
+    """``_labels`` → ``labels`` with ``__name__`` dropped — the same
+    tree ``restrict_labels_expr(drop_name=True)`` builds (a
+    ``map_filter`` over an ``In`` check), parsed JVM-side in one call."""
+    return out.selectExpr(
+        "*", "map_filter(_labels, (k, v) -> NOT (k IN ('__name__'))) AS labels"
     ).drop("_labels")
 
 
@@ -656,14 +669,12 @@ def _matrix_points(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:
     """
     g = _matrix_grouped(ms, ctx)
     out = g.groupBy("series_id", "step_t").agg(
-        F.max_by("labels", "ts").alias("_labels"),
-        F.sort_array(
-            F.collect_list(F.struct(F.col("ts").alias("t"), F.col("v").alias("v")))
-        ).alias("pts"),
+        F.expr("max_by(labels, ts) AS _labels"),
+        F.expr(
+            "sort_array(collect_list(named_struct('t', ts, 'v', v))) AS pts"
+        ),
     )
-    return out.withColumn(
-        "labels", restrict_labels_expr(F.col("_labels"), drop_name=True)
-    ).drop("_labels")
+    return _relabel_dropping_name(out)
 
 
 # ---------------------------------------------------------------------------
@@ -1035,14 +1046,30 @@ class Compiler:
         assert isinstance(inner, VectorValue)
         df = inner.df
 
+        # batched SQL strings when the grouping labels are plain
+        # identifiers (always, for parsed PromQL) — PERF §13
         if node.without:
-            result_map = restrict_labels_expr(
-                F.col("labels"), drop=node.grouping, drop_name=True
+            rm_sql = restrict_labels_sql(
+                "labels", drop=node.grouping, drop_name=True
             )
         else:
-            result_map = restrict_labels_expr(F.col("labels"), keep=node.grouping)
-        sig = canonical_labels_expr(result_map)
-        df = df.withColumn("_gmap", result_map).withColumn("_gsig", sig)
+            rm_sql = restrict_labels_sql("labels", keep=node.grouping)
+        if rm_sql is not None:
+            df = df.selectExpr("*", f"{rm_sql} AS _gmap").selectExpr(
+                "*", f"{canonical_labels_sql('_gmap')} AS _gsig"
+            )
+        else:  # non-identifier label name: Column builders (no quoting)
+            if node.without:
+                result_map = restrict_labels_expr(
+                    F.col("labels"), drop=node.grouping, drop_name=True
+                )
+            else:
+                result_map = restrict_labels_expr(
+                    F.col("labels"), keep=node.grouping
+                )
+            df = df.withColumn("_gmap", result_map).withColumn(
+                "_gsig", canonical_labels_expr(F.col("_gmap"))
+            )
 
         op = node.op
         if op in ("topk", "bottomk"):
@@ -1782,15 +1809,19 @@ class Compiler:
         columns — all whole-stage-codegen friendly, with map-side
         partial aggregation (no interpreted ``aggregate`` folds)."""
         ms = self._matrix_arg(node.args[0])
-        v, pv = F.col("v"), F.col("prev_v")
-
-        def aggs(prev_in):
+        # Batched SQL strings (parsed JVM-side), not a Column-op forest
+        # — plan construction is py4j-round-trip-bound and the rate
+        # family is the hottest shape (PERF §13). The SQL mirrors the
+        # former Column tree term for term; every float literal carries
+        # the D suffix so it parses as DOUBLE (bare decimals are
+        # DECIMAL in Spark SQL), matching the old F.lit doubles.
+        def aggs(prev_in_sql):
             cols = [
-                F.count(F.lit(1)).alias("_n"),
-                F.min("ts").alias("_first_t"),
-                F.max("ts").alias("_last_t"),
-                F.min_by("v", "ts").alias("_first_v"),
-                F.max_by("v", "ts").alias("_last_v"),
+                F.expr("count(1) AS _n"),
+                F.expr("min(ts) AS _first_t"),
+                F.expr("max(ts) AS _last_t"),
+                F.expr("min_by(v, ts) AS _first_v"),
+                F.expr("max_by(v, ts) AS _last_v"),
             ]
             if is_counter:
                 # Go's `sample.V < lastValue` is FALSE when either side
@@ -1799,52 +1830,50 @@ class Compiler:
                 # bogus NaN correction on the NaN→x transition — guard
                 # both sides explicitly (functions.go:50-127)
                 cols.append(
-                    F.sum(
-                        F.when(
-                            prev_in
-                            & ~F.isnan(v)
-                            & ~F.isnan(pv)
-                            & (v < pv),
-                            pv,
-                        ).otherwise(F.lit(0.0))
-                    ).alias("_corr")
+                    F.expr(
+                        f"sum(CASE WHEN {prev_in_sql} AND NOT isnan(v) "
+                        "AND NOT isnan(prev_v) AND v < prev_v "
+                        "THEN prev_v ELSE 0.0D END) AS _corr"
+                    )
                 )
             return cols
 
-        df = _pair_kernel_agg(ms, self.ctx, aggs).filter(F.col("_n") >= 2)
-        n = F.col("_n")
-        first_v, last_v = F.col("_first_v"), F.col("_last_v")
-        range_start = (F.col("step_t") - F.lit(int(ms.range_ms))).cast("double")
-        range_end = F.col("step_t").cast("double")
-        first_t = F.col("_first_t").cast("double")
-        last_t = F.col("_last_t").cast("double")
-        dur_start = (first_t - range_start) / F.lit(1000.0)
-        dur_end = (range_end - last_t) / F.lit(1000.0)
-        sampled = (last_t - first_t) / F.lit(1000.0)
-        avg_between = sampled / (n - 1).cast("double")
+        df = _pair_kernel_agg(ms, self.ctx, aggs).filter("_n >= 2")
+        range_start = f"CAST(step_t - {int(ms.range_ms)} AS DOUBLE)"
+        range_end = "CAST(step_t AS DOUBLE)"
+        first_t = "CAST(_first_t AS DOUBLE)"
+        last_t = "CAST(_last_t AS DOUBLE)"
+        dur_start = f"(({first_t} - {range_start}) / 1000.0D)"
+        dur_end = f"(({range_end} - {last_t}) / 1000.0D)"
+        sampled = f"(({last_t} - {first_t}) / 1000.0D)"
+        avg_between = f"({sampled} / CAST(_n - 1 AS DOUBLE))"
         if is_counter:
-            base = last_v - first_v + F.col("_corr")
+            base = "(_last_v - _first_v + _corr)"
             # counter zero-point clamp (functions.go:107-113)
-            dur_zero = sampled * (first_v / base)
-            dur_start = F.when(
-                (base > 0) & (first_v >= 0) & (dur_zero < dur_start), dur_zero
-            ).otherwise(dur_start)
+            dur_zero = f"({sampled} * (_first_v / {base}))"
+            dur_start = (
+                f"(CASE WHEN {base} > 0 AND _first_v >= 0 "
+                f"AND {dur_zero} < {dur_start} "
+                f"THEN {dur_zero} ELSE {dur_start} END)"
+            )
         else:
-            base = last_v - first_v
-        threshold = avg_between * F.lit(1.1)
+            base = "(_last_v - _first_v)"
+        threshold = f"({avg_between} * 1.1D)"
         extrap = (
-            sampled
-            + F.when(dur_start < threshold, dur_start).otherwise(avg_between / 2)
-            + F.when(dur_end < threshold, dur_end).otherwise(avg_between / 2)
+            f"({sampled} "
+            f"+ (CASE WHEN {dur_start} < {threshold} THEN {dur_start} "
+            f"ELSE {avg_between} / 2 END) "
+            f"+ (CASE WHEN {dur_end} < {threshold} THEN {dur_end} "
+            f"ELSE {avg_between} / 2 END))"
         )
-        val = base * (extrap / sampled)
+        val = f"({base} * ({extrap} / {sampled}))"
         if is_rate:
-            val = val / F.lit(ms.range_ms / 1000.0)
-        out = df.select(
+            val = f"({val} / {ms.range_ms / 1000.0!r}D)"
+        out = df.selectExpr(
             "step_t",
             "labels",
-            val.cast("double").alias("v"),
-            F.lit(None).cast("long").alias("sample_t"),
+            f"CAST({val} AS DOUBLE) AS v",
+            "CAST(NULL AS BIGINT) AS sample_t",
         )
         return VectorValue(out)
 
@@ -1866,18 +1895,13 @@ class Compiler:
         grid replaces the sorted-array indexing."""
         ms = self._matrix_arg(node.args[0])
 
-        def aggs(prev_in):
+        def aggs(prev_in_sql):
             return [
-                F.max_by(
-                    F.struct(
-                        F.col("ts"),
-                        F.col("v"),
-                        F.col("prev_ts"),
-                        F.col("prev_v"),
-                        prev_in.alias("prev_in"),
-                    ),
-                    "ts",
-                ).alias("_s")
+                F.expr(
+                    "max_by(named_struct("
+                    "'ts', ts, 'v', v, 'prev_ts', prev_ts, "
+                    f"'prev_v', prev_v, 'prev_in', {prev_in_sql}), ts) AS _s"
+                )
             ]
 
         df = _pair_kernel_agg(ms, self.ctx, aggs)
@@ -1909,20 +1933,19 @@ class Compiler:
     def _fn_idelta(self, node):
         return self._instant_pair(node, is_rate=False)
 
-    def _pair_count(self, node, count_cond) -> VectorValue:
+    def _pair_count(self, node, count_cond_sql: str) -> VectorValue:
         """resets/changes (functions.go:730-776) as a conditional sum
         over consecutive in-window pairs on the lagged grid; groups with
-        a single sample sum zero qualifying pairs → 0, like the fold."""
+        a single sample sum zero qualifying pairs → 0, like the fold.
+        ``count_cond_sql`` is a SQL boolean over ``prev_v``/``v``."""
         ms = self._matrix_arg(node.args[0])
 
-        def aggs(prev_in):
+        def aggs(prev_in_sql):
             return [
-                F.sum(
-                    F.when(
-                        prev_in & count_cond(F.col("prev_v"), F.col("v")),
-                        1.0,
-                    ).otherwise(0.0)
-                ).alias("_cnt")
+                F.expr(
+                    f"sum(CASE WHEN {prev_in_sql} AND ({count_cond_sql}) "
+                    "THEN 1.0D ELSE 0.0D END) AS _cnt"
+                )
             ]
 
         df = _pair_kernel_agg(ms, self.ctx, aggs)
@@ -1938,16 +1961,14 @@ class Compiler:
         # ranks NaN above everything (so 2.0 < NaN would count a bogus
         # reset on a NaN→2 transition) — guard both sides explicitly
         return self._pair_count(
-            node,
-            lambda prev, cur: ~F.isnan(prev) & ~F.isnan(cur) & (cur < prev),
+            node, "NOT isnan(prev_v) AND NOT isnan(v) AND v < prev_v"
         )
 
     def _fn_changes(self, node):
         # Spark's `!=` already treats NaN = NaN as equal (no change);
         # keep the explicit guard for parity with functions.go anyway
         return self._pair_count(
-            node,
-            lambda prev, cur: (cur != prev) & ~(F.isnan(cur) & F.isnan(prev)),
+            node, "v != prev_v AND NOT (isnan(v) AND isnan(prev_v))"
         )
 
     def _fn_holt_winters(self, node):

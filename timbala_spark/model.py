@@ -82,6 +82,52 @@ def canonical_labels_expr(labels: Column) -> Column:
     )
 
 
+#: label names embeddable in SQL text without quoting games — the
+#: PromQL grammar's identifier shape (anything else falls back to the
+#: Column builders)
+_SQL_SAFE_LABEL = __import__("re").compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+
+def restrict_labels_sql(
+    labels_sql: str,
+    keep: list[str] | None = None,
+    drop: list[str] | tuple[str, ...] = (),
+    drop_name: bool = False,
+) -> str | None:
+    """SQL-text twin of :func:`restrict_labels_expr` (same ``map_filter``
+    over an ``IN`` check), for batched ``selectExpr`` plan construction
+    — driver-side planning is py4j-round-trip-bound (PERF §13).
+    Returns ``None`` when a label name is not a plain identifier (the
+    caller then uses the Column builder, which needs no quoting)."""
+    if keep is not None:
+        keep_list = sorted(set(keep))
+        if not keep_list:
+            return "map()"
+        if not all(_SQL_SAFE_LABEL.match(k) for k in keep_list):
+            return None
+        ks = ", ".join(f"'{k}'" for k in keep_list)
+        return f"map_filter({labels_sql}, (k, v) -> k IN ({ks}))"
+    excl = set(drop)
+    if drop_name:
+        excl.add(METRIC_NAME_LABEL)
+    if not excl:
+        return labels_sql
+    excl_list = sorted(excl)
+    if not all(_SQL_SAFE_LABEL.match(k) for k in excl_list):
+        return None
+    ks = ", ".join(f"'{k}'" for k in excl_list)
+    return f"map_filter({labels_sql}, (k, v) -> NOT (k IN ({ks})))"
+
+
+def canonical_labels_sql(map_sql: str) -> str:
+    """SQL-text twin of :func:`canonical_labels_expr` (identical tree:
+    sort_array over map_entries, ``k<US>v`` joined with ``<RS>``)."""
+    return (
+        f"array_join(transform(sort_array(map_entries({map_sql})), "
+        "e -> concat(e.key, '\\u001F', e.value)), '\\u001E')"
+    )
+
+
 def series_id_expr(labels: Column) -> Column:
     """64-bit series identity: xxhash64 of the canonical label string.
 
