@@ -54,6 +54,7 @@ from .model import (
     restrict_labels_expr,
     restrict_labels_sql,
     signature_expr,
+    signature_sql,
 )
 from .promql.ast import (
     ARITHMETIC_OPS,
@@ -233,6 +234,60 @@ def _arith_col(op: str, l: Column, r: Column) -> Column:
             .otherwise(F.power(l, r))
         )
     raise PromQLEvalError(f"operator {op} not allowed")
+
+
+#: SQL-text twins of _ieee_cmp/_arith_col for batched plan construction
+#: (PERF §13) — identical expression trees, parsed JVM-side in one call.
+_NAN_SQL = "CAST('NaN' AS DOUBLE)"
+_INF_SQL = "CAST('Infinity' AS DOUBLE)"
+
+
+def _ieee_cmp_sql(op: str, l: str, r: str) -> str:
+    either_nan = f"(isnan({l}) OR isnan({r}))"
+    if op == "!=":
+        return f"({either_nan} OR (({l} != {r}) AND NOT {either_nan}))"
+    sql_op = {"==": "=", ">": ">", "<": "<", ">=": ">=", "<=": "<="}[op]
+    return f"(NOT {either_nan} AND ({l} {sql_op} {r}))"
+
+
+def _arith_sql(op: str, l: str, r: str) -> str:
+    if op in ("+", "-", "*"):
+        return f"({l} {op} {r})"
+    if op == "/":
+        # see _arith_col: the pow trick recovers the divisor zero's sign
+        zero_case = (
+            f"(CASE WHEN isnan({l}) OR {l} = 0 THEN {_NAN_SQL} "
+            f"ELSE {_INF_SQL} * signum({l}) * signum(power({r}, -1.0D)) END)"
+        )
+        return (
+            f"(CASE WHEN {r} = 0 THEN {zero_case} "
+            f"ELSE {l} / (CASE WHEN {r} != 0 THEN {r} END) END)"
+        )
+    if op == "%":
+        return (
+            f"(CASE WHEN {r} = 0 THEN {_NAN_SQL} "
+            f"ELSE {l} % (CASE WHEN {r} != 0 THEN {r} END) END)"
+        )
+    if op == "^":
+        # see _arith_col: Go Pow(1, y) / Pow(-1, ±Inf) guards
+        return (
+            f"(CASE WHEN {l} = 1.0D THEN 1.0D "
+            f"WHEN {l} = -1.0D AND NOT isnan({r}) AND abs({r}) = {_INF_SQL} "
+            f"THEN 1.0D ELSE power({l}, {r}) END)"
+        )
+    raise PromQLEvalError(f"operator {op} not allowed")
+
+
+def _map_set_conditional_sql(m_sql: str, key: str, val_sql: str) -> str:
+    """SQL twin of _map_set_conditional (key must be pre-validated as a
+    plain identifier)."""
+    empty = "CAST(array() AS ARRAY<STRING>)"
+    keys = f"(CASE WHEN {val_sql} != '' THEN array('{key}') ELSE {empty} END)"
+    vals = f"(CASE WHEN {val_sql} != '' THEN array({val_sql}) ELSE {empty} END)"
+    return (
+        f"map_concat(map_filter({m_sql}, (k, v) -> k != '{key}'), "
+        f"map_from_arrays({keys}, {vals}))"
+    )
 
 
 def _py_arith(op: str, l: float, r: float) -> float:
@@ -904,9 +959,14 @@ class Compiler:
         signature (``engine.go:894-957``)."""
         on = matching.matching_labels if (matching and matching.on) else None
         ignoring = matching.matching_labels if (matching and not matching.on) else ()
-        sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
-        l = lv.df.withColumn("_sig", sig)
-        r = rv.df.withColumn("_sig", sig)
+        sig_sql = signature_sql("labels", on=on, ignoring=ignoring)
+        if sig_sql is not None:  # batched SQL, PERF §13
+            l = lv.df.selectExpr("*", f"{sig_sql} AS _sig")
+            r = rv.df.selectExpr("*", f"{sig_sql} AS _sig")
+        else:
+            sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
+            l = lv.df.withColumn("_sig", sig)
+            r = rv.df.withColumn("_sig", sig)
         if op == "and":
             out = l.join(
                 r.select("step_t", "_sig").distinct(), ["step_t", "_sig"], "left_semi"
@@ -935,107 +995,142 @@ class Compiler:
 
         on = matching.matching_labels if matching.on else None
         ignoring = matching.matching_labels if not matching.on else ()
-        sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
-
-        mdf = many.df.withColumn("_sig", sig)
-        odf = one.df.withColumn("_sig", sig)
+        # batched SQL strings when every involved label is a plain
+        # identifier — always true for parsed PromQL (PERF §13); the
+        # Column builders remain as the fallback for programmatic ASTs
+        sig_sql = signature_sql("labels", on=on, ignoring=ignoring)
+        if sig_sql is not None:
+            mdf = many.df.selectExpr("*", f"{sig_sql} AS _sig")
+            odf = one.df.selectExpr("*", f"{sig_sql} AS _sig")
+        else:
+            sig = signature_expr(F.col("labels"), on=on, ignoring=ignoring)
+            mdf = many.df.withColumn("_sig", sig)
+            odf = one.df.withColumn("_sig", sig)
 
         if self.ctx.strict:
-            w = Window.partitionBy("step_t", "_sig")
             side = "right" if not swap else "left"
             # Attach the raise to the JOIN KEY, not `v`: the key is
             # evaluated for every one-side row while building the join,
             # so duplicates error even when they match nothing — the
             # reference errors on any duplicate one-side signature,
             # matched or not (engine.go:982-988).
-            odf = odf.withColumn("_cnt", F.count(F.lit(1)).over(w))
-            odf = odf.withColumn(
+            odf = odf.selectExpr(
+                "*", "count(1) OVER (PARTITION BY step_t, _sig) AS _cnt"
+            ).withColumn(
                 "_sig",
-                _raise_if(
-                    F.col("_cnt") > 1,
-                    F.col("_sig"),
-                    "found duplicate series for the match group on the "
-                    f"{side} hand-side of the operation",
+                F.expr(
+                    "CASE WHEN _cnt > 1 THEN raise_error("
+                    "'found duplicate series for the match group on the "
+                    f"{side} hand-side of the operation') "
+                    "ELSE _sig END"
                 ),
             ).drop("_cnt")
             if card == VectorMatchCardinality.ONE_TO_ONE:
-                wm = Window.partitionBy("step_t", "_sig")
-                mdf = mdf.withColumn("_cnt", F.count(F.lit(1)).over(wm))
-                mdf = mdf.withColumn(
+                mside = "left" if not swap else "right"
+                mdf = mdf.selectExpr(
+                    "*", "count(1) OVER (PARTITION BY step_t, _sig) AS _cnt"
+                ).withColumn(
                     "v",
-                    _raise_if(
-                        F.col("_cnt") > 1,
-                        F.col("v"),
-                        "found duplicate series for the match group on the "
-                        f"{'left' if not swap else 'right'} hand-side of the operation",
+                    F.expr(
+                        "CASE WHEN _cnt > 1 THEN raise_error("
+                        "'found duplicate series for the match group on "
+                        f"the {mside} hand-side of the operation') "
+                        "ELSE v END"
                     ),
                 ).drop("_cnt")
 
-        o_sel = odf.select(
-            "step_t",
-            "_sig",
-            F.col("v").alias("_ov"),
-            F.col("labels").alias("_olabels"),
+        o_sel = odf.selectExpr(
+            "step_t", "_sig", "v AS _ov", "labels AS _olabels"
         )
         j = mdf.join(o_sel, ["step_t", "_sig"], "inner")
 
-        many_v, one_v = F.col("v"), F.col("_ov")
-        l_col, r_col = (many_v, one_v) if not swap else (one_v, many_v)
+        l_sql, r_sql = ("v", "_ov") if not swap else ("_ov", "v")
 
         drop_name = op in ARITHMETIC_OPS or (op in COMPARISON_OPS and node.return_bool)
-        result_labels = F.col("labels")
         if card == VectorMatchCardinality.ONE_TO_ONE:
             if matching.on:
-                result_labels = restrict_labels_expr(
-                    F.col("labels"), keep=matching.matching_labels
+                rl_sql = restrict_labels_sql(
+                    "labels", keep=matching.matching_labels
                 )
             else:
-                result_labels = restrict_labels_expr(
-                    F.col("labels"),
+                rl_sql = restrict_labels_sql(
+                    "labels",
                     drop=matching.matching_labels,
                     drop_name=drop_name,
                 )
         elif drop_name:
-            result_labels = restrict_labels_expr(F.col("labels"), drop_name=True)
+            rl_sql = restrict_labels_sql("labels", drop_name=True)
+        else:
+            rl_sql = "labels"
+        from .model import _SQL_SAFE_LABEL
+
         for ln in matching.include:
-            result_labels = _map_set_conditional(
-                result_labels,
+            if rl_sql is None or not _SQL_SAFE_LABEL.match(ln):
+                rl_sql = None
+                break
+            rl_sql = _map_set_conditional_sql(
+                rl_sql,
                 ln,
-                F.coalesce(label_get(F.col("_olabels"), ln), F.lit("")),
+                f"coalesce(try_element_at(_olabels, '{ln}'), '')",
             )
+        if rl_sql is not None:
+            result_labels = F.expr(rl_sql)
+        else:  # non-identifier label name: Column fallback
+            result_labels = F.col("labels")
+            if card == VectorMatchCardinality.ONE_TO_ONE:
+                if matching.on:
+                    result_labels = restrict_labels_expr(
+                        F.col("labels"), keep=matching.matching_labels
+                    )
+                else:
+                    result_labels = restrict_labels_expr(
+                        F.col("labels"),
+                        drop=matching.matching_labels,
+                        drop_name=drop_name,
+                    )
+            elif drop_name:
+                result_labels = restrict_labels_expr(
+                    F.col("labels"), drop_name=True
+                )
+            for ln in matching.include:
+                result_labels = _map_set_conditional(
+                    result_labels,
+                    ln,
+                    F.coalesce(label_get(F.col("_olabels"), ln), F.lit("")),
+                )
 
         if op in COMPARISON_OPS:
-            pred = _ieee_cmp(op, l_col, r_col)
+            pred_sql = _ieee_cmp_sql(op, l_sql, r_sql)
             if node.return_bool:
-                j = j.withColumn("_rv", F.when(pred, 1.0).otherwise(0.0))
+                rv_sql = f"(CASE WHEN {pred_sql} THEN 1.0D ELSE 0.0D END)"
             else:
                 # Filtered comparisons keep the ORIGINAL LHS value even
                 # under group_right: vectorElemBinop undoes the swap
                 # before applying the op (engine.go:1006-1010,1213-1225),
                 # so `a < on(x) group_right b` returns a's values.
-                j = j.filter(pred).withColumn("_rv", l_col)
+                j = j.filter(pred_sql)
+                rv_sql = l_sql
         else:
-            j = j.withColumn("_rv", _arith_col(op, l_col, r_col))
+            rv_sql = _arith_sql(op, l_sql, r_sql)
 
         out = j.select(
             "step_t",
             result_labels.alias("labels"),
-            F.col("_rv").cast("double").alias("v"),
+            F.expr(f"CAST({rv_sql} AS DOUBLE)").alias("v"),
             "sample_t",
         )
         if self.ctx.strict and card != VectorMatchCardinality.ONE_TO_ONE:
             # duplicate *output* series detection (engine.go:1023-1039)
-            wout = Window.partitionBy(
-                "step_t", canonical_labels_expr(F.col("labels"))
-            )
-            out = out.withColumn("_ocnt", F.count(F.lit(1)).over(wout))
-            out = out.withColumn(
+            out = out.selectExpr(
+                "*",
+                "count(1) OVER (PARTITION BY step_t, "
+                f"{canonical_labels_sql('labels')}) AS _ocnt",
+            ).withColumn(
                 "v",
-                _raise_if(
-                    F.col("_ocnt") > 1,
-                    F.col("v"),
-                    "multiple matches for labels: grouping labels must "
-                    "ensure unique matches",
+                F.expr(
+                    "CASE WHEN _ocnt > 1 THEN raise_error("
+                    "'multiple matches for labels: grouping labels must "
+                    "ensure unique matches') ELSE v END"
                 ),
             ).drop("_ocnt")
         return VectorValue(out)
@@ -1055,8 +1150,12 @@ class Compiler:
         else:
             rm_sql = restrict_labels_sql("labels", keep=node.grouping)
         if rm_sql is not None:
-            df = df.selectExpr("*", f"{rm_sql} AS _gmap").selectExpr(
-                "*", f"{canonical_labels_sql('_gmap')} AS _gsig"
+            # one batched call; the duplicated restriction subtree in
+            # _gsig matches the pre-§13 Column version's shape
+            df = df.selectExpr(
+                "*",
+                f"{rm_sql} AS _gmap",
+                f"{canonical_labels_sql(rm_sql)} AS _gsig",
             )
         else:  # non-identifier label name: Column builders (no quoting)
             if node.without:
@@ -2082,111 +2181,112 @@ class Compiler:
 
     # ---- histogram_quantile ------------------------------------------
     def _fn_histogram_quantile(self, node):
+        """``bucketQuantile`` + ``ensureMonotonic``
+        (``promql/quantile.go:49-153``) as staged SQL expressions.
+
+        Staged ``selectExpr`` columns (``_mono``/``_rank``/``_idxed``…)
+        replace the former single Column forest: each shared
+        subexpression is computed into a column and REFERENCED
+        downstream instead of duplicating its subtree at every use —
+        smaller tree, and batched JVM-side parsing (PERF §13). Values
+        are unchanged (same expressions over the same inputs)."""
         pv = self._scalar_param(node.args[0], "histogram_quantile")
         inner = self.compile(node.args[1])
         assert isinstance(inner, VectorValue)
-        df = inner.df
-        le_raw = F.coalesce(label_get(F.col("labels"), "le"), F.lit(""))
-        le = (
-            F.when(F.lower(le_raw).isin("+inf", "inf"), F.lit(INF))
-            .when(F.lower(le_raw) == "-inf", F.lit(-INF))
-            .otherwise(le_raw.try_cast("double"))
+        le_raw = "lower(coalesce(try_element_at(labels, 'le'), ''))"
+        le_sql = (
+            f"CASE WHEN {le_raw} IN ('+inf', 'inf') THEN {_INF_SQL} "
+            f"WHEN {le_raw} = '-inf' THEN CAST('-Infinity' AS DOUBLE) "
+            "ELSE try_cast(coalesce(try_element_at(labels, 'le'), '') "
+            "AS DOUBLE) END"
         )
-        grp_map = restrict_labels_expr(
-            F.col("labels"), drop=["le"], drop_name=True
-        )
+        grp_sql = restrict_labels_sql("labels", drop=["le"], drop_name=True)
         df = (
-            df.withColumn("_le", le)
-            .filter(F.col("_le").isNotNull())  # unparseable bounds skipped
-            .withColumn("_gmap", grp_map)
-            .withColumn("_gsig", canonical_labels_expr(F.col("_gmap")))
+            inner.df.selectExpr("*", f"{le_sql} AS _le")
+            .filter("_le IS NOT NULL")  # unparseable bounds skipped
+            .selectExpr("*", f"{grp_sql} AS _gmap")
+            .selectExpr("*", f"{canonical_labels_sql('_gmap')} AS _gsig")
         )
         g = df.groupBy("step_t", "_gsig").agg(
-            F.first("_gmap").alias("labels"),
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_le").alias("le"), F.col("v")))
-            ).alias("bk"),
+            F.expr("first(_gmap) AS labels"),
+            F.expr("sort_array(collect_list(named_struct('le', _le, 'v', v))) AS bk"),
         )
-        g, qcol = self._scalar_col(pv, g, "_q")
-        val = self._bucket_quantile_expr(
-            F.col("bk"), pv.const if pv.const is not None else qcol
-        )
-        out = g.select(
+        if pv.const is not None:
+            # constant φ: the ∉[0,1] clamps resolve at compile time
+            q = float(pv.const)
+            if q < 0:
+                g = g.selectExpr("*", "CAST('-Infinity' AS DOUBLE) AS _hq")
+            elif q > 1:
+                g = g.selectExpr("*", f"{_INF_SQL} AS _hq")
+            else:
+                # q = NaN passes both clamps (comparisons false), like
+                # the reference — carry it as a NaN literal (a bare
+                # `nanD` would not parse)
+                q_sql = _NAN_SQL if math.isnan(q) else repr(q) + "D"
+                g = self._bucket_quantile_cols(g, q_sql)
+        else:
+            g, _ = self._scalar_col(pv, g, "_q")
+            g = self._bucket_quantile_cols(g, "_q")
+            g = g.withColumn(
+                "_hq",
+                F.expr(
+                    "CASE WHEN _q < 0 THEN CAST('-Infinity' AS DOUBLE) "
+                    f"WHEN _q > 1 THEN {_INF_SQL} ELSE _hq END"
+                ),
+            )
+        out = g.selectExpr(
             "step_t",
             "labels",
-            val.cast("double").alias("v"),
-            F.lit(None).cast("long").alias("sample_t"),
+            "CAST(_hq AS DOUBLE) AS v",
+            "CAST(NULL AS BIGINT) AS sample_t",
         )
         return VectorValue(out)
 
     @staticmethod
-    def _bucket_quantile_expr(bk: Column, q: float | Column) -> Column:
-        """``bucketQuantile`` + ``ensureMonotonic``
-        (``promql/quantile.go:49-153``) as a pure SQL expression.
-        ``q`` may be a Column for step-varying params — the φ∉[0,1]
-        clamps then move into the expression."""
-        if isinstance(q, Column):
-            body = Compiler._bucket_quantile_body(bk, q)
-            return (
-                F.when(q < 0, F.lit(-INF))
-                .when(q > 1, F.lit(INF))
-                .otherwise(body)
-            )
-        if q < 0:
-            return F.lit(-INF)
-        if q > 1:
-            return F.lit(INF)
-        return Compiler._bucket_quantile_body(bk, F.lit(q))
-
-    @staticmethod
-    def _bucket_quantile_body(bk: Column, q: Column) -> Column:
-        n = F.size(bk)
-        # ensureMonotonic: running max of cumulative counts
-        empty = F.array().cast("array<struct<le:double,v:double>>")
-        mono = F.aggregate(
-            bk,
-            empty,
-            lambda acc, b: F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        b["le"].alias("le"),
-                        F.greatest(
-                            b["v"],
-                            F.coalesce(
-                                F.get(acc, F.size(acc) - 1)["v"], F.lit(-INF)
-                            ),
-                        ).alias("v"),
-                    )
-                ),
-            ),
+    def _bucket_quantile_cols(g: DataFrame, q_sql: str) -> DataFrame:
+        """Append ``_hq`` = bucketQuantile(q, bk) via staged columns.
+        ``q_sql`` is a SQL scalar (literal or column reference)."""
+        # ensureMonotonic (quantile.go:133-153): running max of
+        # cumulative counts
+        mono = (
+            "aggregate(bk, "
+            "CAST(array() AS ARRAY<STRUCT<le: DOUBLE, v: DOUBLE>>), "
+            "(acc, b) -> concat(acc, array(named_struct("
+            "'le', b.le, "
+            "'v', greatest(b.v, coalesce(get(acc, size(acc) - 1).v, "
+            "CAST('-Infinity' AS DOUBLE)))))))"
         )
-        total = F.get(mono, n - 1)["v"]
-        rank = q * total
+        g = g.selectExpr("*", f"{mono} AS _mono", "size(bk) AS _n")
         # counts are non-decreasing after ensureMonotonic, so the buckets
         # with count >= rank form a suffix. Go's sort.Search runs over
         # the first n-1 buckets ONLY (quantile.go:89) and lands on n-2's
         # bound when nothing matches — reproduce that domain exactly, or
         # a NaN rank (q=NaN: every comparison false) would index past
         # the array and emit NULL instead of the reference's answer.
-        idxed = F.filter(
-            F.slice(mono, 1, n - 1), lambda b: b["v"] >= rank
+        g = g.selectExpr(
+            "*", f"({q_sql}) * get(_mono, _n - 1).v AS _rank"
+        ).selectExpr(
+            "*", "filter(slice(_mono, 1, _n - 1), b -> b.v >= _rank) AS _idxed"
+        ).selectExpr(
+            "*", "(_n - 1) - size(_idxed) AS _bidx"
         )
-        b_le = F.get(idxed, 0)["le"]
-        b_idx = (n - 1) - F.size(idxed)  # 0-based index of located bucket
-        prev = F.get(mono, b_idx - 1)
-        bucket_start = F.when(b_idx > 0, prev["le"]).otherwise(F.lit(0.0))
-        count_in = F.get(mono, b_idx)["v"] - F.when(b_idx > 0, prev["v"]).otherwise(
-            F.lit(0.0)
+        prev_v = "(CASE WHEN _bidx > 0 THEN get(_mono, _bidx - 1).v ELSE 0.0D END)"
+        bucket_start = (
+            "(CASE WHEN _bidx > 0 THEN get(_mono, _bidx - 1).le ELSE 0.0D END)"
         )
-        rank_in = rank - F.when(b_idx > 0, prev["v"]).otherwise(F.lit(0.0))
-        interp = bucket_start + (b_le - bucket_start) * (rank_in / count_in)
-        return (
-            F.when(n < 2, _nan_lit())
-            .when(F.get(bk, n - 1)["le"] != F.lit(INF), _nan_lit())
-            .when(b_idx == n - 1, F.get(mono, n - 2)["le"])
-            .when((b_idx == 0) & (F.get(mono, 0)["le"] <= 0), F.get(mono, 0)["le"])
-            .otherwise(interp)
+        interp = (
+            f"({bucket_start} + (get(_idxed, 0).le - {bucket_start}) "
+            f"* ((_rank - {prev_v}) / (get(_mono, _bidx).v - {prev_v})))"
+        )
+        val = (
+            f"CASE WHEN _n < 2 THEN {_NAN_SQL} "
+            f"WHEN get(bk, _n - 1).le != {_INF_SQL} THEN {_NAN_SQL} "
+            "WHEN _bidx = _n - 1 THEN get(_mono, _n - 2).le "
+            "WHEN _bidx = 0 AND get(_mono, 0).le <= 0 THEN get(_mono, 0).le "
+            f"ELSE {interp} END"
+        )
+        return g.selectExpr("*", f"{val} AS _hq").drop(
+            "_mono", "_n", "_rank", "_idxed", "_bidx"
         )
 
 

@@ -119,6 +119,34 @@ def restrict_labels_sql(
     return f"map_filter({labels_sql}, (k, v) -> NOT (k IN ({ks})))"
 
 
+def signature_sql(
+    labels_sql: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | tuple[str, ...] = (),
+    drop_name: bool = True,
+) -> str | None:
+    """SQL-text twin of :func:`signature_expr` (PERF §13). Returns
+    ``None`` when a label name is not a plain identifier."""
+    if on is not None:
+        if not on:
+            return "''"
+        keys = sorted(set(on))
+        if not all(_SQL_SAFE_LABEL.match(k) for k in keys):
+            return None
+        parts = [
+            f"concat('{k}\\u001F', "
+            f"coalesce(try_element_at({labels_sql}, '{k}'), ''))"
+            for k in keys
+        ]
+        return "concat_ws('\\u001E', " + ", ".join(parts) + ")"
+    filtered = restrict_labels_sql(
+        labels_sql, drop=list(ignoring), drop_name=drop_name
+    )
+    if filtered is None:
+        return None
+    return canonical_labels_sql(filtered)
+
+
 def canonical_labels_sql(map_sql: str) -> str:
     """SQL-text twin of :func:`canonical_labels_expr` (identical tree:
     sort_array over map_entries, ``k<US>v`` joined with ``<RS>``)."""
