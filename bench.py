@@ -305,6 +305,24 @@ def _advancing_throughput_metric(spark) -> dict:
             f"(plan cache can't hit), frontend results cache "
             f"hits={rc.hits} misses={rc.misses}"
         )
+        # instant flavor: whole-second advancing `time` (each request
+        # unique), served by the 1 s-grid widened-window extension
+        i_exprs = [s[0] for s in shapes[:2]] + ["sum(click)"]
+        now_i = int(now0)
+        api.query(i_exprs[0], now_i - 1)  # warm codegen for the shape
+        h0, m0 = rc.hits, rc.misses
+        n_i = 24
+        t0 = time.monotonic()
+        for i in range(n_i):
+            r = api.query(i_exprs[i % len(i_exprs)], now_i + i)
+            assert r.get("status") == "success", r
+        dt = time.monotonic() - t0
+        out["instant_throughput_advancing_qps"] = round(n_i / dt, 2)
+        out["instant_throughput_advancing_note"] = (
+            f"{n_i} serial instant queries, unique advancing whole-second "
+            f"times, instant results cache hits={rc.hits - h0} "
+            f"misses={rc.misses - m0}"
+        )
     except Exception as e:
         print(f"bench: advancing throughput failed: {e}", file=sys.stderr)
     return out

@@ -182,6 +182,44 @@ class TestCachedEqualsDirect:
         e2 = cached.label_values("0bad")
         assert e1 is not e2 and e1["status"] == "error"
 
+    def test_instant_cached_equals_direct_and_hits(self, apis):
+        """Instant queries at advancing whole-second times serve from
+        the widened 1 s-grid window: byte-identical envelopes, one
+        fill per (expr, quantum window)."""
+        cached, direct, t0 = apis
+        rc = cached._range_cache
+        for expr in EXPRS:
+            hits0, misses0 = rc.hits, rc.misses
+            for i in range(6):  # advancing now(), 1 s per refresh
+                t = t0 / 1000 + 3600 + i
+                got = cached.query(expr, t)
+                want = direct.query(expr, t)
+                assert got == want, (expr, i)
+            assert rc.misses - misses0 <= 2, expr  # ≤ windows touched
+            assert rc.hits - hits0 >= 4, expr
+
+    def test_instant_off_grid_and_ordered_bypass(self, apis):
+        cached, direct, t0 = apis
+        rc = cached._range_cache
+        h0, m0 = rc.hits, rc.misses
+        t = t0 / 1000 + 3600 + 0.5  # off the 1 s grid: direct path
+        assert cached.query("sum(m)", t) == direct.query("sum(m)", t)
+        # sort()'s wire order comes from the plan's collect order — the
+        # shared cache must not assume it, so it bypasses too
+        ts = t0 / 1000 + 3600
+        assert cached.query("sort(m)", ts) == direct.query("sort(m)", ts)
+        # matrix-selector instant queries return raw samples (not a
+        # grid evaluation) and bypass as well
+        assert cached.query("m[5m]", ts) == direct.query("m[5m]", ts)
+        assert (rc.hits, rc.misses) == (h0, m0)
+
+    def test_instant_errors_surface_identically(self, apis):
+        cached, direct, t0 = apis
+        t = t0 / 1000 + 3600
+        got = cached.query("topk(scalar(nosuch), m)", t)
+        want = direct.query("topk(scalar(nosuch), m)", t)
+        assert got == want and got["status"] == "error"
+
     def test_points_cap_respects_requested_grid(self, apis):
         cached, direct, t0 = apis
         start = t0 / 1000

@@ -155,15 +155,20 @@ class PromAPI:
                 {"resultType": "string", "result": [time, inner.value]}
             )
         try:
-            df = self.engine.query(query, time)
-        except Exception as e:
-            return self._error(ERR_BAD_DATA, str(e))
-        try:
-            rows = self._gated_collect(df)
+            rows = self._instant_rows_cached(query, expr, time)
         except QueryTimeout as e:
             return self._error(ERR_TIMEOUT, str(e))
-        except Exception as e:  # runtime errors (engine.go -> errorExec)
-            return self._error(ERR_EXEC, str(e))
+        if rows is None:  # direct, uncached path
+            try:
+                df = self.engine.query(query, time)
+            except Exception as e:
+                return self._error(ERR_BAD_DATA, str(e))
+            try:
+                rows = self._gated_collect(df)
+            except QueryTimeout as e:
+                return self._error(ERR_TIMEOUT, str(e))
+            except Exception as e:  # runtime errors (engine.go -> errorExec)
+                return self._error(ERR_EXEC, str(e))
         if expr.type == ValueType.SCALAR:
             v = rows[0]["v"] if rows else math.nan
             return self._success(
@@ -225,6 +230,67 @@ class PromAPI:
         except Exception as e:
             return self._error(ERR_EXEC, str(e))
         return self._success({"resultType": "matrix", "result": self._matrix(rows)})
+
+    def _instant_rows_cached(self, query: str, expr, time: float) -> list | None:
+        """Serve an instant query through the widened-range results
+        cache. An instant evaluation at a whole-second ``time`` equals
+        the grid point ``time`` of a 1 s-step range evaluation (range
+        grids evaluate each step independently — the reference walks
+        the same ``evalInstant`` per grid point, ``promql/
+        engine.go:1016-1044``), so advancing-``now()`` instant
+        dashboards share the range path's quantum windows. Returns
+        None to take the direct path: cache off, matrix result (raw
+        samples, not range-able), wire-ordered ``sort``/``sort_desc``
+        (their order is the plan's collect order, which a shared cache
+        must not assume), ``time`` off the 1 s grid, a widened grid
+        past the points cap, or any evaluation error (errors must
+        surface with the direct path's semantics — and since the
+        widened grid is a superset, an error at the requested instant
+        always re-raises there)."""
+        from .frontend import INSTANT_STEP_MS, quantize_range
+        from .promql.ast import Call, ParenExpr
+
+        if self._range_cache is None:
+            return None
+        if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
+            return None
+        inner = expr
+        while isinstance(inner, ParenExpr):
+            inner = inner.expr
+        if isinstance(inner, Call) and inner.func.name in ("sort", "sort_desc"):
+            return None
+        t_ms = int(round(time * 1000))
+        if t_ms % INSTANT_STEP_MS != 0:
+            return None
+        quantum_ms = (
+            int(self.range_cache_quantum_s * 1000)
+            if self.range_cache_quantum_s is not None
+            else None
+        )
+        a, b = quantize_range(t_ms, t_ms, INSTANT_STEP_MS, quantum_ms)
+        if (b - a) // INSTANT_STEP_MS + 1 > self.engine.max_points:
+            return None
+        # same keyspace as the range path on purpose: a 1 s-step range
+        # request over the same widened window shares the entry (both
+        # cache the identical evaluated rows)
+        key = (query, INSTANT_STEP_MS, a, b)
+        try:
+            rows = self._range_cache.get_or_fill(
+                key,
+                lambda: self._gated_collect(
+                    self.engine.query_range(
+                        query,
+                        a / 1000.0,
+                        b / 1000.0,
+                        INSTANT_STEP_MS / 1000.0,
+                    )
+                ),
+            )
+        except QueryTimeout:
+            raise
+        except Exception:
+            return None
+        return [r for r in rows if r["t"] == t_ms]
 
     def _query_range_cached(self, query, start, end, step) -> dict | None:
         """Serve a range query through the widened-window results cache

@@ -40,9 +40,18 @@ is that design reduced to one node:
   falls back to the direct, uncached path, preserving the reference's
   error behavior exactly.
 
-Instant queries are NOT cached: an arbitrary advancing ``time``
-parameter lies on no fixed grid, so there is no exact reuse — the
-upstream frontends likewise split/cache only ``query_range``.
+* **Instant queries at whole seconds share the same cache.** An
+  instant query at time ``T`` is exactly the grid point ``T`` of a
+  range evaluation whose grid contains ``T`` (per-step independence
+  again), so when ``T`` is a multiple of :data:`INSTANT_STEP_MS` the
+  API widens it to the enclosing quantum window at that step and
+  restricts to the one grid row — advancing-``now()`` instant
+  dashboards then hit one fill per quantum instead of paying the
+  ~0.4 s direct plan+eval per refresh (PERF.md §13). A ``time`` off
+  the 1 s grid lies on no shareable grid and takes the direct path
+  (the upstream frontends stop at ``query_range`` entirely; this
+  exact-reuse extension is safe for the same restriction reason as
+  the range path).
 """
 
 from __future__ import annotations
@@ -56,6 +65,12 @@ from collections.abc import Callable
 #: widen by more than an hour each side
 MIN_QUANTUM_S = 60.0
 MAX_QUANTUM_S = 3600.0
+
+#: grid step for caching INSTANT queries: a request whose ``time`` is
+#: a whole multiple of this lands on a shareable widened-window grid;
+#: anything finer takes the direct path. 1 s covers the dominant
+#: dashboard pattern (clients issue whole-second ``now()``).
+INSTANT_STEP_MS = 1000
 
 
 def quantize_range(
@@ -123,4 +138,5 @@ __all__ = [
     "quantize_range",
     "MIN_QUANTUM_S",
     "MAX_QUANTUM_S",
+    "INSTANT_STEP_MS",
 ]
