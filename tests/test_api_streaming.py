@@ -1137,6 +1137,30 @@ class TestQueryGate:
         assert out["status"] == "error"
         assert out["errorType"] in ("execution", "bad_data")
 
+    def test_function_domain_error_is_execution_type(self, api):
+        # arg-domain checks run inside the reference's Exec (AFTER
+        # NewInstantQuery), so they are errorExec (422), NOT bad_data
+        # (api.go:166-180; funcHoltWinters functions.go:227-232)
+        out = api.query("holt_winters(test_metric1[5m], 2, 0.5)", 600)
+        assert out["status"] == "error"
+        assert out["errorType"] == "execution"
+        assert out["error"] == (
+            "invalid smoothing factor. Expected: 0 < sf < 1 goT: 2.000000"
+        )
+        out = api.query_range("holt_winters(test_metric1[5m], 2, 0.5)", 0, 600, 60)
+        assert out["errorType"] == "execution"
+
+    def test_query_range_guard_order_matches_reference(self, api):
+        # api.go:186-216 checks end<start, then step<=0, then the
+        # points cap, all BEFORE parsing the query text
+        out = api.query_range("test_metric1", 600, 0, 0)
+        assert out["error"] == "end timestamp must not be before start time"
+        out = api.query_range("m[", 0, 600, 0)  # step beats parse
+        assert out["error"].startswith("zero or negative query resolution")
+        out = api.query_range("m[", 0, 11001 * 60, 60)  # cap beats parse
+        assert out["error"].startswith("exceeded maximum resolution of 11,000")
+        assert out["errorType"] == "bad_data"
+
     def test_gate_admits_concurrent_queries(self, api):
         from concurrent.futures import ThreadPoolExecutor
 

@@ -25,12 +25,57 @@ def engine(spark):
 
 class TestGuards:
     def test_points_cap(self, engine):
-        with pytest.raises(PromQLEvalError, match="11000"):
+        # the reference's check counts INTERVALS (end.Sub(start)/step >
+        # 11000, api.go:211-216): 11,001 grid points pass, 11,002 fail,
+        # and the message says "11,000" with the comma and ?step hint
+        engine.query_range("m", 0, 11000 * 60, 60)  # largest accepted
+        with pytest.raises(
+            PromQLEvalError, match=r"11,000 points per timeseries\. Try"
+        ):
             engine.query_range("m", 0, 11001 * 60, 60)
 
     def test_matrix_range_query_rejected(self, engine):
         with pytest.raises(PromQLEvalError):
             engine.query_range("m[5m]", 0, 600, 60)
+
+    def test_holt_winters_factor_errors_verbatim(self, engine):
+        # funcHoltWinters' messages kept bug-for-bug: no comma before
+        # the "goT" typo, %f six-decimal formatting (functions.go:228)
+        with pytest.raises(
+            PromQLEvalError,
+            match=r"invalid smoothing factor\. Expected: 0 < sf < 1 goT: 2\.000000",
+        ):
+            engine.query("holt_winters(m[5m], 2, 0.5)", 600)
+        # ...and the TREND error prints the SMOOTHING factor's value
+        # (ev.errorf(..., sf) on functions.go:231)
+        with pytest.raises(
+            PromQLEvalError,
+            match=r"invalid trend factor\. Expected: 0 < tf < 1 goT: 0\.250000",
+        ):
+            engine.query("holt_winters(m[5m], 0.25, 9)", 600)
+
+    def test_holt_winters_step_varying_factor_errors_verbatim(self, engine):
+        # step-varying factors validate on the broadcast step grid with
+        # the same verbatim messages; sf is checked first per step
+        with pytest.raises(Exception, match=r"0 < sf < 1 goT: 2\.000000"):
+            engine.query(
+                "holt_winters(m[5m], scalar(vector(2)), 0.5)", 600
+            ).collect()
+        with pytest.raises(
+            Exception,
+            match=r"invalid trend factor\. Expected: 0 < tf < 1 goT: 0\.250000",
+        ):
+            engine.query(
+                "holt_winters(m[5m], scalar(vector(0.25)), scalar(vector(9)))",
+                600,
+            ).collect()
+        # both invalid at one step: the sf error wins, as in the
+        # reference's check order
+        with pytest.raises(Exception, match=r"invalid smoothing factor"):
+            engine.query(
+                "holt_winters(m[5m], scalar(vector(9)), scalar(vector(9)))",
+                600,
+            ).collect()
 
     def test_negative_step(self, engine):
         with pytest.raises(PromQLEvalError):

@@ -226,11 +226,17 @@ class TestCachedEqualsDirect:
         # requested grid is exactly at the cap: widening must NOT turn
         # a legal request into an 11k error (the cached path bypasses)
         eng = cached.engine
-        n = eng.max_points
-        end = start + (n - 1) * 1
+        n = eng.max_points  # cap counts INTERVALS (api.go:211-216)
+        end = start + n * 1
         got = cached.query_range("m", start, end, 1)
         assert got["status"] == "success"
-        # one past the cap errors, same as direct
+        # one past the cap errors, same as direct, with the
+        # reference's verbatim message
         got = cached.query_range("m", start, end + 1, 1)
         want = direct.query_range("m", start, end + 1, 1)
         assert got == want and got["status"] == "error"
+        assert got["errorType"] == "bad_data"
+        assert got["error"] == (
+            "exceeded maximum resolution of 11,000 points per "
+            "timeseries. Try decreasing the query resolution (?step=XX)"
+        )

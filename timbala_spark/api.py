@@ -16,6 +16,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import functions as F
 
+from .compiler import PromQLBadQueryError
 from .engine import Engine
 from .model import METRIC_NAME_LABEL, SEP_KV, SEP_PAIR, label_get
 
@@ -161,8 +162,15 @@ class PromAPI:
         if rows is None:  # direct, uncached path
             try:
                 df = self.engine.query(query, time)
-            except Exception as e:
+            except PromQLBadQueryError as e:
                 return self._error(ERR_BAD_DATA, str(e))
+            except PromQLSyntaxError as e:
+                return self._error(ERR_BAD_DATA, str(e))
+            except Exception as e:
+                # anything else surfaces inside the reference's Exec
+                # (arg-domain checks like holt_winters' factors run
+                # AFTER NewInstantQuery) -> errorExec, api.go:170-180
+                return self._error(ERR_EXEC, str(e))
             try:
                 rows = self._gated_collect(df)
             except QueryTimeout as e:
@@ -205,15 +213,28 @@ class PromAPI:
 
     # -- GET /api/v1/query_range (api.go:187-250) ---------------------
     def query_range(self, query: str, start: float, end: float, step: float) -> dict:
+        # guard ORDER is the reference's (api.go:186-216): end-before-
+        # start, then step, then the points cap — all checked BEFORE
+        # the query text is even parsed, so a request violating several
+        # answers with the same message the reference picks
+        if end < start:
+            return self._error(
+                ERR_BAD_DATA, "end timestamp must not be before start time"
+            )
         if step <= 0:
             return self._error(
                 ERR_BAD_DATA,
                 "zero or negative query resolution step widths are not "
                 "accepted. Try a positive integer",
             )
-        if end < start:
+        if (int(round(end * 1000)) - int(round(start * 1000))) // int(
+            round(step * 1000)
+        ) > self.engine.max_points:
             return self._error(
-                ERR_BAD_DATA, "end timestamp must not be before start time"
+                ERR_BAD_DATA,
+                f"exceeded maximum resolution of {self.engine.max_points:,} "
+                "points per timeseries. Try decreasing the query "
+                "resolution (?step=XX)",
             )
         if self._range_cache is not None:
             res = self._query_range_cached(query, start, end, step)
@@ -221,8 +242,10 @@ class PromAPI:
                 return res
         try:
             df = self.engine.query_range(query, start, end, step)
-        except Exception as e:
+        except (PromQLBadQueryError, PromQLSyntaxError) as e:
             return self._error(ERR_BAD_DATA, str(e))
+        except Exception as e:  # reference hits these in Exec -> errorExec
+            return self._error(ERR_EXEC, str(e))
         try:
             rows = self._gated_collect(df)
         except QueryTimeout as e:
@@ -268,7 +291,7 @@ class PromAPI:
             else None
         )
         a, b = quantize_range(t_ms, t_ms, INSTANT_STEP_MS, quantum_ms)
-        if (b - a) // INSTANT_STEP_MS + 1 > self.engine.max_points:
+        if (b - a) // INSTANT_STEP_MS > self.engine.max_points:
             return None
         # same keyspace as the range path on purpose: a 1 s-step range
         # request over the same widened window shares the entry (both
@@ -310,7 +333,7 @@ class PromAPI:
             else None
         )
         a, b = quantize_range(start_ms, end_ms, step_ms, quantum_ms)
-        if (b - a) // step_ms + 1 > self.engine.max_points:
+        if (b - a) // step_ms > self.engine.max_points:
             return None
         key = (query, step_ms, a, b)
         try:

@@ -88,6 +88,16 @@ class PromQLEvalError(ValueError):
     panic/recover, ``engine.go:588-614``)."""
 
 
+class PromQLBadQueryError(PromQLEvalError):
+    """Request-shape error the reference rejects BEFORE executing the
+    query — ``NewRangeQuery``'s expression-type check and the API
+    handler's step/order/points-cap guards
+    (``internal/api/v1/api.go:186-216``). The HTTP facade maps this
+    class to ``bad_data`` (400) where plain :class:`PromQLEvalError`
+    — anything the reference only hits inside ``Exec`` — maps to
+    ``execution`` (422), matching ``api.go:170-180,236-244``."""
+
+
 # ---------------------------------------------------------------------------
 # values
 
@@ -128,9 +138,11 @@ class EvalContext:
         strict: bool = True,
     ):
         if end_ms < start_ms:
-            raise PromQLEvalError("end timestamp must not be before start time")
+            raise PromQLBadQueryError(
+                "end timestamp must not be before start time"
+            )
         if step_ms <= 0:
-            raise PromQLEvalError("zero or negative query resolution step")
+            raise PromQLBadQueryError("zero or negative query resolution step")
         self.spark = spark
         self.samples = samples
         self.start = int(start_ms)
@@ -468,6 +480,29 @@ def _go_fmt_str(x: float) -> str:
             + "".join(map(str, digits[dp:]))
         )
     return ("-" + body) if neg else body
+
+
+def _go_f_fmt_str(x: float) -> str:
+    """Go ``fmt.Sprintf("%f", v)`` — fixed six decimals, Go's NaN/Inf
+    spellings (``holt_winters``' validation messages use ``%f``,
+    ``functions.go:228,231``)."""
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "+Inf" if x > 0 else "-Inf"
+    return f"{x:.6f}"
+
+
+def _go_f_fmt(col: Column) -> Column:
+    """Column twin of :func:`_go_f_fmt_str` (Java ``format_string``
+    spells the specials ``NaN``/``Infinity``, so they're pinned
+    explicitly)."""
+    return (
+        F.when(F.isnan(col), F.lit("NaN"))
+        .when(col == F.lit(float("inf")), F.lit("+Inf"))
+        .when(col == F.lit(float("-inf")), F.lit("-Inf"))
+        .otherwise(F.format_string("%.6f", col))
+    )
 
 
 def _go_fmt(col: Column) -> Column:
@@ -2070,6 +2105,14 @@ class Compiler:
             node, "v != prev_v AND NOT (isnan(v) AND isnan(prev_v))"
         )
 
+    #: verbatim funcHoltWinters messages, quirks included: no comma
+    #: before the "goT" typo, ``%f`` formatting — and the TREND message
+    #: prints the SMOOTHING factor's value (``ev.errorf(..., sf)`` on
+    #: ``functions.go:231``), an observable reference bug kept
+    #: bug-for-bug like the naive stddev.
+    _HW_SF_MSG = "invalid smoothing factor. Expected: 0 < sf < 1 goT: "
+    _HW_TF_MSG = "invalid trend factor. Expected: 0 < tf < 1 goT: "
+
     def _fn_holt_winters(self, node):
         ms = self._matrix_arg(node.args[0])
         sfv = self._scalar_param(node.args[1], "holt_winters smoothing factor")
@@ -2077,54 +2120,47 @@ class Compiler:
         df = _matrix_points(ms, self.ctx).filter(F.size("pts") >= 2)
         sf: float | Column
         tf: float | Column
-        if sfv.const is not None:
-            sf = sfv.const
+        if sfv.const is not None and tfv.const is not None:
+            sf, tf = sfv.const, tfv.const
             if not (0 < sf < 1):
-                raise PromQLEvalError(
-                    f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
-                )
+                raise PromQLEvalError(self._HW_SF_MSG + _go_f_fmt_str(sf))
+            if not (0 < tf < 1):
+                raise PromQLEvalError(self._HW_TF_MSG + _go_f_fmt_str(sf))
         else:
-            # funcHoltWinters sanity-checks the factors per evaluation
-            # BEFORE touching the matrix (functions.go), so the raise
-            # lives on the broadcast step grid — it fires even for
-            # steps whose every series has < 2 points
-            sdf = self.ctx.scalar_df(sfv).select(
+            # at least one factor varies per step. funcHoltWinters
+            # sanity-checks both factors per evaluation BEFORE touching
+            # the matrix, sf first — so the raises live on the
+            # broadcast step grid (they fire even for steps whose every
+            # series has < 2 points), and the trend check is gated on
+            # sf being valid so the sf error wins deterministically
+            # when both are out of range at one step.
+            sgrid = self.ctx.scalar_df(sfv).select(
+                "step_t", F.col("v").alias("_sfr")
+            )
+            tgrid = self.ctx.scalar_df(tfv).select(
+                "step_t", F.col("v").alias("_tfr")
+            )
+            sf_ok = (F.col("_sfr") > 0) & (F.col("_sfr") < 1)
+            tf_ok = (F.col("_tfr") > 0) & (F.col("_tfr") < 1)
+            checked = sgrid.join(tgrid, "step_t").select(
                 "step_t",
                 _raise_if(
-                    ~((F.col("v") > 0) & (F.col("v") < 1)),
-                    F.col("v"),
+                    ~sf_ok,
+                    F.col("_sfr"),
                     F.concat(
-                        F.lit(
-                            "invalid smoothing factor. Expected: 0 < sf < 1, got: "
-                        ),
-                        _go_fmt(F.col("v")),
+                        F.lit(self._HW_SF_MSG), _go_f_fmt(F.col("_sfr"))
                     ),
                 ).alias("_sf"),
-            )
-            df = df.join(F.broadcast(sdf), "step_t")
-            sf = F.col("_sf")
-        if tfv.const is not None:
-            tf = tfv.const
-            if not (0 < tf < 1):
-                raise PromQLEvalError(
-                    f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
-                )
-        else:
-            tdf = self.ctx.scalar_df(tfv).select(
-                "step_t",
                 _raise_if(
-                    ~((F.col("v") > 0) & (F.col("v") < 1)),
-                    F.col("v"),
-                    F.concat(
-                        F.lit(
-                            "invalid trend factor. Expected: 0 < tf < 1, got: "
-                        ),
-                        _go_fmt(F.col("v")),
+                    sf_ok & ~tf_ok,
+                    F.col("_tfr"),
+                    F.concat(  # sf's value on purpose — see _HW_TF_MSG
+                        F.lit(self._HW_TF_MSG), _go_f_fmt(F.col("_sfr"))
                     ),
                 ).alias("_tf"),
             )
-            df = df.join(F.broadcast(tdf), "step_t")
-            tf = F.col("_tf")
+            df = df.join(F.broadcast(checked), "step_t")
+            sf, tf = F.col("_sf"), F.col("_tf")
         val = _holt_winters_expr(F.col("pts"), sf, tf)
         out = df.select(
             "step_t", "labels", val.cast("double").alias("v"),

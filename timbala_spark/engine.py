@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .compiler import (
     EvalContext,
+    PromQLBadQueryError,
     PromQLEvalError,
     ScalarValue,
     StringValue,
@@ -32,8 +33,11 @@ from .model import DEFAULT_LOOKBACK_MS, canonical_labels_expr, prepare_samples
 from .promql.ast import MatrixSelector, ParenExpr, ValueType
 from .promql.parser import parse
 
-#: Range-query guard: ≤11,000 points per series
-#: (reference ``internal/api/v1/api.go:211-216``).
+#: Range-query guard: ≤11,000 grid INTERVALS per series — the
+#: reference's check divides durations (``end.Sub(start)/step > 11000``,
+#: ``internal/api/v1/api.go:211-216``), so its largest accepted grid is
+#: actually 11,001 points while the message says 11,000; both quirks
+#: are reproduced.
 MAX_POINTS_PER_SERIES = 11000
 
 
@@ -127,15 +131,20 @@ class Engine:
     ) -> DataFrame:
         expr = parse(promql)
         if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
-            raise PromQLEvalError(
+            raise PromQLBadQueryError(
                 "invalid expression type for range query, must be scalar or instant vector"
             )
         if step_ms <= 0:
-            raise PromQLEvalError("zero or negative query resolution step")
-        if (end_ms - start_ms) // step_ms + 1 > self.max_points:
-            raise PromQLEvalError(
-                "exceeded maximum resolution of "
-                f"{self.max_points} points per timeseries"
+            raise PromQLBadQueryError("zero or negative query resolution step")
+        # boundary matches api.go:211-216 exactly: `end.Sub(start)/step
+        # > 11000` counts INTERVALS, so a grid of 11,001 points is the
+        # largest the reference accepts (its message undercounts by
+        # one — kept verbatim, comma grouping and all)
+        if (end_ms - start_ms) // step_ms > self.max_points:
+            raise PromQLBadQueryError(
+                f"exceeded maximum resolution of {self.max_points:,} "
+                "points per timeseries. Try decreasing the query "
+                "resolution (?step=XX)"
             )
         ctx = self._ctx(start_ms, end_ms, step_ms)
         val = compile_query(expr, ctx)
