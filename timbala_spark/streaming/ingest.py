@@ -32,7 +32,11 @@ def parse_wire_batch(df: DataFrame) -> DataFrame:
 
 
 def write_samples_batch(
-    samples: DataFrame, path: str, layout: str = "split", dedup: bool = True
+    samples: DataFrame,
+    path: str,
+    layout: str = "split",
+    dedup: bool = True,
+    persist: bool = False,
 ) -> None:
     """Write one micro-batch of canonical samples to the stored layout.
 
@@ -80,16 +84,28 @@ def write_samples_batch(
     # failed batch leaves the marker set: conservative (one spurious
     # collapse exchange), never wrong.
     _mark_dirty(path, st.dirty_marker)
-    # No persist: materializing the wide (labels-map) batch costs more
-    # than recomputing each pruned branch (measured 0.33M vs 1.3M
-    # samples/s at 5M rows). The dict branch reads the PRE-dedup batch —
-    # replica dedup cannot change the distinct series set — so it
-    # column-prunes to 3 columns and its dropDuplicates(series_id)
-    # partial-aggregates map-side to ~one row per series per partition;
-    # only the samples branch pays the (series_id, t) dedup shuffle —
-    # and it dedups AFTER projecting to (series_id, t, v), so the
-    # labels map never enters that shuffle either (measured: the wide
-    # dedup alone cost 3.5 s of the 8 s batch at 5M rows).
+    # ``persist=False`` default: materializing the wide (labels-map)
+    # batch costs more than recomputing each pruned branch (measured
+    # 0.33M vs 1.3M samples/s at 5M rows / 333k series). The dict
+    # branch reads the PRE-dedup batch — replica dedup cannot change
+    # the distinct series set — so it column-prunes to 3 columns and
+    # its dropDuplicates(series_id) partial-aggregates map-side to
+    # ~one row per series per partition; only the samples branch pays
+    # the (series_id, t) dedup shuffle — and it dedups AFTER
+    # projecting to (series_id, t, v), so the labels map never enters
+    # that shuffle either (measured: the wide dedup alone cost 3.5 s
+    # of the 8 s batch at 5M rows). The tradeoff flips when the batch
+    # is SERIES-dominated (millions of NEW series in one batch): there
+    # the partial-agg no longer collapses the dict branch, both
+    # branches re-pay the canonical-labels hash over the full width,
+    # and ``persist=True`` (memory-and-disk, spill-safe) computes it
+    # once — measured 1.9× (47.7 → 24.5 s) on a 5M-series ×
+    # 3-sample batch, same session (PERF §12). Streaming micro-batches
+    # (few new series per batch) should keep the default.
+    if persist:
+        from pyspark import StorageLevel
+
+        samples = samples.persist(StorageLevel.MEMORY_AND_DISK)
     narrow = samples.select("series_id", "t", "v")
 
     def _write_samples() -> None:
@@ -135,10 +151,14 @@ def write_samples_batch(
     # samples write's I/O (measured ~660k → ~900k samples/s at 5M rows)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(_write_samples), ex.submit(_write_dict)]
-        for f in futs:
-            f.result()  # propagate either failure
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_write_samples), ex.submit(_write_dict)]
+            for f in futs:
+                f.result()  # propagate either failure
+    finally:
+        if persist:
+            samples.unpersist()
 
 
 def _mark_dirty(path: str, marker: str | None = None) -> None:

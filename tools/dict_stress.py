@@ -88,6 +88,20 @@ def main() -> None:
     t0 = time.monotonic()
     write_samples_batch(prepare_samples(raw), store)
     write_s = round(time.monotonic() - t0, 1)
+    # interleaved A/B (same session — §10 noise discipline): the
+    # series-dominated batch is the regime where persisting the
+    # prepared batch should beat recomputing it per branch
+    write_persist_s = None
+    if os.environ.get("STRESS_PERSIST_AB", "1") != "0":
+        store_p = tempfile.mkdtemp(prefix="dict_stress_p_")
+        t0 = time.monotonic()
+        write_samples_batch(prepare_samples(raw), store_p, persist=True)
+        write_persist_s = round(time.monotonic() - t0, 1)
+        shutil.rmtree(store_p, ignore_errors=True)
+        print(
+            f"dict-stress: write recompute={write_s}s persist={write_persist_s}s",
+            file=sys.stderr,
+        )
     t0 = time.monotonic()
     compact_store(spark, store)
     compact_s = round(time.monotonic() - t0, 1)
@@ -164,6 +178,7 @@ def main() -> None:
         "n_samples": n_rows,
         "cpus": int(CPUS),
         "write_s": write_s,
+        "write_persist_s": write_persist_s,
         "compact_s": compact_s,
         "dict_join_broadcast": broadcast_join,
         "dict_join_shuffled": shuffled_join,
