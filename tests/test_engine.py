@@ -35,8 +35,67 @@ class TestGuards:
             engine.query_range("m", 0, 11001 * 60, 60)
 
     def test_matrix_range_query_rejected(self, engine):
-        with pytest.raises(PromQLEvalError):
+        # NewRangeQuery's verbatim message, engine.go:271
+        with pytest.raises(
+            PromQLEvalError,
+            match=r'invalid expression type "range vector" for range '
+            r"query, must be Scalar or instant Vector",
+        ):
             engine.query_range("m[5m]", 0, 600, 60)
+
+    def test_label_replace_dup_only_between_matched(self, spark):
+        from timbala_spark import prepare_samples
+
+        rows = [
+            ({"__name__": "m", "src": "hit"}, 0, 1.0),
+            ({"__name__": "m", "src": "out"}, 0, 2.0),
+            ({"__name__": "m2", "src": "hit"}, 0, 1.0),
+            ({"__name__": "m2", "src": "hit2"}, 0, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # a REPLACED set colliding with an untouched series is NOT an
+        # error — funcLabelReplace `continue`s past non-matching
+        # elements before its dup set (functions.go:802-818), so the
+        # output really carries the duplicated label set twice
+        out = eng.query(
+            'label_replace(m, "src", "out", "src", "hit")', 0
+        ).collect()
+        assert sorted(dict(r["labels"])["src"] for r in out) == ["out", "out"]
+        # two MATCHED elements colliding error, with the offending
+        # label set echoed in Go labels.String() form
+        with pytest.raises(
+            Exception,
+            match=r"duplicated label set in output of label_replace\(\): "
+            r'\{__name__="m2", src="out"\}',
+        ):
+            eng.query(
+                'label_replace(m2, "src", "out", "src", "hi.*")', 0
+            ).collect()
+
+    def test_label_join_collision_errors(self, spark):
+        from timbala_spark import prepare_samples
+
+        rows = [
+            ({"__name__": "m", "src": "x"}, 0, 1.0),
+            ({"__name__": "m", "src": "y"}, 0, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # joining a missing source yields "" which DELETES dst
+        # (lb.Del), collapsing both series onto {__name__="m"} — and
+        # unlike label_replace, every element enters label_join's dup
+        # set (functions.go:856-879), so this errors
+        with pytest.raises(
+            Exception,
+            match=r"duplicated label set in output of label_join\(\): "
+            r'\{__name__="m"\}',
+        ):
+            eng.query('label_join(m, "src", "-", "nosuch")', 0).collect()
 
     def test_holt_winters_factor_errors_verbatim(self, engine):
         # funcHoltWinters' messages kept bug-for-bug: no comma before
@@ -88,10 +147,45 @@ class TestGuards:
 
 class TestStrictErrors:
     def test_one_to_one_duplicate_raises(self, engine):
-        # both instances map to the same sig when ignoring(instance)
+        # both instances map to the same sig when ignoring(instance);
+        # the rhs ('one' side) duplicate errors while building
+        # rightSigs, with the vendored message (engine.go:979-988)
         df = engine.query("m + ignoring(instance) m", 600)
-        with pytest.raises(Exception, match="duplicate series"):
+        with pytest.raises(
+            Exception,
+            match="many-to-many matching not allowed: matching labels "
+            "must be unique on one side",
+        ):
             df.collect()
+
+    def test_many_side_duplicate_semantics(self, spark):
+        # engine.go:1000-1027: a duplicate MANY-side signature errors
+        # only when it actually matches (and, for filtered comparisons,
+        # only when both pairs survive the filter) — `continue` on
+        # no-match and on !keep both run before matchedSigs
+        rows = [
+            ({"__name__": "l", "a": "1", "i": "0"}, 0, 1.0),
+            ({"__name__": "l", "a": "1", "i": "1"}, 0, 20.0),
+            ({"__name__": "r", "a": "1"}, 0, 10.0),
+            ({"__name__": "r2", "a": "2"}, 0, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # unmatched duplicate lhs sig: no error, empty result
+        assert eng.query("l + on(a) r2", 0).collect() == []
+        # matched duplicate: errors with the vendored one-to-one message
+        with pytest.raises(
+            Exception,
+            match=r"multiple matches for labels: many-to-one matching "
+            r"must be explicit \(group_left/group_right\)",
+        ):
+            eng.query("l + on(a) r", 0).collect()
+        # filtered comparison: only one of the two pairs survives
+        # `<`, so no duplicate is ever inserted — succeeds
+        out = eng.query("l < on(a) r", 0).collect()
+        assert len(out) == 1 and out[0]["v"] == 1.0
 
     def test_group_left_output_duplicate(self, spark):
         rows = [

@@ -401,7 +401,12 @@ class PromAPI:
         import re
 
         if not re.fullmatch(r"[a-zA-Z_][a-zA-Z0-9_]*", name):
-            return self._error(ERR_BAD_DATA, f"invalid label name: {name!r}")
+            # Go %q quoting (api.go:257) — double quotes, Go escapes
+            import json
+
+            return self._error(
+                ERR_BAD_DATA, f"invalid label name: {json.dumps(name)}"
+            )
         vals = (
             self.engine.samples.select(
                 label_get(F.col("labels"), name).alias("_v")

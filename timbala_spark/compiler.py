@@ -505,6 +505,25 @@ def _go_f_fmt(col: Column) -> Column:
     )
 
 
+def _go_labels_str(m: Column) -> Column:
+    """Go ``labels.Labels.String()`` (``pkg/labels/labels.go:49-64``):
+    ``{k1="v1", k2="v2"}`` — entries sorted by name, values through
+    ``strconv.Quote`` (backslash and double-quote escapes; Quote's
+    control-character escapes are not reproduced — label values are
+    printable in practice). Used in error messages that echo the
+    offending label set (``functions.go:816,877``)."""
+
+    def one(e):
+        v = F.replace(e["value"], F.lit("\\"), F.lit("\\\\"))
+        v = F.replace(v, F.lit('"'), F.lit('\\"'))
+        return F.concat(e["key"], F.lit('="'), v, F.lit('"'))
+
+    ent = F.array_sort(F.map_entries(m))
+    return F.concat(
+        F.lit("{"), F.array_join(F.transform(ent, one), ", "), F.lit("}")
+    )
+
+
 def _go_fmt(col: Column) -> Column:
     """Go ``strconv.FormatFloat(v, 'f', -1, 64)`` — shortest round-trip
     decimal, never exponent notation (``engine.go:1283-1284``) — as a
@@ -1043,36 +1062,30 @@ class Compiler:
             odf = one.df.withColumn("_sig", sig)
 
         if self.ctx.strict:
-            side = "right" if not swap else "left"
             # Attach the raise to the JOIN KEY, not `v`: the key is
             # evaluated for every one-side row while building the join,
             # so duplicates error even when they match nothing — the
             # reference errors on any duplicate one-side signature,
-            # matched or not (engine.go:982-988).
+            # matched or not, while BUILDING rightSigs
+            # (engine.go:979-988), with this fixed message regardless
+            # of which side is the 'one' side.
             odf = odf.selectExpr(
                 "*", "count(1) OVER (PARTITION BY step_t, _sig) AS _cnt"
             ).withColumn(
                 "_sig",
                 F.expr(
                     "CASE WHEN _cnt > 1 THEN raise_error("
-                    "'found duplicate series for the match group on the "
-                    f"{side} hand-side of the operation') "
+                    "'many-to-many matching not allowed: matching labels "
+                    "must be unique on one side') "
                     "ELSE _sig END"
                 ),
             ).drop("_cnt")
-            if card == VectorMatchCardinality.ONE_TO_ONE:
-                mside = "left" if not swap else "right"
-                mdf = mdf.selectExpr(
-                    "*", "count(1) OVER (PARTITION BY step_t, _sig) AS _cnt"
-                ).withColumn(
-                    "v",
-                    F.expr(
-                        "CASE WHEN _cnt > 1 THEN raise_error("
-                        "'found duplicate series for the match group on "
-                        f"the {mside} hand-side of the operation') "
-                        "ELSE v END"
-                    ),
-                ).drop("_cnt")
+            # many-side duplicates are checked AFTER matching (and
+            # after the comparison filter) — see the post-join check
+            # below; an unmatched duplicate many-side signature is NOT
+            # an error in the vendored engine (engine.go:1000-1027:
+            # `continue` on no-match and on !keep both run before the
+            # matchedSigs bookkeeping)
 
         o_sel = odf.selectExpr(
             "step_t", "_sig", "v AS _ov", "labels AS _olabels"
@@ -1150,25 +1163,47 @@ class Compiler:
 
         out = j.select(
             "step_t",
+            "_sig",
             result_labels.alias("labels"),
             F.expr(f"CAST({rv_sql} AS DOUBLE)").alias("v"),
             "sample_t",
         )
-        if self.ctx.strict and card != VectorMatchCardinality.ONE_TO_ONE:
-            # duplicate *output* series detection (engine.go:1023-1039)
-            out = out.selectExpr(
-                "*",
-                "count(1) OVER (PARTITION BY step_t, "
-                f"{canonical_labels_sql('labels')}) AS _ocnt",
-            ).withColumn(
-                "v",
-                F.expr(
-                    "CASE WHEN _ocnt > 1 THEN raise_error("
-                    "'multiple matches for labels: grouping labels must "
-                    "ensure unique matches') ELSE v END"
-                ),
-            ).drop("_ocnt")
-        return VectorValue(out)
+        if self.ctx.strict:
+            if card == VectorMatchCardinality.ONE_TO_ONE:
+                # a SECOND matched many-side sample that survived the
+                # comparison filter errors (engine.go:1021-1027); rows
+                # here are exactly those matches
+                out = out.selectExpr(
+                    "*",
+                    "count(1) OVER (PARTITION BY step_t, _sig) AS _ocnt",
+                ).withColumn(
+                    "v",
+                    F.expr(
+                        "CASE WHEN _ocnt > 1 THEN raise_error("
+                        "'multiple matches for labels: many-to-one "
+                        "matching must be explicit "
+                        "(group_left/group_right)') ELSE v END"
+                    ),
+                ).drop("_ocnt")
+            else:
+                # duplicate result elements are detected PER MATCH
+                # GROUP (engine.go:1029-1040 keys insertedSigs on the
+                # matching signature, then metric.Hash()): identical
+                # result metrics arising from DIFFERENT match groups
+                # pass — and genuinely duplicate the output vector
+                out = out.selectExpr(
+                    "*",
+                    "count(1) OVER (PARTITION BY step_t, _sig, "
+                    f"{canonical_labels_sql('labels')}) AS _ocnt",
+                ).withColumn(
+                    "v",
+                    F.expr(
+                        "CASE WHEN _ocnt > 1 THEN raise_error("
+                        "'multiple matches for labels: grouping labels "
+                        "must ensure unique matches') ELSE v END"
+                    ),
+                ).drop("_ocnt")
+        return VectorValue(out.drop("_sig"))
 
     # -- aggregations (engine.go:1244-1448) ---------------------------
     def _aggregate(self, node: AggregateExpr) -> VectorValue:
@@ -1653,18 +1688,20 @@ class Compiler:
         repl = self._str_arg(node.args[2], "label_replace")
         src = self._str_arg(node.args[3], "label_replace")
         regex = self._str_arg(node.args[4], "label_replace")
-        if not _LABEL_NAME_RE.match(dst):
-            raise PromQLEvalError(
-                f"invalid destination label name in label_replace(): {dst!r}"
-            )
         from .promql.re2 import re2_to_host
 
+        # regex validated BEFORE the destination name, reference order
+        # (functions.go:788-794); messages are plain %s, unquoted
         try:
             compiled = re.compile(re2_to_host(regex, dialect="python"))
         except (re.error, ValueError) as e:
             raise PromQLEvalError(
-                f"invalid regular expression in label_replace(): {regex!r}"
+                f"invalid regular expression in label_replace(): {regex}"
             ) from e
+        if not _LABEL_NAME_RE.match(dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_replace(): {dst}"
+            )
         src_val = F.coalesce(label_get(F.col("labels"), src), F.lit(""))
         matched = src_val.rlike(_anchored(regex))
         # The replacement template follows Go regexp.Expand
@@ -1693,34 +1730,53 @@ class Compiler:
         new_labels = F.when(
             matched, _map_set_conditional(F.col("labels"), dst, new_val)
         ).otherwise(F.col("labels"))
-        out = arg.df.withColumn("labels", new_labels)
+        # `_m` is evaluated against the ORIGINAL labels (the `labels`
+        # column is only replaced in the next projection)
+        out = arg.df.withColumn("_m", matched).withColumn(
+            "labels", new_labels
+        )
         if self.ctx.strict:
-            w = Window.partitionBy("step_t", canonical_labels_expr(F.col("labels")))
-            out = out.withColumn("_c", F.count(F.lit(1)).over(w))
+            # the reference `continue`s past non-matching elements
+            # before its dup set (functions.go:802-818), so ONLY a
+            # collision between two MATCHED elements errors — a
+            # replaced set colliding with an untouched series is
+            # silently kept (duplicate sets in the output and all)
+            w = Window.partitionBy(
+                "step_t", canonical_labels_expr(F.col("labels"))
+            )
+            mcnt = F.sum(F.col("_m").cast("int")).over(w)
             out = out.withColumn(
                 "v",
                 _raise_if(
-                    F.col("_c") > 1,
+                    F.col("_m") & (mcnt > 1),
                     F.col("v"),
-                    "duplicate label set in output of label_replace()",
+                    F.concat(
+                        F.lit(
+                            "duplicated label set in output of "
+                            "label_replace(): "
+                        ),
+                        _go_labels_str(F.col("labels")),
+                    ),
                 ),
-            ).drop("_c")
-        return VectorValue(_vv(out))
+            )
+        return VectorValue(_vv(out.drop("_m")))
 
     def _fn_label_join(self, node):
         arg = self.compile(node.args[0])
         dst = self._str_arg(node.args[1], "label_join")
         sep = self._str_arg(node.args[2], "label_join")
         srcs = [self._str_arg(a, "label_join") for a in node.args[3:]]
-        if not _LABEL_NAME_RE.match(dst):
-            raise PromQLEvalError(
-                f"invalid destination label name in label_join(): {dst!r}"
-            )
+        # sources validated in argument order BEFORE the destination,
+        # reference order (functions.go:843-853); plain %s messages
         for s in srcs:
             if not _LABEL_NAME_RE.match(s):
                 raise PromQLEvalError(
-                    f"invalid source label name in label_join(): {s!r}"
+                    f"invalid source label name in label_join(): {s}"
                 )
+        if not _LABEL_NAME_RE.match(dst):
+            raise PromQLEvalError(
+                f"invalid destination label name in label_join(): {dst}"
+            )
         parts = [
             F.coalesce(label_get(F.col("labels"), s), F.lit("")) for s in srcs
         ]
@@ -1728,6 +1784,26 @@ class Compiler:
         out = arg.df.withColumn(
             "labels", _map_set_conditional(F.col("labels"), dst, joined)
         )
+        if self.ctx.strict:
+            # unlike label_replace, EVERY element enters the dup set
+            # (functions.go:856-879): any output collision errors
+            w = Window.partitionBy(
+                "step_t", canonical_labels_expr(F.col("labels"))
+            )
+            out = out.withColumn("_c", F.count(F.lit(1)).over(w)).withColumn(
+                "v",
+                _raise_if(
+                    F.col("_c") > 1,
+                    F.col("v"),
+                    F.concat(
+                        F.lit(
+                            "duplicated label set in output of "
+                            "label_join(): "
+                        ),
+                        _go_labels_str(F.col("labels")),
+                    ),
+                ),
+            ).drop("_c")
         return VectorValue(_vv(out))
 
     def _str_arg(self, node: Expr, fn: str) -> str:

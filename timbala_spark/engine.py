@@ -131,8 +131,12 @@ class Engine:
     ) -> DataFrame:
         expr = parse(promql)
         if expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
+            # NewRangeQuery's verbatim message (engine.go:271): the
+            # documentedType quoted %q, capital-S Scalar / capital-V
+            # Vector — our ValueType values ARE the documented names
             raise PromQLBadQueryError(
-                "invalid expression type for range query, must be scalar or instant vector"
+                f'invalid expression type "{expr.type.value}" for range '
+                "query, must be Scalar or instant Vector"
             )
         if step_ms <= 0:
             raise PromQLBadQueryError("zero or negative query resolution step")
