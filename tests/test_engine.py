@@ -75,6 +75,33 @@ class TestGuards:
                 'label_replace(m2, "src", "out", "src", "hi.*")', 0
             ).collect()
 
+    def test_count_values_vendored_semantics(self, spark):
+        from timbala_spark import prepare_samples
+
+        rows = [
+            ({"__name__": "m", "x": "a"}, 0, 1.0),
+            ({"__name__": "m", "x": "b"}, 0, 1.0),
+            ({"__name__": "m", "x": "c"}, 0, 2.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        # invalid label names are NOT rejected — the vendored engine
+        # lb.Set()s whatever string it was given (engine.go:1268-1284);
+        # the 'invalid label name' validation postdates it
+        out = eng.query('count_values("val-ue", m)', 0).collect()
+        assert sorted(
+            (dict(r["labels"])["val-ue"], r["v"]) for r in out
+        ) == [("1", 2.0), ("2", 1.0)]
+        # when the value label is itself in by(...), the group key is
+        # the POST-Set metric (engine.go:1286-1294): the original x
+        # values must not split the counts into duplicate outputs
+        out = eng.query('count_values by (x) ("x", m)', 0).collect()
+        assert sorted(
+            (dict(r["labels"])["x"], r["v"]) for r in out
+        ) == [("1", 2.0), ("2", 1.0)]
+
     def test_label_join_collision_errors(self, spark):
         from timbala_spark import prepare_samples
 

@@ -294,6 +294,24 @@ class TestHTTPRoundtrip:
         assert status == 200
         assert {"__name__": "range_metric", "job": "a"} in payload["data"]
 
+        # absent start/end default to the reference's minTime/maxTime
+        # (api.go:274-302): the range is UNBOUNDED, so even a sample at
+        # a FUTURE timestamp matches
+        import time as _t
+
+        future = int((_t.time() + 7 * 24 * 3600) * 1000)
+        fut_series = [
+            {
+                "labels": {"__name__": "future_metric", "job": "f"},
+                "samples": [[future, 1.0]],
+            }
+        ]
+        status, _ = _post(server, "/write", encode_write_request(fut_series))
+        assert status == 200
+        status, payload = _get(server, "/api/v1/series?match[]=future_metric")
+        assert status == 200
+        assert {"__name__": "future_metric", "job": "f"} in payload["data"]
+
 
 class TestParseDuration:
     def test_single_group_durations(self):

@@ -1303,18 +1303,27 @@ class Compiler:
             if not isinstance(node.param, StringLiteral):
                 raise PromQLEvalError("count_values label must be a string literal")
             lbl = node.param.value
-            if not _LABEL_NAME_RE.match(lbl):
-                raise PromQLEvalError(f"invalid label name {lbl!r}")
-            df = df.withColumn("_vstr", _go_fmt(F.col("v")))
-            grouped = df.groupBy("step_t", "_gsig", "_vstr").agg(
-                F.first("_gmap").alias("_gmap"),
+            # NO label-name validation: the vendored engine lb.Set()s
+            # whatever string it was given (engine.go:1268-1284) — the
+            # 'invalid label name' check postdates it. Group on the
+            # FINAL label set: the reference appends the value label to
+            # the grouping and hashes the metric AFTER lb.Set
+            # (engine.go:1286-1294), so when the value label is itself
+            # in by(...) the ORIGINAL value must not split groups.
+            df = df.withColumn("_vstr", _go_fmt(F.col("v"))).withColumn(
+                "_fmap",
+                _map_set_conditional(F.col("_gmap"), lbl, F.col("_vstr")),
+            )
+            grouped = df.groupBy(
+                "step_t",
+                canonical_labels_expr(F.col("_fmap")).alias("_fsig"),
+            ).agg(
+                F.first("_fmap").alias("labels"),
                 F.count(F.lit(1)).cast("double").alias("v"),
             )
             out = grouped.select(
                 "step_t",
-                _map_set_conditional(F.col("_gmap"), lbl, F.col("_vstr")).alias(
-                    "labels"
-                ),
+                "labels",
                 "v",
                 F.lit(None).cast("long").alias("sample_t"),
             )

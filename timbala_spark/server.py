@@ -54,6 +54,13 @@ _DUR_UNITS = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
               "w": 604800.0, "y": 31536000.0}
 
 
+#: the reference's minTime/maxTime series-range defaults
+#: (api.go:274-276): effectively unbounded either side while keeping
+#: millisecond arithmetic inside int64
+_MIN_TIME_S = -9.223372036854775e12
+_MAX_TIME_S = 9.223372036854775e12
+
+
 def _parse_time(s: str | None, default: float | None = None) -> float:
     """Prometheus API time parameter: unix float or RFC 3339."""
     if s is None or s == "":
@@ -393,12 +400,15 @@ class TimbalaServer:
                     h, self._engine_api().label_values(unquote(parts[4]))
                 )
             if url.path == "/api/v1/series":
+                # absent start/end default to minTime/maxTime — the
+                # range is UNBOUNDED, so samples at future timestamps
+                # still match (api.go:274-302)
                 return self._respond_api(
                     h,
                     self._engine_api().series(
                         q.get("match[]", []),
-                        _parse_time(p("start"), 0.0),
-                        _parse_time(p("end"), _time.time()),
+                        _parse_time(p("start"), _MIN_TIME_S),
+                        _parse_time(p("end"), _MAX_TIME_S),
                     ),
                 )
         except ValueError as e:
