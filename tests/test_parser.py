@@ -361,3 +361,51 @@ def test_go_fmt_str_matches_go_percent_v():
     assert _go_fmt_str(1e-4) == "0.0001"
     assert _go_fmt_str(1e-5) == "1e-05"
     assert _go_fmt_str(123456789012345680.0) == "123456789012345680"
+
+
+class TestVendoredErrorWording:
+    """Leaf parse-error messages pinned to the vendored parse.go/lex.go
+    (the %T node names and item descs are wire-observable through the
+    HTTP error envelope)."""
+
+    def test_no_expression_found(self):
+        with pytest.raises(PromQLSyntaxError, match="^no expression found in input$"):
+            parse("")
+
+    def test_range_follows_wrong_node(self):
+        # parse.go:574 prints Go's %T of the preceding node
+        with pytest.raises(
+            PromQLSyntaxError,
+            match=r"range specification must be preceded by a metric "
+            r"selector, but follows a \*promql\.ParenExpr instead",
+        ):
+            parse("(m)[5m]")
+        with pytest.raises(PromQLSyntaxError, match=r"\*promql\.NumberLiteral instead"):
+            parse("1[5m]")
+
+    def test_offset_follows_wrong_node(self):
+        with pytest.raises(
+            PromQLSyntaxError,
+            match=r"offset modifier must be preceded by an instant or "
+            r"range selector, but follows a \*promql\.ParenExpr instead",
+        ):
+            parse("(m + 1) offset 5m")
+
+    def test_missing_comma_and_match_op(self):
+        with pytest.raises(
+            PromQLSyntaxError, match='missing comma before next identifier "b"'
+        ):
+            parse('m{a="1" b="2"}')
+        # lex.go:31-48: operators print as <op:x> in item descs
+        with pytest.raises(
+            PromQLSyntaxError,
+            match="expected label matching operator but got <op:<>",
+        ):
+            parse('m{a<"1"}')
+
+    def test_metric_name_set_twice_quoting(self):
+        with pytest.raises(
+            PromQLSyntaxError,
+            match='metric name must not be set twice: "foo" or "bar"',
+        ):
+            parse('foo{__name__="bar"}')

@@ -125,6 +125,8 @@ class Parser:
 
     # -- entry ---------------------------------------------------------
     def parse_expr(self) -> Expr:
+        if self.peek().kind == EOF:  # parse.go:152
+            raise PromQLSyntaxError("no expression found in input")
         e = self.parse_binary(0)
         t = self.peek()
         if t.kind != EOF:
@@ -214,8 +216,12 @@ class Parser:
         """Range `[5m]` and `offset 5m` suffixes."""
         if self.peek().kind == LBRACKET:
             if not isinstance(e, VectorSelector):
+                # Go's %T of the preceding node (parse.go:574): our AST
+                # classes carry the reference's type names
                 raise PromQLSyntaxError(
-                    "range specification must follow a vector selector"
+                    "range specification must be preceded by a metric "
+                    f"selector, but follows a *promql.{type(e).__name__} "
+                    "instead"
                 )
             self.next()
             d = self.expect(DURATION)
@@ -230,7 +236,11 @@ class Parser:
             if isinstance(e, (VectorSelector, MatrixSelector)):
                 e.offset_ms = off
             else:
-                raise PromQLSyntaxError("offset modifier must follow a selector")
+                raise PromQLSyntaxError(
+                    "offset modifier must be preceded by an instant or "
+                    f"range selector, but follows a *promql.{type(e).__name__} "
+                    "instead"
+                )
         return e
 
     def parse_atom(self) -> Expr:
@@ -349,14 +359,29 @@ class Parser:
                     lname = self.next().text
                     opt = self.peek()
                     if opt.kind not in _MATCH_TYPES:
+                        # item desc (lex.go:31-48): operators print as
+                        # <op:x>, identifiers as %q
+                        desc = (
+                            f'"{opt.text}"'
+                            if opt.kind == IDENT
+                            else f"<op:{opt.text}>"
+                        )
                         raise PromQLSyntaxError(
-                            f"expected label matching operator at {opt.pos}"
+                            f"expected label matching operator but got {desc}"
                         )
                     self.next()
                     val = self.expect(STRING)
                     matchers.append(
                         LabelMatcher(_MATCH_TYPES[opt.kind], lname, val.text)
                     )
+                    # identifier directly after a matcher: the comma is
+                    # missing (parse.go:868-870, checked BEFORE the
+                    # comma/terminator decision)
+                    if self.peek().kind == IDENT:
+                        raise PromQLSyntaxError(
+                            "missing comma before next identifier "
+                            f'"{self.peek().text}"'
+                        )
                     if not self.accept(COMMA):
                         break
                     if self.peek().kind == RBRACE:
@@ -365,8 +390,9 @@ class Parser:
         if name is not None:
             for m in matchers:
                 if m.name == METRIC_NAME_LABEL:
-                    raise PromQLSyntaxError(
-                        f"metric name must not be set twice: {name!r} or {m.value!r}"
+                    raise PromQLSyntaxError(  # %q quoting (parse.go:949)
+                        f'metric name must not be set twice: "{name}" or '
+                        f'"{m.value}"'
                     )
             matchers.append(
                 LabelMatcher(MatchType.EQ, METRIC_NAME_LABEL, name)
