@@ -1523,3 +1523,37 @@ class TestRuleFileParsing:
         # below-threshold alert does not fire
         alert2 = parse_rule_file("ALERT Low IF sum(test_metric1) > 2000")[0]
         assert evaluate_alert(eng, alert2, 600).count() == 0
+
+    def test_alert_for_pending_to_firing(self, spark, api):
+        """The upstream pending→firing state machine: an alert with
+        FOR stays 'pending' until continuously active for the
+        duration, resets when the condition clears, and a FOR-less
+        alert fires immediately."""
+        from timbala_spark.streaming.rules import (
+            evaluate_alert,
+            parse_rule_file,
+        )
+
+        eng = api.engine
+
+        def state_at(rule, ts, st):
+            rows = evaluate_alert(eng, rule, ts, active_at=st).collect()
+            return [dict(r["labels"]).get("alertstate") for r in rows]
+
+        alert = parse_rule_file(
+            "ALERT High IF sum(test_metric1) > 500 FOR 5m"
+        )[0]
+        st: dict = {}
+        # active from t=360 on (values grow with t in the fixture)
+        assert state_at(alert, 360, st) == ["pending"]
+        assert state_at(alert, 500, st) == ["pending"]  # < 300s active
+        assert state_at(alert, 660, st) == ["firing"]  # 300s reached
+        # condition clears (fixture has no samples past the lookback
+        # window at a far-future ts) -> active set drops, clock resets
+        assert state_at(alert, 100_000, st) == []
+        assert st == {}
+        assert state_at(alert, 100_600, st) == []
+        # FOR-less alerts fire immediately; stateless call = first-seen
+        now = parse_rule_file("ALERT Now IF sum(test_metric1) > 500")[0]
+        assert state_at(now, 600, None) == ["firing"]
+        assert state_at(alert, 600, None) == ["pending"]

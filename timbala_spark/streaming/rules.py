@@ -55,11 +55,27 @@ def evaluate_rule(
 
 
 def run_rules_once(
-    engine: Engine, rules: list[RecordingRule], ts: float
+    engine: Engine,
+    rules: list,
+    ts: float,
+    alert_states: dict[str, dict] | None = None,
 ) -> DataFrame:
-    """Evaluate a rule group at one timestamp → unioned samples frame
-    (the per-interval body of a rule-evaluation loop)."""
-    parts = [evaluate_rule(engine, r, ts) for r in rules]
+    """Evaluate a rule group (recording AND alerting rules) at one
+    timestamp → unioned samples frame (the per-interval body of a
+    rule-evaluation loop). ``alert_states`` maps rule name → that
+    rule's active-since map; the stream runner owns it so FOR clocks
+    survive across ticks."""
+    parts = []
+    for r in rules:
+        if isinstance(r, AlertingRule):
+            st = (
+                alert_states.setdefault(r.name, {})
+                if alert_states is not None
+                else None
+            )
+            parts.append(evaluate_alert(engine, r, ts, active_at=st))
+        else:
+            parts.append(evaluate_rule(engine, r, ts))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -68,13 +84,14 @@ def run_rules_once(
 
 def append_rule_results(
     engine: Engine,
-    rules: list[RecordingRule],
+    rules: list,
     ts: float,
     path: str,
+    alert_states: dict[str, dict] | None = None,
 ) -> None:
     """Evaluate and append to a day-partitioned samples table —
     composes with streaming ingest's layout."""
-    out = run_rules_once(engine, rules, ts).withColumn(
+    out = run_rules_once(engine, rules, ts, alert_states).withColumn(
         "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
     )
     out.write.mode("append").partitionBy("day").parquet(path)
@@ -99,9 +116,17 @@ def start_rule_stream(
     collect() is bounded by the tick count (a handful per trigger —
     the clock, not the data)."""
 
+    alert_states: dict[str, dict] = {}  # FOR clocks live across ticks
+
     def _batch(df: DataFrame, _epoch: int) -> None:
-        for row in df.select("ts").distinct().collect():
-            append_rule_results(engine, rules, row["ts"] / 1000.0, store_path)
+        # ticks evaluate in ascending order so the pending→firing
+        # state machine sees time move forward within a batch
+        for row in sorted(
+            df.select("ts").distinct().collect(), key=lambda r: r["ts"]
+        ):
+            append_rule_results(
+                engine, rules, row["ts"] / 1000.0, store_path, alert_states
+            )
 
     return (
         ticks.writeStream.foreachBatch(_batch)
@@ -156,33 +181,59 @@ def parse_rule_file(src: str) -> list[RecordingRule | AlertingRule]:
 
 
 def evaluate_alert(
-    engine: Engine, rule: AlertingRule, ts: float
+    engine: Engine,
+    rule: AlertingRule,
+    ts: float,
+    active_at: dict | None = None,
 ) -> DataFrame:
-    """One alert evaluation at ``ts``: label sets where the expression
-    returns samples are firing. Result is canonical samples named
-    ``ALERTS`` with ``alertname`` + the rule's extra labels, value 1
-    (the active-alert series convention)."""
-    out = engine.query(rule.expr, ts)
-    labels = F.map_filter(
-        F.col("labels"), lambda k, _v: k != METRIC_NAME_LABEL
-    )
+    """One alert evaluation at ``ts`` with the upstream pending →
+    firing state machine. Label sets where the expression returns
+    samples are ACTIVE; an active set is ``firing`` once it has been
+    continuously active for the rule's FOR duration (immediately when
+    FOR is absent) and ``pending`` before that. Emits the Prometheus
+    ``ALERTS{alertname=..., alertstate=...}`` convention: one sample
+    per active set, value 1.
 
-    def drop_key(key):
-        return lambda kk, _v: kk != key
+    ``active_at`` is the caller-owned active-since map, keyed by the
+    alert's output label set — the in-memory ActiveAt bookkeeping of
+    the upstream Prometheus rule engine (the vendored reference only
+    defines AlertStmt, ``promql/ast.go:54-66``, and ships no
+    evaluator; SURVEY §2.8). The stream runner threads one map per
+    rule across ticks; a set that stops being active resets. Passing
+    None evaluates statelessly: every active set counts as first-seen,
+    so FOR>0 rules emit ``pending``.
 
-    pairs = [
-        F.lit(METRIC_NAME_LABEL),
-        F.lit("ALERTS"),
-        F.lit("alertname"),
-        F.lit(rule.name),
-    ]
-    labels = F.map_filter(labels, drop_key("alertname"))
-    for k, v in sorted(rule.labels.items()):
-        labels = F.map_filter(labels, drop_key(k))
-        pairs.extend([F.lit(k), F.lit(v)])
-    labels = F.map_concat(labels, F.create_map(*pairs))
-    return prepare_samples(
-        out.select(
-            labels.alias("labels"), F.col("t"), F.lit(1.0).alias("v")
+    The active sets ARE collected — bounded by active-alert
+    cardinality, the exact set the upstream engine also holds in
+    memory per rule."""
+    rows = engine.query(rule.expr, ts).collect()
+    if active_at is None:
+        active_at = {}
+    ts_ms = int(round(ts * 1000))
+    results = []
+    seen: set[tuple] = set()
+    for r in rows:
+        base = {
+            k: v
+            for k, v in dict(r["labels"]).items()
+            if k
+            not in (METRIC_NAME_LABEL, "alertname", "alertstate")
+            and k not in rule.labels
+        }
+        base[METRIC_NAME_LABEL] = "ALERTS"
+        base["alertname"] = rule.name
+        base.update(rule.labels)
+        key = tuple(sorted(base.items()))
+        seen.add(key)
+        since = active_at.setdefault(key, ts_ms)
+        base["alertstate"] = (
+            "firing" if ts_ms - since >= rule.duration_ms else "pending"
         )
+        results.append((base, ts_ms, 1.0))
+    for k in list(active_at):  # inactive sets reset their FOR clock
+        if k not in seen:
+            del active_at[k]
+    df = engine.spark.createDataFrame(
+        results, "labels map<string,string>, t long, v double"
     )
+    return prepare_samples(df)
