@@ -1557,3 +1557,54 @@ class TestRuleFileParsing:
         now = parse_rule_file("ALERT Now IF sum(test_metric1) > 500")[0]
         assert state_at(now, 600, None) == ["firing"]
         assert state_at(alert, 600, None) == ["pending"]
+
+    def test_alert_for_state_survives_restart(self, spark, api):
+        """ALERTS_FOR_STATE persistence: a restarted runner restores
+        active-since within the outage tolerance instead of re-running
+        the FOR duration from zero (the upstream restore convention)."""
+        import shutil
+
+        from timbala_spark.streaming.rules import (
+            FOR_STATE_METRIC,
+            append_rule_results,
+            parse_rule_file,
+            restore_alert_states,
+        )
+
+        eng = api.engine
+        alert = parse_rule_file(
+            "ALERT High IF sum(test_metric1) > 500 FOR 5m"
+        )[0]
+        store = tempfile.mkdtemp(prefix="alert_state_")
+        try:
+            states: dict = {}
+            append_rule_results(eng, [alert], 360, store, states)
+            # the active-since map was persisted alongside the alert
+            stored = spark.read.parquet(store)
+            fs = stored.filter(
+                f"labels['__name__'] = '{FOR_STATE_METRIC}'"
+            ).collect()
+            assert len(fs) == 1 and fs[0]["v"] == 360.0
+            # "restart": fresh map restored from the store
+            restored = restore_alert_states(
+                spark, store, [alert], as_of=400
+            )
+            st2 = restored["High"]
+            assert list(st2.values()) == [360_000]
+            # continue ticking with the restored clock: firing at 660
+            append_rule_results(eng, [alert], 660, store, restored)
+            alerts = spark.read.parquet(store).filter(
+                "labels['__name__'] = 'ALERTS' and t = 660000"
+            ).collect()
+            assert [
+                dict(r["labels"])["alertstate"] for r in alerts
+            ] == ["firing"]
+            # state older than the outage tolerance starts fresh
+            assert (
+                restore_alert_states(
+                    spark, store, [alert], as_of=360 + 7200
+                )
+                == {}
+            )
+        finally:
+            shutil.rmtree(store, ignore_errors=True)

@@ -54,6 +54,81 @@ def evaluate_rule(
     )
 
 
+#: active-since persistence series: value = ActiveAt in epoch seconds,
+#: one sample per active alert set per evaluation — the upstream
+#: Prometheus convention for restoring FOR clocks across restarts
+FOR_STATE_METRIC = "ALERTS_FOR_STATE"
+
+
+def _for_state_frame(
+    spark: SparkSession, alert_states: dict[str, dict], ts_ms: int
+) -> DataFrame | None:
+    """Serialize the live active-since maps as ALERTS_FOR_STATE
+    samples at ``ts_ms`` (None when no alert is active)."""
+    rows = []
+    for st in alert_states.values():
+        for key, since in st.items():
+            labels = {k: v for k, v in key}
+            labels[METRIC_NAME_LABEL] = FOR_STATE_METRIC
+            rows.append((labels, ts_ms, since / 1000.0))
+    if not rows:
+        return None
+    return prepare_samples(
+        spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+    )
+
+
+def restore_alert_states(
+    spark: SparkSession,
+    store_path: str,
+    rules: list,
+    as_of: float | None = None,
+    outage_tolerance_s: float = 3600.0,
+) -> dict[str, dict]:
+    """Rebuild per-rule active-since maps from the store's latest
+    ALERTS_FOR_STATE samples, so FOR clocks survive a runner restart
+    (upstream's for-outage-tolerance restore: state older than the
+    tolerance is considered a real outage and starts fresh). Bounded
+    collect: one row per persisted active alert set."""
+    import os
+    import time as _time
+
+    from .store import resolve_store
+
+    st = resolve_store(store_path)
+    if not (os.path.isdir(st.samples) or os.path.isdir(store_path)):
+        return {}
+    from .ingest import read_samples_table
+
+    try:
+        df = read_samples_table(spark, store_path)
+    except Exception:  # empty/uninitialized store: nothing to restore
+        return {}
+    rows = (
+        df.filter(F.col("name") == FOR_STATE_METRIC)
+        .groupBy("series_id")
+        .agg(F.max_by(F.struct("t", "v", "labels"), "t").alias("s"))
+        .select("s.t", "s.v", "s.labels")
+        .collect()
+    )
+    as_of = _time.time() if as_of is None else as_of
+    names = {r.name for r in rules if isinstance(r, AlertingRule)}
+    states: dict[str, dict] = {}
+    for r in rows:
+        if r["t"] < (as_of - outage_tolerance_s) * 1000:
+            continue  # outage longer than tolerated: start fresh
+        labels = dict(r["labels"])
+        rule_name = labels.get("alertname")
+        if rule_name not in names:
+            continue
+        labels[METRIC_NAME_LABEL] = "ALERTS"
+        key = tuple(sorted(labels.items()))
+        states.setdefault(rule_name, {})[key] = int(round(r["v"] * 1000))
+    return states
+
+
 def run_rules_once(
     engine: Engine,
     rules: list,
@@ -90,8 +165,18 @@ def append_rule_results(
     alert_states: dict[str, dict] | None = None,
 ) -> None:
     """Evaluate and append to a day-partitioned samples table —
-    composes with streaming ingest's layout."""
-    out = run_rules_once(engine, rules, ts, alert_states).withColumn(
+    composes with streaming ingest's layout. When ``alert_states`` is
+    carried (the stream runner), the live active-since maps are also
+    persisted as ALERTS_FOR_STATE samples so FOR clocks survive a
+    runner restart (see :func:`restore_alert_states`)."""
+    out = run_rules_once(engine, rules, ts, alert_states)
+    if alert_states:
+        fs = _for_state_frame(
+            engine.spark, alert_states, int(round(ts * 1000))
+        )
+        if fs is not None:
+            out = out.unionByName(fs)
+    out = out.withColumn(
         "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
     )
     out.write.mode("append").partitionBy("day").parquet(path)
@@ -100,9 +185,10 @@ def append_rule_results(
 def start_rule_stream(
     ticks: DataFrame,
     engine: Engine,
-    rules: list[RecordingRule],
+    rules: list,
     store_path: str,
     checkpoint: str,
+    restore: bool = False,
 ):
     """Continuous rule evaluation as a Structured Streaming query.
 
@@ -114,9 +200,19 @@ def start_rule_stream(
     the day-partitioned store, so recording rules run with the same
     exactly-once-per-micro-batch semantics as ingest. The per-batch
     collect() is bounded by the tick count (a handful per trigger —
-    the clock, not the data)."""
+    the clock, not the data).
 
-    alert_states: dict[str, dict] = {}  # FOR clocks live across ticks
+    ``restore=True`` seeds the alerting FOR clocks from the store's
+    latest ALERTS_FOR_STATE samples (within the default outage
+    tolerance), so a restarted runner does not re-run every FOR
+    duration from zero."""
+
+    # FOR clocks live across ticks (and restarts, when restored)
+    alert_states: dict[str, dict] = (
+        restore_alert_states(engine.spark, store_path, rules)
+        if restore
+        else {}
+    )
 
     def _batch(df: DataFrame, _epoch: int) -> None:
         # ticks evaluate in ascending order so the pending→firing
