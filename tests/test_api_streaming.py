@@ -1150,6 +1150,24 @@ class TestQueryGate:
         out = api.query_range("holt_winters(test_metric1[5m], 2, 0.5)", 0, 600, 60)
         assert out["errorType"] == "execution"
 
+    def test_per_request_timeout_parameter(self, api):
+        # malformed timeout -> bad_data with the parseDuration wording,
+        # validated BEFORE the query text parses (api.go:155-166: a bad
+        # query AND a bad timeout answers with the timeout error)
+        out = api.query("m{", 600, timeout="bogus")
+        assert out["errorType"] == "bad_data"
+        assert out["error"] == 'cannot parse "bogus" to a valid duration'
+        # ...but AFTER the range guards (api.go:204-231): step wins
+        out = api.query_range("m{", 0, 600, 0, timeout="bogus")
+        assert out["error"].startswith("zero or negative")
+        # a microscopic timeout trips the timeout taxonomy (the
+        # request budget caps the engine's global one)
+        out = api.query("sum(test_metric1)", 600.5, timeout=1e-9)
+        assert out["errorType"] == "timeout"
+        # a generous timeout leaves the query unaffected
+        out = api.query("sum(test_metric1)", 601, timeout="30s")
+        assert out["status"] == "success"
+
     def test_query_range_guard_order_matches_reference(self, api):
         # api.go:186-216 checks end<start, then step<=0, then the
         # points cap, all BEFORE parsing the query text

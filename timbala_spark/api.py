@@ -106,15 +106,22 @@ class PromAPI:
         self._meta_cache: dict[tuple, dict] = {}
         self._meta_lock = threading.Lock()
 
-    def _gated_collect(self, df) -> list:
+    def _gated_collect(self, df, timeout_s: float | None = None) -> list:
         import threading
         import time as _time
 
+        # per-request timeout (api.go:155-163,219-227): the request's
+        # context and the engine's global budget BOTH apply -> min
+        budget = (
+            self.timeout_s
+            if timeout_s is None
+            else min(self.timeout_s, timeout_s)
+        )
         t0 = _time.monotonic()
-        if not self._gate.acquire(timeout=self.timeout_s):
+        if not self._gate.acquire(timeout=budget):
             raise QueryTimeout("query queue wait exceeded timeout")
         try:
-            remaining = max(self.timeout_s - (_time.monotonic() - t0), 0.001)
+            remaining = max(budget - (_time.monotonic() - t0), 0.001)
             sc = self.engine.spark.sparkContext
             gid = f"promapi-{next(self._gid)}"
             out: list = []
@@ -139,8 +146,32 @@ class PromAPI:
         finally:
             self._gate.release()
 
+    def _normalize_timeout(
+        self, timeout: float | str | None
+    ) -> tuple[float | None, dict | None]:
+        """Per-request ``timeout`` parameter → (seconds, error
+        envelope). A string parses with the handler's parseDuration
+        (malformed → bad_data, api.go:157-162)."""
+        if timeout is None:
+            return None, None
+        if isinstance(timeout, str):
+            from .server import _parse_duration
+
+            try:
+                return _parse_duration(timeout), None
+            except ValueError as e:
+                return None, self._error(ERR_BAD_DATA, str(e))
+        return float(timeout), None
+
     # -- GET /api/v1/query (api.go:142-185) ---------------------------
-    def query(self, query: str, time: float) -> dict:
+    def query(
+        self, query: str, time: float, timeout: float | str | None = None
+    ) -> dict:
+        # the handler validates time (caller) and timeout BEFORE the
+        # query text is parsed (api.go:143-166)
+        timeout_s, err = self._normalize_timeout(timeout)
+        if err is not None:
+            return err
         try:
             expr = parse(query)
         except PromQLSyntaxError as e:
@@ -156,7 +187,7 @@ class PromAPI:
                 {"resultType": "string", "result": [time, inner.value]}
             )
         try:
-            rows = self._instant_rows_cached(query, expr, time)
+            rows = self._instant_rows_cached(query, expr, time, timeout_s)
         except QueryTimeout as e:
             return self._error(ERR_TIMEOUT, str(e))
         if rows is None:  # direct, uncached path
@@ -172,7 +203,7 @@ class PromAPI:
                 # AFTER NewInstantQuery) -> errorExec, api.go:170-180
                 return self._error(ERR_EXEC, str(e))
             try:
-                rows = self._gated_collect(df)
+                rows = self._gated_collect(df, timeout_s)
             except QueryTimeout as e:
                 return self._error(ERR_TIMEOUT, str(e))
             except Exception as e:  # runtime errors (engine.go -> errorExec)
@@ -212,7 +243,14 @@ class PromAPI:
         return self._success({"resultType": "vector", "result": result})
 
     # -- GET /api/v1/query_range (api.go:187-250) ---------------------
-    def query_range(self, query: str, start: float, end: float, step: float) -> dict:
+    def query_range(
+        self,
+        query: str,
+        start: float,
+        end: float,
+        step: float,
+        timeout: float | str | None = None,
+    ) -> dict:
         # guard ORDER is the reference's (api.go:186-216): end-before-
         # start, then step, then the points cap — all checked BEFORE
         # the query text is even parsed, so a request violating several
@@ -236,8 +274,13 @@ class PromAPI:
                 "points per timeseries. Try decreasing the query "
                 "resolution (?step=XX)",
             )
+        # timeout validates AFTER the cap and BEFORE the query text
+        # parses (api.go:218-231)
+        timeout_s, err = self._normalize_timeout(timeout)
+        if err is not None:
+            return err
         if self._range_cache is not None:
-            res = self._query_range_cached(query, start, end, step)
+            res = self._query_range_cached(query, start, end, step, timeout_s)
             if res is not None:
                 return res
         try:
@@ -247,14 +290,20 @@ class PromAPI:
         except Exception as e:  # reference hits these in Exec -> errorExec
             return self._error(ERR_EXEC, str(e))
         try:
-            rows = self._gated_collect(df)
+            rows = self._gated_collect(df, timeout_s)
         except QueryTimeout as e:
             return self._error(ERR_TIMEOUT, str(e))
         except Exception as e:
             return self._error(ERR_EXEC, str(e))
         return self._success({"resultType": "matrix", "result": self._matrix(rows)})
 
-    def _instant_rows_cached(self, query: str, expr, time: float) -> list | None:
+    def _instant_rows_cached(
+        self,
+        query: str,
+        expr,
+        time: float,
+        timeout_s: float | None = None,
+    ) -> list | None:
         """Serve an instant query through the widened-range results
         cache. An instant evaluation at a whole-second ``time`` equals
         the grid point ``time`` of a 1 s-step range evaluation (range
@@ -306,7 +355,8 @@ class PromAPI:
                         a / 1000.0,
                         b / 1000.0,
                         INSTANT_STEP_MS / 1000.0,
-                    )
+                    ),
+                    timeout_s,
                 ),
             )
         except QueryTimeout:
@@ -315,7 +365,9 @@ class PromAPI:
             return None
         return [r for r in rows if r["t"] == t_ms]
 
-    def _query_range_cached(self, query, start, end, step) -> dict | None:
+    def _query_range_cached(
+        self, query, start, end, step, timeout_s: float | None = None
+    ) -> dict | None:
         """Serve a range query through the widened-window results cache
         (timbala_spark.frontend). Returns None to fall back to the
         exact direct path — on a widened grid that would trip the
@@ -342,7 +394,8 @@ class PromAPI:
                 lambda: self._gated_collect(
                     self.engine.query_range(
                         query, a / 1000.0, b / 1000.0, step
-                    )
+                    ),
+                    timeout_s,
                 ),
             )
         except QueryTimeout as e:

@@ -375,7 +375,12 @@ class TimbalaServer:
                 if expr is None:
                     raise ValueError("missing query parameter")
                 ts = _parse_time(p("time"), default=_time.time())
-                return self._respond_api(h, self._engine_api().query(expr, ts))
+                return self._respond_api(
+                    h,
+                    self._engine_api().query(
+                        expr, ts, timeout=p("timeout")
+                    ),
+                )
             if url.path == "/api/v1/query_range":
                 expr = p("query")
                 if expr is None:
@@ -387,6 +392,7 @@ class TimbalaServer:
                         _parse_time(p("start")),
                         _parse_time(p("end")),
                         _parse_duration(p("step") or ""),
+                        timeout=p("timeout"),
                     ),
                 )
             parts = url.path.split("/")
