@@ -1069,17 +1069,14 @@ class Compiler:
             # matched or not, while BUILDING rightSigs
             # (engine.go:979-988), with this fixed message regardless
             # of which side is the 'one' side.
-            odf = odf.selectExpr(
-                "*", "count(1) OVER (PARTITION BY step_t, _sig) AS _cnt"
-            ).withColumn(
-                "_sig",
-                F.expr(
-                    "CASE WHEN _cnt > 1 THEN raise_error("
-                    "'many-to-many matching not allowed: matching labels "
-                    "must be unique on one side') "
-                    "ELSE _sig END"
-                ),
-            ).drop("_cnt")
+            odf = odf.selectExpr(  # fused: one py4j call (PERF §13)
+                "* EXCEPT (_sig)",
+                "CASE WHEN count(1) OVER (PARTITION BY step_t, _sig) > 1 "
+                "THEN raise_error("
+                "'many-to-many matching not allowed: matching labels "
+                "must be unique on one side') "
+                "ELSE _sig END AS _sig",
+            )
             # many-side duplicates are checked AFTER matching (and
             # after the comparison filter) — see the post-join check
             # below; an unmatched duplicate many-side signature is NOT
@@ -1174,17 +1171,13 @@ class Compiler:
                 # comparison filter errors (engine.go:1021-1027); rows
                 # here are exactly those matches
                 out = out.selectExpr(
-                    "*",
-                    "count(1) OVER (PARTITION BY step_t, _sig) AS _ocnt",
-                ).withColumn(
-                    "v",
-                    F.expr(
-                        "CASE WHEN _ocnt > 1 THEN raise_error("
-                        "'multiple matches for labels: many-to-one "
-                        "matching must be explicit "
-                        "(group_left/group_right)') ELSE v END"
-                    ),
-                ).drop("_ocnt")
+                    "* EXCEPT (v)",
+                    "CASE WHEN count(1) OVER "
+                    "(PARTITION BY step_t, _sig) > 1 THEN raise_error("
+                    "'multiple matches for labels: many-to-one "
+                    "matching must be explicit "
+                    "(group_left/group_right)') ELSE v END AS v",
+                )
             else:
                 # duplicate result elements are detected PER MATCH
                 # GROUP (engine.go:1029-1040 keys insertedSigs on the
@@ -1192,17 +1185,13 @@ class Compiler:
                 # result metrics arising from DIFFERENT match groups
                 # pass — and genuinely duplicate the output vector
                 out = out.selectExpr(
-                    "*",
-                    "count(1) OVER (PARTITION BY step_t, _sig, "
-                    f"{canonical_labels_sql('labels')}) AS _ocnt",
-                ).withColumn(
-                    "v",
-                    F.expr(
-                        "CASE WHEN _ocnt > 1 THEN raise_error("
-                        "'multiple matches for labels: grouping labels "
-                        "must ensure unique matches') ELSE v END"
-                    ),
-                ).drop("_ocnt")
+                    "* EXCEPT (v)",
+                    "CASE WHEN count(1) OVER (PARTITION BY step_t, _sig, "
+                    f"{canonical_labels_sql('labels')}) > 1 "
+                    "THEN raise_error("
+                    "'multiple matches for labels: grouping labels "
+                    "must ensure unique matches') ELSE v END AS v",
+                )
         return VectorValue(out.drop("_sig"))
 
     # -- aggregations (engine.go:1244-1448) ---------------------------
