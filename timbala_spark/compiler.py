@@ -2384,9 +2384,15 @@ class Compiler:
         bucket_start = (
             "(CASE WHEN _bidx > 0 THEN get(_mono, _bidx - 1).le ELSE 0.0D END)"
         )
+        # the in-bucket count can be zero ONLY at b=0 with rank=0 (for
+        # b>0 Search guarantees prev < rank <= cum_b, so the difference
+        # is positive): Go's 0/0 is NaN (an all-zero histogram answers
+        # NaN, quantile.go:107), where ANSI division would abort
+        denom = f"(get(_mono, _bidx).v - {prev_v})"
         interp = (
             f"({bucket_start} + (get(_idxed, 0).le - {bucket_start}) "
-            f"* ((_rank - {prev_v}) / (get(_mono, _bidx).v - {prev_v})))"
+            f"* (CASE WHEN {denom} = 0.0D THEN {_NAN_SQL} "
+            f"ELSE (_rank - {prev_v}) / {denom} END))"
         )
         val = (
             f"CASE WHEN _n < 2 THEN {_NAN_SQL} "
