@@ -75,6 +75,31 @@ class TestGuards:
                 'label_replace(m2, "src", "out", "src", "hi.*")', 0
             ).collect()
 
+    def test_date_fns_unrepresentable_values_answer_nan(self, spark):
+        """Go's time.Unix(int64(v)) is spec-UNDEFINED for NaN and
+        out-of-range floats; instead of ANSI-aborting the whole query
+        on one rogue sample, unrepresentable seconds answer NaN
+        (documented deliberate divergence from undefined behavior)."""
+        from timbala_spark import prepare_samples
+
+        rows = [
+            ({"__name__": "m", "k": "big"}, 0, 1e300),
+            ({"__name__": "m", "k": "nan"}, 0, float("nan")),
+            ({"__name__": "m", "k": "ok"}, 0, 60.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        eng = Engine(spark, prepare_samples(df))
+        import math
+
+        got = {
+            dict(lbls)["k"]: v
+            for lbls, v in eng.query_values("minute(m)", 0)
+        }
+        assert math.isnan(got["big"]) and math.isnan(got["nan"])
+        assert got["ok"] == 1.0
+
     def test_count_values_vendored_semantics(self, spark):
         from timbala_spark import prepare_samples
 

@@ -1822,10 +1822,22 @@ class Compiler:
             df = arg.df
         else:
             df = self._fn_vector_of_time()
-        ts = F.timestamp_seconds(F.col("v").cast("long"))
-        out = df.withColumn("v", colfn(ts).cast("double")).withColumn(
-            "labels", _DROP_NAME()
+        # Go's time.Unix(int64(v)) for NaN / out-of-int64-range floats
+        # relies on a conversion the Go SPEC leaves undefined (the
+        # reference emits platform-dependent junk); under ANSI the
+        # unguarded cast would instead ABORT the whole query on one
+        # rogue sample. Unrepresentable seconds answer NaN — a
+        # documented, deliberate divergence from undefined behavior.
+        # ±9.2e12 s keeps both the long cast and the timestamp in range.
+        v = F.col("v")
+        sane = (~F.isnan(v)) & (v > -9.2e12) & (v < 9.2e12)
+        ts = F.timestamp_seconds(
+            F.when(sane, v).otherwise(F.lit(0.0)).cast("long")
         )
+        out = df.withColumn(
+            "v",
+            F.when(sane, colfn(ts).cast("double")).otherwise(_nan_lit()),
+        ).withColumn("labels", _DROP_NAME())
         return VectorValue(_vv(out))
 
     def _fn_vector_of_time(self) -> DataFrame:
