@@ -252,6 +252,34 @@ class TestHTTPRoundtrip:
             status, _ = _post(server, route, body)
             assert status == 413, route
 
+    def test_api_responses_honor_accept_encoding(self, server):
+        """api.go:117-119 wraps /api/v1 in CompressionHandler: first
+        gzip/deflate in Accept-Encoding wins, deflate meaning zlib."""
+        import gzip
+        import zlib
+
+        for enc, decomp in (
+            ("gzip", gzip.decompress),
+            ("deflate", zlib.decompress),
+            ("deflate, gzip", zlib.decompress),  # first match wins
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/api/v1/query?query=1&time=1",
+                headers={"Accept-Encoding": enc},
+            )
+            with urllib.request.urlopen(req, timeout=60) as r:
+                assert r.headers["Content-Encoding"] == enc.split(",")[0]
+                payload = json.loads(decomp(r.read()))
+            assert payload["status"] == "success"
+        # no Accept-Encoding: identity
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/api/v1/query?query=1&time=1",
+            headers={"Accept-Encoding": "identity"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers.get("Content-Encoding") is None
+            assert json.loads(r.read())["status"] == "success"
+
     def test_syntax_error_answers_400_bad_data(self, server):
         status, payload = _get(server, "/api/v1/query?query=sum(&time=1")
         assert status == 400

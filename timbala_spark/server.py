@@ -318,9 +318,28 @@ class TimbalaServer:
         status = 200
         if payload.get("status") == "error":
             status = _ERR_STATUS.get(payload.get("errorType"), 500)
-        self._respond(
-            h, status, json.dumps(payload).encode(), extra=self._CORS
-        )
+        body = json.dumps(payload).encode()
+        # the reference wraps every /api/v1 handler in its
+        # CompressionHandler (api.go:117-119): first gzip/deflate in
+        # the comma-separated Accept-Encoding wins, "deflate" meaning
+        # zlib (httputil/compression.go:57-79); /write and /read stay
+        # uncompressed, as there
+        extra = dict(self._CORS)
+        for enc in h.headers.get("Accept-Encoding", "").split(","):
+            enc = enc.strip()
+            if enc == "gzip":
+                import gzip
+
+                body = gzip.compress(body)
+                extra["Content-Encoding"] = "gzip"
+                break
+            if enc == "deflate":
+                import zlib
+
+                body = zlib.compress(body)
+                extra["Content-Encoding"] = "deflate"
+                break
+        self._respond(h, status, body, extra=extra)
 
     def _route_options(self, h: BaseHTTPRequestHandler) -> None:
         """``r.Options("/*path", ...)`` → api.options returns (nil, nil):
