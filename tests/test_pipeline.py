@@ -536,3 +536,84 @@ class TestCurationPipeline:
         assert got[3] == (3, 1)
         assert got[4] == (3, 0)
         assert sum(v[1] for v in got.values()) == 2  # one canonical per cluster
+
+
+class TestDegenerateInputs:
+    """Real corpora contain empty documents and zero vectors; none of
+    them may abort a job (ANSI division) or produce contentless
+    near-dup pairs. Conventions: cos(zero vector, ·) := 0 — pairs with
+    nothing at practical thresholds — and shingle-/token-empty
+    documents generate no near-dup candidates (byte-identical empties
+    are exact_dedup's domain)."""
+
+    @pytest.fixture(scope="class")
+    def weird_docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, ""),
+                (2, "   "),
+                (3, "!!!???"),
+                (4, "normal document with several words here ok"),
+                (5, "normal document with several words here ok"),
+            ],
+            "doc_id long, text string",
+        )
+
+    @pytest.fixture(scope="class")
+    def weird_embs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, [0.0] * 8),
+                (2, [1.0] + [0.0] * 7),
+                (3, [1.0] + [0.0] * 7),
+                (4, [0.5] * 8),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    def test_minhash_skips_unshingleable_docs(self, weird_docs):
+        from timbala_spark.pipeline.dedup import minhash_lsh_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(weird_docs, threshold=0.5).collect()
+        }
+        assert pairs == {(4, 5)}  # empties never pair, no abort
+
+    def test_simhash_skips_token_empty_docs(self, weird_docs):
+        from timbala_spark.pipeline.dedup import simhash_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(weird_docs).collect()
+        }
+        assert pairs == {(4, 5)}  # "" / "   " / "!!!???" share no signal
+
+    @pytest.mark.parametrize("mode", ["exact", "blocked", "lsh"])
+    def test_embedding_near_dup_zero_norm_never_pairs(
+        self, weird_embs, mode
+    ):
+        from timbala_spark.pipeline.dedup import embedding_near_dup_pairs
+
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs(
+                weird_embs, threshold=0.8, mode=mode
+            ).collect()
+        }
+        assert pairs == {(2, 3)}, mode
+
+    def test_topk_with_zero_norm_vectors(self, weird_embs):
+        from timbala_spark.pipeline.similarity import cosine_topk
+
+        rows = cosine_topk(weird_embs, weird_embs, k=2).collect()
+        assert len(rows) == 8  # 4 queries x k, no abort
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["neighbor_id"], r["cos"])
+            )
+        # the zero vector's similarities are all 0 by convention
+        assert all(c == 0.0 for _, _, c in by_q[1])
+        # and a unit vector ranks its duplicate first, zero vector last
+        assert by_q[2][0][1] in (2, 3) and by_q[2][0][2] == 1.0

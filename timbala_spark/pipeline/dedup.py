@@ -271,6 +271,12 @@ def minhash_lsh_pairs(
             word_shingles_expr(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
+        # a document too short/empty to shingle has no MinHash (min
+        # over an empty set) and no Jaccard (0/0 — would ANSI-abort
+        # the verify): it generates no candidates, same as the n-gram
+        # inverted-index path where it has no postings. Byte-identical
+        # empties are exact_dedup's domain, not near-dup's.
+        .filter(F.col("_n") > 0)
         .withColumn(
             "_hs", F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo))
         )
@@ -490,7 +496,11 @@ def embedding_near_dup_pairs(
                 a_ids = pdf["_id"].to_numpy(dtype=np.int64)
                 a_mat = np.array(list(pdf["_v"]), dtype=np.float64)
                 a_norms = pdf["_norm"].to_numpy(dtype=np.float64)
-                sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+                # zero-norm rows yield NaN similarities that fail the
+                # >= below — same "zero vector pairs with nothing"
+                # convention as similarity.cosine_from_parts
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
                 keep = (sims >= threshold - margin) & (
                     a_ids[:, None] < b_ids[None, :]
                 )
@@ -603,10 +613,16 @@ def embedding_near_dup_pairs(
         )
     else:
         raise ValueError(f"unknown mode {mode!r}")
+    from .similarity import cosine_from_parts
+
     return (
         cand.withColumn(
             "cos",
-            dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            cosine_from_parts(
+                dot_expr(F.col("_va"), F.col("_vb")),
+                F.col("_na"),
+                F.col("_nb"),
+            ),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -795,9 +811,18 @@ def simhash_pairs(
     # the 64-wide bit vote is the expensive part and feeds both sides
     # of the band self-join — computed by the codegen'd grouped-sum
     # path on ids only (the text never reaches the join), then persist
-    # (see minhash_lsh_pairs note)
+    # (see minhash_lsh_pairs note). Token-empty documents (empty,
+    # whitespace- or punctuation-only) all sketch to simhash 0 and
+    # would pair with each other despite sharing no content signal —
+    # they generate no candidates, same convention as the minhash and
+    # n-gram paths (byte-identical empties are exact_dedup's domain).
     h = _simhash_votes_by_id(
-        ensure_parallelism(df), id_col, text_col, hash_algo
+        ensure_parallelism(df).filter(
+            F.size(tokens_expr(F.col(text_col))) > 0
+        ),
+        id_col,
+        text_col,
+        hash_algo,
     ).withColumnRenamed("_sh_id", "_id")
     h = tracked_persist(h)
     mask = (1 << band_bits) - 1

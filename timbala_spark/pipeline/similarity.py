@@ -40,8 +40,19 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
+def cosine_from_parts(dot: Column, na: Column, nb: Column) -> Column:
+    """cos = dot/(na·nb) with the zero-norm convention cos := 0 — a
+    zero vector has no direction, so it is similar to nothing (and an
+    unguarded ANSI division would abort the whole job on one zero
+    embedding in the corpus). At practical thresholds (> 0) this means
+    zero vectors never pair, matching the blocked BLAS path where the
+    NaN similarity fails every >= comparison."""
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    return cosine_from_parts(dot_expr(a, b), norm_expr(a), norm_expr(b))
 
 
 def cosine_topk(
@@ -70,7 +81,9 @@ def cosine_topk(
     ).withColumn("_qn", norm_expr(F.col("_qv")))
     joined = c.crossJoin(F.broadcast(q)).withColumn(
         "cos",
-        dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        cosine_from_parts(
+            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -199,7 +212,10 @@ def lsh_cosine_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     ranked = cand.withColumn(
-        "cos", dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        "cos",
+        cosine_from_parts(
+            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -298,7 +314,10 @@ def ivf_topk(
         "query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn"
     )
     ranked = cand.withColumn(
-        "cos", dot_expr(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        "cos",
+        cosine_from_parts(
+            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
