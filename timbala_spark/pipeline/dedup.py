@@ -271,12 +271,6 @@ def minhash_lsh_pairs(
             word_shingles_expr(F.col(text_col), n).alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))
-        # a document too short/empty to shingle has no MinHash (min
-        # over an empty set) and no Jaccard (0/0 — would ANSI-abort
-        # the verify): it generates no candidates, same as the n-gram
-        # inverted-index path where it has no postings. Byte-identical
-        # empties are exact_dedup's domain, not near-dup's.
-        .filter(F.col("_n") > 0)
         .withColumn(
             "_hs", F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo))
         )
@@ -289,6 +283,15 @@ def minhash_lsh_pairs(
         # it once, in parallel, at every scale.
     )
     base = tracked_persist(base)
+    # a document too short/empty to shingle has no MinHash (min over
+    # an empty set) and no Jaccard (0/0 — would ANSI-abort the
+    # verify): it generates no candidates, same as the n-gram path
+    # where it has no postings (byte-identical empties are
+    # exact_dedup's domain). The filter sits AFTER the persist on
+    # purpose: placed before it, predicate pushdown re-evaluates the
+    # shingle HOF a second time per row for the filter condition —
+    # measured 1.8 → 4.5 s at sf0.1 (interleaved A/B minima).
+    base = base.filter(F.col("_n") > 0)
     banded = base.select(
         "_id",
         F.explode(
