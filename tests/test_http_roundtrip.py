@@ -252,6 +252,67 @@ class TestHTTPRoundtrip:
             status, _ = _post(server, route, body)
             assert status == 413, route
 
+    def test_rule_evaluation_loop_end_to_end(self, spark):
+        """A server started with a rule file evaluates the group every
+        interval against its own store: recorded series and ALERTS
+        (with alertstate) become queryable through the normal API."""
+        import tempfile as _tf
+        import time as _t
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.sources.wire import encode_write_request
+
+        rules = """
+        job:rm:sum = sum(rule_metric)
+
+        ALERT RmHigh
+          IF sum(rule_metric) > 5
+          LABELS { severity = "page" }
+        """
+        srv = TimbalaServer(
+            spark,
+            _tf.mkdtemp(prefix="timbala_rules_"),
+            timeout_s=300.0,
+            rules=rules,
+            rule_interval_s=1.0,
+        )
+        srv.start()
+        try:
+            now = int(_t.time()) * 1000
+            series = [
+                {
+                    "labels": {"__name__": "rule_metric", "i": str(i)},
+                    "samples": [[now, 4.0]],
+                }
+                for i in range(2)
+            ]
+            status, _ = _post(srv, "/write", encode_write_request(series))
+            assert status == 200
+            got_rec = got_alert = None
+            for _ in range(60):  # rule loop ticks at 1 s; poll
+                _t.sleep(1.0)
+                q = urllib.parse.quote("job:rm:sum")
+                s, p = _get(srv, f"/api/v1/query?query={q}&time={_t.time()}")
+                if s == 200 and p["data"]["result"]:
+                    got_rec = p["data"]["result"]
+                a_q = urllib.parse.quote('ALERTS{alertname="RmHigh"}')
+                s, p = _get(
+                    srv, f"/api/v1/query?query={a_q}&time={_t.time()}"
+                )
+                if s == 200 and p["data"]["result"]:
+                    got_alert = p["data"]["result"]
+                if got_rec and got_alert:
+                    break
+            assert got_rec, "recorded series never appeared"
+            assert got_rec[0]["value"][1] == "8"  # sum of 4.0 x 2
+            assert got_alert, "alert series never appeared"
+            lbls = got_alert[0]["metric"]
+            assert lbls["alertname"] == "RmHigh"
+            assert lbls["severity"] == "page"
+            assert lbls["alertstate"] == "firing"  # FOR absent
+        finally:
+            srv.stop()
+
     def test_api_responses_honor_accept_encoding(self, server):
         """api.go:117-119 wraps /api/v1 in CompressionHandler: first
         gzip/deflate in Accept-Encoding wins, deflate meaning zlib."""

@@ -119,6 +119,8 @@ class TimbalaServer:
         timeout_s: float = 120.0,
         lookback_ms: int | None = None,
         maintenance_interval_s: float | None = None,
+        rules: str | None = None,
+        rule_interval_s: float = 15.0,
     ) -> None:
         """``maintenance_interval_s`` starts a background maintenance
         loop with :meth:`start` — the analog of the reference's
@@ -128,12 +130,32 @@ class TimbalaServer:
         compacted into a fresh clean generation. Safe under concurrent
         queries by construction (reader pinning); serialized against
         writes via the store lock. ``None`` (default) keeps
-        maintenance manual via :meth:`compact`."""
+        maintenance manual via :meth:`compact`.
+
+        ``rules`` (rule-file TEXT in the reference's grammar,
+        ``parse.go:354-439``) starts a rule-evaluation loop with
+        :meth:`start`: every ``rule_interval_s`` (15 s, the common
+        evaluation interval) the group evaluates against the current
+        engine snapshot and its results — recorded series, ALERTS and
+        ALERTS_FOR_STATE — append to the store through the same split
+        write path as remote writes, then the engine invalidates so
+        the next query sees them. Alerting FOR clocks restore from
+        persisted ALERTS_FOR_STATE on startup (outage tolerance) —
+        the reference binary wires no rule engine; this is the
+        documented Spark-native extension (SURVEY §2.8)."""
         self.spark = spark
         self.store_path = store_path
         self.maintenance_interval_s = maintenance_interval_s
         self._maint_stop = threading.Event()
         self._maint_thread: threading.Thread | None = None
+        self.rule_interval_s = rule_interval_s
+        self._rules = None
+        if rules is not None:
+            from .streaming.rules import parse_rule_file
+
+            self._rules = parse_rule_file(rules)  # fail fast on typos
+        self._rules_stop = threading.Event()
+        self._rules_thread: threading.Thread | None = None
         self.max_body_bytes = max_body_bytes
         self._api_kw = {"max_concurrent": max_concurrent, "timeout_s": timeout_s}
         self._lookback_ms = lookback_ms
@@ -185,6 +207,12 @@ class TimbalaServer:
                 target=self._maintenance_loop, daemon=True
             )
             self._maint_thread.start()
+        if self._rules:
+            self._rules_stop.clear()
+            self._rules_thread = threading.Thread(
+                target=self._rules_loop, daemon=True
+            )
+            self._rules_thread.start()
 
     def _maintenance_loop(self) -> None:
         from .streaming.ingest import store_is_dirty
@@ -200,7 +228,47 @@ class TimbalaServer:
                     "background maintenance pass failed"
                 )
 
+    def _rules_loop(self) -> None:
+        import logging
+        import time as _time
+
+        from .streaming.rules import (
+            append_rule_results,
+            restore_alert_states,
+        )
+
+        # seed the alerting FOR clocks from persisted ALERTS_FOR_STATE
+        # (within the default outage tolerance) — a restarted server
+        # continues pending alerts where it left off
+        try:
+            alert_states = restore_alert_states(
+                self.spark, self.store_path, self._rules
+            )
+        except Exception:  # noqa: BLE001 — an empty store starts fresh
+            alert_states = {}
+        while not self._rules_stop.wait(self.rule_interval_s):
+            try:
+                ts = _time.time()
+                engine = self._engine_api().engine
+                with self._store_lock:  # never race a maintenance swap
+                    append_rule_results(
+                        engine,
+                        self._rules,
+                        ts,
+                        self.store_path,
+                        alert_states,
+                        layout="split",
+                    )
+                self._invalidate_engine()  # queries see the new series
+            except Exception:  # noqa: BLE001 — keep the loop alive
+                logging.getLogger(__name__).exception(
+                    "rule evaluation pass failed"
+                )
+
     def stop(self) -> None:
+        self._rules_stop.set()
+        if self._rules_thread:
+            self._rules_thread.join(timeout=60)
         self._maint_stop.set()
         if self._maint_thread:
             self._maint_thread.join(timeout=60)

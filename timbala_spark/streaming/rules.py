@@ -163,10 +163,14 @@ def append_rule_results(
     ts: float,
     path: str,
     alert_states: dict[str, dict] | None = None,
+    layout: str = "row",
 ) -> None:
-    """Evaluate and append to a day-partitioned samples table —
-    composes with streaming ingest's layout. When ``alert_states`` is
-    carried (the stream runner), the live active-since maps are also
+    """Evaluate and append to the store. ``layout="row"`` appends a
+    day-partitioned samples table; ``layout="split"`` routes through
+    ``ingest.write_samples_batch`` so rule results land in the SPLIT
+    store's current generation exactly like remote writes (the
+    server's store). When ``alert_states`` is carried (the stream
+    runner / server loop), the live active-since maps are also
     persisted as ALERTS_FOR_STATE samples so FOR clocks survive a
     runner restart (see :func:`restore_alert_states`)."""
     out = run_rules_once(engine, rules, ts, alert_states)
@@ -176,6 +180,11 @@ def append_rule_results(
         )
         if fs is not None:
             out = out.unionByName(fs)
+    if layout == "split":
+        from .ingest import write_samples_batch
+
+        write_samples_batch(out, path)
+        return
     out = out.withColumn(
         "day", F.date_format(F.timestamp_millis(F.col("t")), "yyyyMMdd")
     )
