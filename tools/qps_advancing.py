@@ -83,6 +83,43 @@ def main() -> None:
     )
     print(f"speedup:  {dt_direct / dt_front:.2f}x   mismatches={mismatches}")
     assert mismatches == 0, "frontend responses diverged from direct"
+
+    # instant flavor: unique advancing whole-second times through the
+    # 1 s-grid widened-window extension (PERF §11b)
+    i_exprs = [s[0] for s in SHAPES[:3]]
+    base = int(now0) + 7 * 3600
+
+    def run_i(api, offset: int) -> tuple[float, list]:
+        for e in i_exprs:  # warm codegen for the instant shapes
+            api.query(e, base + offset - 7)
+        t0 = time.monotonic()
+        out = [
+            api.query(i_exprs[i % len(i_exprs)], base + offset + i)
+            for i in range(N)
+        ]
+        return time.monotonic() - t0, out
+
+    h0, m0 = rc.hits, rc.misses
+    dt_fi, res_fi = run_i(frontend, 0)
+    dt_di, res_di = run_i(direct, 5000)  # different times: cache-off twin
+    # exactness check at SHARED times
+    mism = sum(
+        1
+        for i in range(N)
+        if frontend.query(i_exprs[i % len(i_exprs)], base + 5000 + i)
+        != res_di[i]
+    )
+    print(
+        f"instant direct:   {N / dt_di:6.2f} q/s  "
+        f"({dt_di / N * 1000:.0f} ms/q)"
+    )
+    print(
+        f"instant frontend: {N / dt_fi:6.2f} q/s  "
+        f"({dt_fi / N * 1000:.0f} ms/q)  hits={rc.hits - h0} "
+        f"misses={rc.misses - m0}"
+    )
+    print(f"instant speedup:  {dt_di / dt_fi:.2f}x   mismatches={mism}")
+    assert mism == 0, "instant cached responses diverged from direct"
     spark.stop()
 
 
