@@ -603,6 +603,21 @@ class TestDegenerateInputs:
         }
         assert pairs == {(2, 3)}, mode
 
+    def test_connected_components_convergence_guard(self, spark):
+        """An exhausted max_iter must FAIL, never return a partial
+        clustering as if it converged."""
+        from timbala_spark.pipeline.dedup import connected_components
+
+        n = 24
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, chain, max_iter=1)
+        out = connected_components(nodes, chain).collect()  # default ok
+        assert {r["component"] for r in out} == {0}
+
     def test_topk_with_zero_norm_vectors(self, weird_embs):
         from timbala_spark.pipeline.similarity import cosine_topk
 

@@ -671,6 +671,10 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("_id"), F.col(node_col).alias("_comp")
     ).localCheckpoint(eager=True)
+    # any edge means at least one propagation round is needed — seeds
+    # the convergence guard below so an exhausted loop can never
+    # return a silently wrong clustering
+    changed = und.limit(1).count()
     for _ in range(max_iter):
         msgs = und.join(
             labels.withColumnRenamed("_id", "_src"), "_src"
@@ -702,6 +706,15 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed:
+        # pointer jumping gives ~2^max_iter reach, so the default 30
+        # covers any physical graph — but a too-small max_iter must
+        # FAIL, not return a partial clustering as if it converged
+        raise RuntimeError(
+            "connected_components did not converge within "
+            f"max_iter={max_iter} rounds; raise max_iter (reach grows "
+            "as ~2^rounds via pointer jumping)"
+        )
     return labels.join(
         nodes.select(F.col(node_col).alias("_id")), "_id", "left_semi"
     ).select(
