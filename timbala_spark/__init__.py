@@ -8,6 +8,7 @@ optimizing, Tungsten the execution; there are no custom Catalyst rules
 (SURVEY.md §4.2).
 """
 
+from .compiler import PromQLBadQueryError, PromQLEvalError  # noqa: F401
 from .engine import Engine, MAX_POINTS_PER_SERIES  # noqa: F401
 from .model import (  # noqa: F401
     DEFAULT_LOOKBACK_MS,
