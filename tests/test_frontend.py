@@ -182,6 +182,48 @@ class TestCachedEqualsDirect:
         e2 = cached.label_values("0bad")
         assert e1 is not e2 and e1["status"] == "error"
 
+    @pytest.mark.parametrize(
+        "expr",
+        [
+            "sum by (i) (m)",
+            "rate(m[7m])",
+            "topk(2, sum by (i, j) (m))",
+            "avg_over_time(m[9m]) + scalar(count(m))",
+            "absent(nosuch)",
+        ],
+    )
+    def test_per_step_independence_property(self, apis, expr):
+        """The axiom BOTH caches rest on, pinned directly: an instant
+        evaluation at t is bit-identical to the grid point t of any
+        range evaluation whose grid contains t, for randomized
+        (t, step, window) placements (promql/engine.go:1016-1044
+        evaluates each grid step independently)."""
+        import random
+
+        _cached, direct, t0 = apis
+        eng = direct.engine
+        rng = random.Random(hash(expr) & 0xFFFF)
+
+        def canon(rows):
+            return sorted(
+                (
+                    tuple(sorted(dict(r["labels"]).items())),
+                    r["t"],
+                    "NaN" if r["v"] != r["v"] else r["v"],
+                )
+                for r in rows
+            )
+
+        for _ in range(3):
+            t = t0 / 1000 + rng.randrange(600, 13800)
+            step = rng.choice([7, 13, 60])
+            a = t - rng.randrange(0, 4) * step
+            b = t + rng.randrange(0, 3) * step
+            inst = canon(eng.query(expr, t).collect())
+            grid = eng.query_range(expr, a, b, step).collect()
+            at_t = canon([r for r in grid if r["t"] == int(t * 1000)])
+            assert inst == at_t, (expr, t, step, a, b)
+
     def test_instant_cached_equals_direct_and_hits(self, apis):
         """Instant queries at advancing whole-second times serve from
         the widened 1 s-grid window: byte-identical envelopes, one
