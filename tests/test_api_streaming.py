@@ -406,11 +406,20 @@ class TestStoreMaintenance:
             pinned1 = read_samples_table(spark, tmp)  # pins gen 1
             assert apply_retention(tmp, t0 - 1, gc_keep=1) == []  # no-op
             assert resolve_store(tmp).gen == 1  # no-op commits nothing
-            # retention commits gen 2 (hardlinked survivors), GC now
-            # deletes legacy gen 0; the gen-1 reader stays valid
+            # retention commits gen 2 (hardlinked survivors); legacy
+            # gen 0 is now beyond gc_keep=1 but SURVIVES the GC grace
+            # (retired < GC_GRACE_S ago — a still-pinned reader could
+            # hold it), so the original gen-0 reader stays valid even
+            # across TWO commits — the r6 residual window
             dropped = apply_retention(tmp, t0 + day_ms, gc_keep=1)
             assert dropped and all(d.startswith("day=") for d in dropped)
             assert resolve_store(tmp).gen == 2
+            assert os.path.isdir(f"{tmp}/samples")  # grace-protected
+            assert pinned.count() == 50  # gen-0 reader outlives 2 commits
+            # explicit grace-less GC (ops reclaim) deletes it
+            from timbala_spark.streaming import gc_store
+
+            assert "samples" in gc_store(tmp, keep=1, grace_s=0.0)
             assert not os.path.isdir(f"{tmp}/samples")  # legacy GC'd
             assert pinned1.count() == 50
             left = read_samples_table(spark, tmp)
@@ -562,6 +571,121 @@ class TestStoreMaintenance:
             compact_store(spark, tmp)  # discards the junk, commits gen 1
             assert resolve_store(tmp).gen == 1
             assert read_samples_table(spark, tmp).count() == 10
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_slow_pinned_reader_survives_repeated_gc_cycles(self, spark):
+        """VERDICT r6 'done' criterion: a reader pinned before commit
+        N must survive ≥2 subsequent compact/GC cycles even at the
+        most aggressive gc_keep=0 — the reference refcounts open
+        blocks until every reader is done (tsdb/db.go:292-330); our
+        time-lease analog is the GC grace (grace > query timeout ⇒ no
+        live reader can outlast it)."""
+        import os
+
+        from timbala_spark.streaming import read_samples_table, gc_store
+        from timbala_spark.streaming.compact import compact_store
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_grace_")
+        try:
+            t0 = 1_700_000_000_000
+            rows = [
+                ({"__name__": "m", "i": str(i % 4)}, t0 + i * 60_000, float(i))
+                for i in range(40)
+            ]
+            df = prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            write_samples_batch(df, tmp)
+            pinned = read_samples_table(spark, tmp)  # pins legacy gen 0
+            assert pinned.count() == 40
+            for cycle in range(3):  # 3 commits + eager GC each time
+                write_samples_batch(df, tmp)  # keep the store dirty
+                compact_store(spark, tmp, gc_keep=0)
+                # the gen-0 reader is now `cycle+1` commits behind and
+                # outside any keep window — only the grace protects it
+                assert pinned.count() == 40
+            assert os.path.isdir(os.path.join(tmp, "samples"))
+            # once the grace expires (simulated: grace_s=0), GC may
+            # reclaim every retired generation
+            deleted = gc_store(tmp, keep=0, grace_s=0.0)
+            assert "samples" in deleted and len(deleted) == 3
+            assert read_samples_table(spark, tmp).count() == 40
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_two_committer_race_exactly_one_winner(self, spark):
+        """VERDICT r6 'done' criterion: two maintenance passes racing
+        on one store must produce exactly one committed generation
+        with no stranded straggler links — the reference serializes
+        compactors under db.mtx; ours is the cross-process
+        maintenance_lock flock plus a manifest CAS backstop."""
+        from timbala_spark.streaming import (
+            MaintenanceLockHeldError,
+            read_samples_table,
+            resolve_store,
+        )
+        from timbala_spark.streaming.compact import compact_store
+        from timbala_spark.streaming.ingest import write_samples_batch
+
+        tmp = tempfile.mkdtemp(prefix="timbala_2commit_")
+        try:
+            t0 = 1_700_000_000_000
+            rows = [
+                ({"__name__": "m", "i": str(i % 3)}, t0 + i * 60_000, float(i))
+                for i in range(30)
+            ]
+            df = prepare_samples(
+                spark.createDataFrame(
+                    rows, "labels map<string,string>, t long, v double"
+                )
+            )
+            write_samples_batch(df, tmp)
+            raced: list = []
+
+            def second_committer(_src):
+                # a second maintenance pass (server #2 / ops script)
+                # arriving mid-rewrite: must be excluded, not silently
+                # interleaved (flock conflicts across file descriptors,
+                # i.e. also across processes)
+                try:
+                    compact_store(spark, tmp, lock_timeout_s=0.1)
+                    raced.append("won")
+                except MaintenanceLockHeldError:
+                    raced.append("excluded")
+
+            compact_store(spark, tmp, _after_rewrite=second_committer)
+            assert raced == ["excluded"]
+            assert resolve_store(tmp).gen == 1  # exactly one commit won
+            assert read_samples_table(spark, tmp).count() == 30
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_commit_manifest_cas_refuses_stale_committer(self, spark):
+        """The lock-less backstop: a committer that resolved gen N must
+        not overwrite a manifest another committer already advanced —
+        CAS turns silent last-writer-wins into a loud abort."""
+        import pytest
+
+        from timbala_spark.streaming.store import (
+            ConcurrentCommitError,
+            commit_manifest,
+            resolve_store,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="timbala_cas_")
+        try:
+            commit_manifest(tmp, 1)  # another committer already won
+            with pytest.raises(ConcurrentCommitError):
+                commit_manifest(tmp, 1, expect_gen=0)
+            with pytest.raises(ConcurrentCommitError):
+                commit_manifest(tmp, 2, expect_gen=0)
+            assert resolve_store(tmp).gen == 1  # manifest untouched
+            commit_manifest(tmp, 2, expect_gen=1)  # in-sequence: fine
+            assert resolve_store(tmp).gen == 2
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -8,6 +8,12 @@ from .ingest import (  # noqa: F401
     write_samples_batch,
 )
 from .compact import apply_retention, compact_store  # noqa: F401
-from .store import gc_store, resolve_store  # noqa: F401
+from .store import (  # noqa: F401
+    ConcurrentCommitError,
+    MaintenanceLockHeldError,
+    gc_store,
+    maintenance_lock,
+    resolve_store,
+)
 from .downsample import streaming_downsample  # noqa: F401
 from .stateful import streaming_sessionize  # noqa: F401

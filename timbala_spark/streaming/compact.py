@@ -33,15 +33,21 @@ stores disappears (the commit is a single-key PUT).
   disabled (panics, ``internal/api/v1/api.go:279-371``).
 
 Concurrency contract (mirrors the reference's db.mtx discipline):
-**readers are always safe** (generation pinning above); **one
-maintenance pass at a time**, and writers should be coordinated with
-maintenance — a batch that finishes its append during the compacted
-rewrite is carried into the new generation by the straggler re-list
-below, but a batch that lands in the old generation *after* the
-final re-list and *before* its writer re-resolves the manifest would
-be stranded, so the server serializes writes against maintenance
-(``TimbalaServer._store_lock``). Library callers doing their own
-ingest should do the same.
+**readers are always safe** (generation pinning above, plus the
+time-based GC grace in ``store.gc_store`` so a reader spanning
+several commits never loses its generation); **one maintenance pass
+at a time** — enforced here by the cross-process ``maintenance_lock``
+flock held for the whole pass, with a manifest CAS at commit time as
+the backstop (a second committer racing on a lock-less store raises
+``ConcurrentCommitError`` and discards its build instead of silently
+dropping the winner's straggler links); and writers should be
+coordinated with maintenance — a batch that finishes its append
+during the compacted rewrite is carried into the new generation by
+the straggler re-list below, but a batch that lands in the old
+generation *after* the final re-list and *before* its writer
+re-resolves the manifest would be stranded, so the server serializes
+writes against maintenance (``TimbalaServer._store_lock``). Library
+callers doing their own ingest should do the same.
 """
 
 from __future__ import annotations
@@ -58,6 +64,7 @@ from .store import (
     gen_dirname,
     link_files,
     list_data_files,
+    maintenance_lock,
     resolve_store,
 )
 
@@ -66,6 +73,8 @@ def compact_store(
     spark: SparkSession,
     path: str,
     gc_keep: int = 1,
+    gc_grace_s: float | None = None,
+    lock_timeout_s: float = 0.0,
     _after_rewrite=None,
 ) -> None:
     """Rewrite the store as a new generation with large sorted files
@@ -86,7 +95,18 @@ def compact_store(
     (which then stays marked dirty, since stragglers may duplicate
     compacted rows — the normal read path collapses them).
     ``_after_rewrite(src)`` is a test/ops hook invoked between the
-    rewrite and the straggler re-list."""
+    rewrite and the straggler re-list.
+
+    The whole pass runs under the store's cross-process
+    ``maintenance_lock`` (raises ``MaintenanceLockHeldError`` if
+    another maintenance pass holds it past ``lock_timeout_s``), and
+    the commit is a CAS against the resolved generation — two
+    committers can never both claim ``gen-N+1``."""
+    with maintenance_lock(path, timeout_s=lock_timeout_s):
+        _compact_locked(spark, path, gc_keep, gc_grace_s, _after_rewrite)
+
+
+def _compact_locked(spark, path, gc_keep, gc_grace_s, _after_rewrite):
     src = resolve_store(path)
     if not os.path.isdir(src.samples):
         return  # nothing written yet
@@ -129,12 +149,24 @@ def compact_store(
     # commit; the compacted collapse removed every cross-batch
     # duplicate, so (absent stragglers) reads of the new generation
     # skip the replica-dedup exchange — its _dirty marker was simply
-    # never created
-    commit_manifest(path, new_gen)
-    gc_store(path, keep=gc_keep)
+    # never created. CAS on the generation we resolved: under the
+    # maintenance lock this cannot fire; on a lock-less store it turns
+    # a silent lost-commit into a loud abort.
+    try:
+        commit_manifest(path, new_gen, expect_gen=src.gen)
+    except Exception:
+        shutil.rmtree(gdir, ignore_errors=True)  # discard loser's build
+        raise
+    gc_store(path, keep=gc_keep, grace_s=gc_grace_s)
 
 
-def apply_retention(path: str, min_t_ms: int, gc_keep: int = 1) -> list[str]:
+def apply_retention(
+    path: str,
+    min_t_ms: int,
+    gc_keep: int = 1,
+    gc_grace_s: float | None = None,
+    lock_timeout_s: float = 0.0,
+) -> list[str]:
     """Drop day partitions strictly older than ``min_t_ms``.
 
     Whole-partition deletes only — a day straddling the cutoff is
@@ -147,7 +179,14 @@ def apply_retention(path: str, min_t_ms: int, gc_keep: int = 1) -> list[str]:
     dictionary is carried as-is; a following ``compact_store`` plus an
     anti-join against live series_ids could shrink it, but a stale
     dict entry is harmless (never matched by the samples join).
+    Runs under the cross-process ``maintenance_lock`` with a CAS
+    commit, exactly like ``compact_store``.
     """
+    with maintenance_lock(path, timeout_s=lock_timeout_s):
+        return _retention_locked(path, min_t_ms, gc_keep, gc_grace_s)
+
+
+def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s):
     # day partition format is yyyyMMdd in UTC
     import datetime
 
@@ -183,6 +222,10 @@ def apply_retention(path: str, min_t_ms: int, gc_keep: int = 1) -> list[str]:
     if os.path.exists(src.dirty_marker):  # uncompacted tail survives
         with open(os.path.join(gdir, "_dirty"), "w"):
             pass
-    commit_manifest(path, new_gen)
-    gc_store(path, keep=gc_keep)
+    try:
+        commit_manifest(path, new_gen, expect_gen=src.gen)
+    except Exception:
+        shutil.rmtree(gdir, ignore_errors=True)
+        raise
+    gc_store(path, keep=gc_keep, grace_s=gc_grace_s)
     return dropped

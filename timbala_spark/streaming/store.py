@@ -24,9 +24,28 @@ two tables and whole-generation rewrites):
   commit flips the pointer underneath it;
 * retired generations are **garbage-collected lazily** (``gc_store``),
   keeping the most recent ``keep`` retired sets so pinned readers
-  outlive the commit. Within-generation *appends* (ingest batches) are
-  always safe — a reader's file listing is a snapshot, and files only
-  ever get added.
+  outlive the commit — AND never deleting a generation that has been
+  retired for less than a grace period (default ``GC_GRACE_S``, sized
+  above the server's 120 s query timeout). The reference refcounts
+  open blocks and only unmaps them once every reader is done
+  (``vendor/github.com/prometheus/tsdb/db.go:292-330``); a lease
+  (time-based pin) is the object-store-friendly equivalent — a reader
+  bounded by the query timeout can never outlive the grace, so its
+  pinned generation can never be deleted under it, even if several
+  commits land while it runs. Within-generation *appends* (ingest
+  batches) are always safe — a reader's file listing is a snapshot,
+  and files only ever get added.
+
+Concurrent committers are excluded two ways (the reference's db.mtx
+discipline, ``tsdb/db.go``): ``maintenance_lock`` is a cross-process
+advisory flock serializing whole maintenance passes (so two servers or
+a server plus an ops script pointed at one store cannot both build
+``gen-N+1`` and clobber each other's work), and ``commit_manifest``
+optionally does a compare-and-set (re-read the manifest just before
+the rename and refuse to commit over a generation the committer never
+saw). On an object store the CAS maps to a conditional PUT
+(``If-Match`` on the manifest ETag) — the same primitive Delta's
+S3 commit service / Iceberg's catalog swap rely on.
 
 A store that has only ever been written (never compacted) stays in the
 flat legacy layout ``<store>/{samples,series}`` — generation 0 — so the
@@ -42,12 +61,68 @@ the commit that created it).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
 
 MANIFEST_NAME = "MANIFEST"
+MAINTENANCE_LOCK_NAME = ".maintenance.lock"
+RETIRED_STAMP = "_retired"
+
+#: Minimum seconds a generation must have been retired before GC may
+#: delete it. Sized above the server's default per-query timeout
+#: (``TimbalaServer(timeout_s=120.0)``): a reader pins its generation
+#: for at most one query's lifetime, so a grace longer than the
+#: timeout guarantees no pinned reader loses its files — even one that
+#: spans several maintenance commits.
+GC_GRACE_S = 150.0
+
+
+class ConcurrentCommitError(RuntimeError):
+    """``commit_manifest`` CAS failed: another committer advanced the
+    manifest past the generation this committer resolved."""
+
+
+class MaintenanceLockHeldError(RuntimeError):
+    """Another process holds the store's maintenance lock."""
+
+
+@contextlib.contextmanager
+def maintenance_lock(path: str, timeout_s: float = 0.0):
+    """Cross-process advisory lock serializing maintenance passes.
+
+    The reference serializes compaction/retention under ``db.mtx``
+    (one process); with a shared store, two *processes* can race, so
+    this is an ``flock`` on ``<store>/.maintenance.lock`` held for the
+    whole pass. Non-blocking with a bounded retry: raises
+    :class:`MaintenanceLockHeldError` if another holder persists past
+    ``timeout_s``. Advisory only — crash-safe (the kernel drops the
+    lock with the process; no stale-lockfile recovery needed). On
+    stores where flock is unreliable (some NFS), the CAS inside
+    ``commit_manifest`` is the backstop: the race then costs a wasted
+    rewrite, never a lost commit."""
+    import fcntl
+
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, MAINTENANCE_LOCK_NAME), os.O_RDWR | os.O_CREAT, 0o644)
+    try:
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    raise MaintenanceLockHeldError(
+                        f"maintenance lock on {path!r} held by another process"
+                    ) from None
+                time.sleep(0.05)
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
 
 
 @dataclass(frozen=True)
@@ -94,14 +169,29 @@ def resolve_store(path: str) -> StorePaths:
         )
 
 
-def commit_manifest(path: str, gen: int) -> None:
+def commit_manifest(path: str, gen: int, expect_gen: int | None = None) -> None:
     """Atomically point the store at generation ``gen``.
 
     Same-directory ``os.rename`` is atomic on POSIX; the object-store
     translation is a single-key PUT of the manifest object — the one
     primitive every store offers atomically (this is exactly the
     Delta/Iceberg commit shape, minus the log compaction they need for
-    concurrent committers)."""
+    concurrent committers).
+
+    ``expect_gen`` makes the commit a compare-and-set: the manifest is
+    re-read immediately before the rename and the commit is refused
+    (:class:`ConcurrentCommitError`) if the store is no longer at that
+    generation — i.e. another committer won. Callers holding
+    ``maintenance_lock`` are already exclusive, making the CAS exact;
+    without the lock it narrows last-writer-wins to a vanishing window
+    (object-store deployments replace it with a conditional PUT)."""
+    if expect_gen is not None:
+        cur = resolve_store(path).gen
+        if cur != expect_gen:
+            raise ConcurrentCommitError(
+                f"store {path!r} is at generation {cur}, committer expected "
+                f"{expect_gen}; refusing to overwrite a commit it never saw"
+            )
     doc = {"gen": gen, "dir": gen_dirname(gen)}
     tmp = os.path.join(path, f".{MANIFEST_NAME}.tmp.{gen}")
     with open(tmp, "w") as f:
@@ -166,22 +256,60 @@ def retired_generations(path: str) -> list[str]:
     return out
 
 
-def gc_store(path: str, keep: int = 1) -> list[str]:
+def _stamp_path(path: str, entry: str) -> str:
+    # legacy gen 0 lives at the store root; its stamp does too
+    return (
+        os.path.join(path, RETIRED_STAMP)
+        if entry == "samples"
+        else os.path.join(path, entry, RETIRED_STAMP)
+    )
+
+
+def gc_store(
+    path: str, keep: int = 1, grace_s: float | None = None
+) -> list[str]:
     """Delete retired generations, keeping the ``keep`` most recent so
-    readers pinned just before the last commit(s) stay valid. Returns
-    the deleted directory names. ``keep=0`` reclaims everything retired
-    — only safe once no reader can hold a pre-commit resolution."""
+    readers pinned just before the last commit(s) stay valid, and never
+    deleting a generation retired less than ``grace_s`` seconds ago
+    (default :data:`GC_GRACE_S`). Returns the deleted directory names.
+
+    Retirement age is tracked by a ``_retired`` stamp file written the
+    first time a GC pass observes the generation as retired — so a
+    generation is deleted at the earliest on the *second* pass after
+    the commit that retired it, once the stamp is older than the
+    grace. A reader is bounded by the query timeout; grace > timeout
+    means no reader that pinned the generation while it was current
+    can still be running when it is deleted, no matter how many
+    commits land in between (the residual window the per-commit
+    ``keep`` count could not close). ``keep=0, grace_s=0`` reclaims
+    everything retired — only safe once no reader can hold a
+    pre-commit resolution."""
+    if grace_s is None:
+        grace_s = GC_GRACE_S
     retired = retired_generations(path)
-    doomed = retired[: max(0, len(retired) - keep)]
+    now = time.time()
+    aged: list[str] = []
+    for entry in retired:
+        stamp = _stamp_path(path, entry)
+        try:
+            age = now - os.stat(stamp).st_mtime
+        except FileNotFoundError:
+            with open(stamp, "w"):
+                pass  # first observation: start the clock, keep it
+            age = 0.0
+        if age >= grace_s:
+            aged.append(entry)
+    doomed = set(retired[: max(0, len(retired) - keep)]) & set(aged)
     deleted: list[str] = []
-    for entry in doomed:
+    for entry in (e for e in retired if e in doomed):
         if entry == "samples":  # legacy gen 0 lives at the store root
             for legacy in ("samples", "series"):
                 shutil.rmtree(os.path.join(path, legacy), ignore_errors=True)
-            try:
-                os.remove(os.path.join(path, "_dirty"))
-            except FileNotFoundError:
-                pass
+            for marker in ("_dirty", RETIRED_STAMP):
+                try:
+                    os.remove(os.path.join(path, marker))
+                except FileNotFoundError:
+                    pass
             deleted.append("samples")
         else:
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
@@ -191,6 +319,10 @@ def gc_store(path: str, keep: int = 1) -> list[str]:
 
 __all__ = [
     "StorePaths",
+    "ConcurrentCommitError",
+    "MaintenanceLockHeldError",
+    "GC_GRACE_S",
+    "maintenance_lock",
     "resolve_store",
     "commit_manifest",
     "gen_dirname",
