@@ -369,7 +369,10 @@ class TestVendoredErrorWording:
     HTTP error envelope)."""
 
     def test_no_expression_found(self):
-        with pytest.raises(PromQLSyntaxError, match="^no expression found in input$"):
+        with pytest.raises(
+            PromQLSyntaxError,
+            match="^parse error at char 1: no expression found in input$",
+        ):
             parse("")
 
     def test_range_follows_wrong_node(self):
@@ -396,12 +399,20 @@ class TestVendoredErrorWording:
             PromQLSyntaxError, match='missing comma before next identifier "b"'
         ):
             parse('m{a="1" b="2"}')
-        # lex.go:31-48: operators print as <op:x> in item descs
+        # parse.go:838-840: a MATCHER-position operator that isn't one
+        # of the four match types gets the allowed-set wording (the
+        # "expected label matching operator" branch is only for
+        # non-operator items, parse.go:831)
         with pytest.raises(
             PromQLSyntaxError,
-            match="expected label matching operator but got <op:<>",
+            match=r'operator must be one of \["=" "!=" "=~" "!~"\], is "<"',
         ):
             parse('m{a<"1"}')
+        with pytest.raises(
+            PromQLSyntaxError,
+            match="expected label matching operator but got <item number>",
+        ):
+            parse('m{a 1"1"}')
 
     def test_metric_name_set_twice_quoting(self):
         with pytest.raises(
@@ -409,3 +420,143 @@ class TestVendoredErrorWording:
             match='metric name must not be set twice: "foo" or "bar"',
         ):
             parse('foo{__name__="bar"}')
+
+
+class TestParseErrorPositions:
+    """VERDICT r6 #4: full ``parse error at char N: <leaf>`` parity
+    with the vendored ParseErr wrapper (parse.go:46-51). Positions are
+    1 + the byte offset of the most recently lexed token — the
+    reference reports at ``lex.lastPos`` for EVERY parse error
+    (parse.go:304-314), which lands on the offending token for parse
+    errors and on end-of-input for typecheck errors. Expected strings
+    below are hand-derived from the vendored flow, token by token."""
+
+    CASES = [
+        # (input, full error string)
+        ("", "parse error at char 1: no expression found in input"),
+        # primaryExpr default case consumed the EOF token (pos 4)
+        ("sum(", "parse error at char 5: no valid expression found"),
+        # unaryExpr peeked '[' at offset 1
+        (
+            "1[5m]",
+            "parse error at char 2: range specification must be preceded "
+            "by a metric selector, but follows a *promql.NumberLiteral "
+            "instead",
+        ),
+        # arity is a checkType error -> reports at end of input
+        (
+            "rate(x,1)",
+            'parse error at char 10: expected 1 argument(s) in call to '
+            '"rate", got 2',
+        ),
+        (
+            "label_join(x)",
+            'parse error at char 14: expected at least 3 argument(s) in '
+            'call to "label_join", got 1',
+        ),
+        (
+            "round(x, 1, 2)",
+            'parse error at char 15: expected at most 2 argument(s) in '
+            'call to "round", got 3',
+        ),
+        # argument TYPE mismatch: expectType wording + documentedType
+        (
+            "rate(foo)",
+            "parse error at char 10: expected type range vector in call "
+            'to function "rate", got instant vector',
+        ),
+        (
+            "sum(1)",
+            "parse error at char 7: expected type instant vector in "
+            "aggregation expression, got scalar",
+        ),
+        # unknown function reports at the '(' (it was the last lexed item)
+        (
+            "bork(1)",
+            'parse error at char 5: unknown function with name "bork"',
+        ),
+        # matcher operator errors report at the operator token
+        (
+            'm{a<"1"}',
+            'parse error at char 4: operator must be one of '
+            '["=" "!=" "=~" "!~"], is "<"',
+        ),
+        # missing comma: peeked identifier at offset 8
+        (
+            'm{a="1" b="2"}',
+            'parse error at char 9: missing comma before next identifier '
+            '"b"',
+        ),
+        # typecheck (set op on scalars) -> end of input
+        (
+            "1 and 1",
+            'parse error at char 8: set operator "and" not allowed in '
+            "binary scalar expression",
+        ),
+        # balance() check fires after parsing the rhs -> token after it
+        (
+            "1 > 2",
+            "parse error at char 6: comparisons between scalars must use "
+            "BOOL modifier",
+        ),
+        # bool modifier check fires AT the `bool` token (offset 6)
+        (
+            "1 + bool 2",
+            "parse error at char 5: bool modifier can only be used on "
+            "comparison operators",
+        ),
+        # lexer error: token start of the bad rune
+        ("m~", "parse error at char 2: unexpected character: '~'"),
+        ('m{a="x}', "parse error at char 5: unterminated quoted string"),
+        # duration validation happens right after the duration token
+        (
+            "m[5y3d]",
+            "parse error at char 3: not a valid duration string: "
+            '"5y3d"',
+        ),
+        ("m[0s]", "parse error at char 3: duration must be greater than 0"),
+        # expect() wording with context + item descs
+        (
+            "x offset 5",
+            "parse error at char 10: unexpected number \"5\" in offset, "
+            "expected duration",
+        ),
+        (
+            "sum by (5m) (x)",
+            'parse error at char 9: unexpected duration "5m" in grouping '
+            "opts, expected label",
+        ),
+        # trailing garbage: %.15q... of the remaining input
+        (
+            "m[5m] xx yy",
+            "parse error at char 7: could not parse remaining input "
+            '"xx yy"...',
+        ),
+    ]
+
+    @pytest.mark.parametrize("src,want", CASES, ids=[c[0] for c in CASES])
+    def test_full_error_string(self, src, want):
+        with pytest.raises(PromQLSyntaxError) as ei:
+            parse(src)
+        assert str(ei.value) == want
+        assert getattr(ei.value, "formatted", False)
+        assert getattr(ei.value, "leaf", None) == want.split(": ", 1)[1]
+
+    def test_multiline_line_form(self):
+        """Inputs whose trimmed text spans lines use the line form
+        with the vendored linePosition arithmetic (lex.go:405-411:
+        1 + pos - index_of_newline, i.e. char 2 for the first column
+        of a later line — bug-for-bug)."""
+        with pytest.raises(PromQLSyntaxError) as ei:
+            parse("m[5m]\nxx yy")
+        assert str(ei.value) == (
+            "parse error at line 2, char 2: could not parse remaining "
+            'input "xx yy"...'
+        )
+
+    def test_single_line_trims_trailing_newline(self):
+        # trailing newline only -> TrimSpace sees a single line ->
+        # char form, not line form
+        with pytest.raises(PromQLSyntaxError) as ei:
+            parse("bork(1)\n")
+        assert str(ei.value).startswith("parse error at char 5: ")

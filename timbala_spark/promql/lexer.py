@@ -14,7 +14,46 @@ from dataclasses import dataclass
 
 
 class PromQLSyntaxError(ValueError):
-    pass
+    """A PromQL parse error.
+
+    Leaf messages match the vendored engine's wordings; the parser
+    entry points wrap them as ``parse error at char N: <leaf>``
+    (``parse.go:46-51`` ParseErr.Error), carrying attributes
+    ``formatted`` (wrapper applied), ``leaf`` (unwrapped message) and
+    ``char`` (1-based position, Go ``lex.go:399-411`` semantics).
+    Lexer-level raises attach ``char_pos`` (0-based offset of the
+    offending token start) for the parser to format."""
+
+
+def go_quote(s: str) -> str:
+    """Go ``%q`` for strings: double-quoted with backslash escapes
+    (``strconv.Quote``). Covers the escapes reachable through PromQL
+    error messages; non-printables use ``\\x`` like Go."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif " " <= ch <= "~":
+            out.append(ch)
+        else:
+            o = ord(ch)
+            out.append(f"\\x{o:02x}" if o < 0x100 else f"\\u{o:04x}")
+    out.append('"')
+    return "".join(out)
+
+
+def _err(msg: str, pos: int) -> PromQLSyntaxError:
+    e = PromQLSyntaxError(msg)
+    e.char_pos = pos
+    return e
 
 
 # token kinds
@@ -112,10 +151,10 @@ def parse_duration_ms(s: str) -> int:
     than trailing-input noise."""
     m = _SINGLE_DUR_RE.fullmatch(s)
     if not m:
-        raise PromQLSyntaxError(f"not a valid duration string: {s!r}")
+        raise PromQLSyntaxError(f"not a valid duration string: {go_quote(s)}")
     total = int(m.group(1)) * _DUR_UNIT_MS[m.group(2)]
     if total == 0:
-        raise PromQLSyntaxError(f"duration must be greater than 0: {s!r}")
+        raise PromQLSyntaxError("duration must be greater than 0")
     return total
 
 
@@ -124,6 +163,7 @@ class Token:
     kind: str
     text: str
     pos: int
+    raw: str | None = None  # STRING tokens: source text incl. quotes
 
     def __repr__(self):  # pragma: no cover
         return f"Token({self.kind}, {self.text!r})"
@@ -143,38 +183,81 @@ _ESCAPES = {
 }
 
 
+def _go_rune(ch: str) -> str:
+    # Go's %#U verb: "U+0071 'q'" (char shown when printable)
+    o = ord(ch)
+    s = f"U+{o:04X}"
+    return f"{s} {ch!r}" if ch.isprintable() else s
+
+
 def _unquote(s: str, pos: int) -> str:
+    """Decode one lexed string literal. Error wordings match the
+    reference lexer's escape scanner (``lex.go:660-690``) — escapes
+    are validated at LEX time there, so these surface with the string
+    token's position."""
     quote = s[0]
     if quote == "`":
         if not s.endswith("`") or len(s) < 2:
-            raise PromQLSyntaxError(f"unterminated raw string at {pos}")
+            raise _err("unterminated raw string", pos)
         return s[1:-1]
     out = []
     i = 1
+
+    def hexpart(start: int, width: int) -> str:
+        part = s[start : start + width]
+        if len(part) < width or start + width > len(s) - 1:
+            raise _err("escape sequence not terminated", pos)
+        for ch in part:
+            if ch not in "0123456789abcdefABCDEF":
+                raise _err(
+                    f"illegal character {_go_rune(ch)} in escape sequence", pos
+                )
+        return part
+
     while i < len(s) - 1:
         c = s[i]
         if c == "\\":
             i += 1
             if i >= len(s) - 1:
-                raise PromQLSyntaxError(f"bad escape at {pos}")
+                raise _err("escape sequence not terminated", pos)
             e = s[i]
             if e in _ESCAPES:
                 out.append(_ESCAPES[e])
                 i += 1
             elif e == "x":
-                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                out.append(chr(int(hexpart(i + 1, 2), 16)))
                 i += 3
             elif e in "01234567":
-                out.append(chr(int(s[i : i + 3], 8)))
+                part = s[i : i + 3]
+                if len(part) < 3 or i + 3 > len(s) - 1:
+                    raise _err("escape sequence not terminated", pos)
+                for ch in part:
+                    if ch not in "01234567":
+                        raise _err(
+                            f"illegal character {_go_rune(ch)} in escape "
+                            "sequence",
+                            pos,
+                        )
+                v = int(part, 8)
+                if v > 0xFF:
+                    raise _err(
+                        "escape sequence is an invalid Unicode code point", pos
+                    )
+                out.append(chr(v))
                 i += 3
             elif e == "u":
-                out.append(chr(int(s[i + 1 : i + 5], 16)))
+                out.append(chr(int(hexpart(i + 1, 4), 16)))
                 i += 5
             elif e == "U":
-                out.append(chr(int(s[i + 1 : i + 9], 16)))
+                v = int(hexpart(i + 1, 8), 16)
+                if v > 0x10FFFF:
+                    raise _err(
+                        "escape sequence is an invalid Unicode code point", pos
+                    )
+                out.append(chr(v))
                 i += 9
             else:
-                raise PromQLSyntaxError(f"unknown escape \\{e} at {pos}")
+                raise _err(f"unknown escape sequence {_go_rune(e)}", pos)
         else:
             out.append(c)
             i += 1
@@ -213,9 +296,14 @@ def tokenize(src: str) -> list[Token]:
                         j += 1
                     j += 1
             if j >= n:
-                raise PromQLSyntaxError(f"unterminated string at {i}")
+                raise _err(
+                    "unterminated raw string"
+                    if c == "`"
+                    else "unterminated quoted string",
+                    i,
+                )
             raw = src[i : j + 1]
-            toks.append(Token(STRING, _unquote(raw, i), i))
+            toks.append(Token(STRING, _unquote(raw, i), i, raw=raw))
             i = j + 1
             continue
         # durations before numbers: `5m` must lex as one token
@@ -261,7 +349,7 @@ def tokenize(src: str) -> list[Token]:
                 break
         if matched:
             continue
-        raise PromQLSyntaxError(f"unexpected character {c!r} at position {i}")
+        raise _err(f"unexpected character: {c!r}", i)
     toks.append(Token(EOF, "", n))
     return toks
 

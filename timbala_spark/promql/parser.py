@@ -50,6 +50,7 @@ from .lexer import (
     STRING,
     PromQLSyntaxError,
     Token,
+    go_quote,
     number_value,
     parse_duration_ms,
     tokenize,
@@ -87,27 +88,153 @@ _MATCH_TYPES = {
     "!~": MatchType.NRE,
 }
 
+# `and`/`or`/`unless` are operator items in the reference lexer, not
+# keywords (lex.go itemLAND..itemLUnless in the operator range), so
+# their item desc is <op:and>, not <and>
+_WORD_OPS = {"and", "or", "unless"}
+
+
+def format_parse_error(src: str, pos0: int, leaf: str) -> PromQLSyntaxError:
+    """Wrap a leaf message exactly like ``ParseErr.Error``
+    (``parse.go:46-51``): ``parse error at char N: <leaf>`` with the
+    1-based position computed from the offending token's start offset
+    (``lex.go:399-411`` lineNumber/linePosition — including its
+    off-by-one flavor for lines after the first), and the line form
+    only when the trimmed input spans multiple lines."""
+    line = 1 + src[:pos0].count("\n")
+    lb = src[:pos0].rfind("\n")
+    char = 1 + pos0 if lb == -1 else 1 + pos0 - lb
+    if src.strip().count("\n") == 0:
+        msg = f"parse error at char {char}: {leaf}"
+    else:
+        msg = f"parse error at line {line}, char {char}: {leaf}"
+    e = PromQLSyntaxError(msg)
+    e.formatted = True
+    e.leaf = leaf
+    e.char = char
+    e.line = line
+    return e
+
+
+def _tok_desc(t: Token) -> str:
+    """``item.desc()`` (lex.go:31-48, 284-291): how an unexpected
+    token prints inside an error message."""
+    if t.kind == EOF:
+        return "end of input"
+    if t.kind == IDENT:
+        if t.text in AGGREGATORS:
+            return f"<aggr:{t.text}>"
+        if t.text in _WORD_OPS:
+            return f"<op:{t.text}>"
+        if t.text in KEYWORDS:
+            return f"<{t.text}>"
+        return f"identifier {go_quote(t.text)}"
+    if t.kind in (NUMBER, DURATION, STRING):
+        base = {NUMBER: "number", DURATION: "duration", STRING: "string"}[
+            t.kind
+        ]
+        val = t.raw if (t.kind == STRING and t.raw is not None) else t.text
+        s = go_quote(val) if len(val) <= 10 else go_quote(val[:10]) + "..."
+        return f"{base} {s}"
+    if t.kind in ("(", ")", "{", "}", "[", "]", ","):
+        return go_quote(t.text)
+    return f"<op:{t.text}>"  # operator kinds (incl. `=` as itemEQL)
+
+
+_OPERATOR_KINDS = {
+    "==", "!=", "<=", ">=", "=~", "!~", "<", ">", "=",
+    "+", "-", "*", "/", "%", "^",
+}
+
+
+def _type_str(t: Token) -> str:
+    """Go ``%s`` of an itemTYPE (lex.go:276-281): the bare symbol or
+    word for items with a default string form; value-carrying items
+    (identifier/number/...) have none and Go prints an internal
+    ``<item N>`` — we substitute the readable kind name."""
+    if t.kind == IDENT:
+        if (
+            t.text in _WORD_OPS
+            or t.text in KEYWORDS
+            or t.text in AGGREGATORS
+        ):
+            return t.text
+        return "<item identifier>"
+    if t.kind in (NUMBER, DURATION, STRING, EOF):
+        return f"<item {_kind_desc(t.kind)}>"
+    return t.kind
+
+
+def _kind_desc(kind: str) -> str:
+    """``itemType.desc()`` (lex.go:294-313): how an EXPECTED token
+    kind prints."""
+    if kind == IDENT:
+        return "identifier"
+    if kind == STRING:
+        return "string"
+    if kind == NUMBER:
+        return "number"
+    if kind == DURATION:
+        return "duration"
+    if kind == EOF:
+        return "end of input"
+    return go_quote(kind)
+
 
 class Parser:
     def __init__(self, src: str):
-        self.toks = tokenize(src)
+        self.src = src
+        #: index of the furthest token ever examined — the analog of
+        #: the reference lexer's ``lastPos`` (position of the most
+        #: recently lexed item), which is what EVERY parse error
+        #: reports (parse.go:304-314)
+        self.max_scanned = 0
+        try:
+            self.toks = tokenize(src)
+        except PromQLSyntaxError as e:
+            raise format_parse_error(
+                src, getattr(e, "char_pos", 0), str(e)
+            ) from None
         self.pos = 0
 
+    # -- errors --------------------------------------------------------
+    def error(self, leaf: str):
+        """Raise ``leaf`` wrapped with the current lastPos-equivalent
+        position, exactly like ``p.errorf`` (parse.go:299-314)."""
+        i = min(self.max_scanned, len(self.toks) - 1)
+        raise format_parse_error(self.src, self.toks[i].pos, leaf) from None
+
     # -- token helpers -------------------------------------------------
+    def _mark(self) -> None:
+        if self.pos > self.max_scanned:
+            self.max_scanned = self.pos
+
+    def look(self, k: int) -> Token:
+        """Lookahead that records the scan position like the
+        reference's buffered ``p.peek`` does (it lexes the item, so
+        ``lastPos`` advances to it)."""
+        i = min(self.pos + k, len(self.toks) - 1)
+        if i > self.max_scanned:
+            self.max_scanned = i
+        return self.toks[i]
+
     def peek(self) -> Token:
+        self._mark()
         return self.toks[self.pos]
 
     def next(self) -> Token:
+        self._mark()
         t = self.toks[self.pos]
         if t.kind != EOF:
             self.pos += 1
         return t
 
-    def expect(self, kind: str) -> Token:
+    def expect(self, kind: str, ctx: str = "expression") -> Token:
         t = self.peek()
         if t.kind != kind:
-            raise PromQLSyntaxError(
-                f"expected {kind!r}, got {t.kind!r} ({t.text!r}) at {t.pos}"
+            self.error(
+                f"unexpected {_tok_desc(t)} in {ctx}, "
+                f"expected {_kind_desc(kind)}"
             )
         return self.next()
 
@@ -125,16 +252,23 @@ class Parser:
 
     # -- entry ---------------------------------------------------------
     def parse_expr(self) -> Expr:
-        if self.peek().kind == EOF:  # parse.go:152
-            raise PromQLSyntaxError("no expression found in input")
-        e = self.parse_binary(0)
-        t = self.peek()
-        if t.kind != EOF:
-            raise PromQLSyntaxError(
-                f"could not parse remaining input {t.text!r} at {t.pos}"
-            )
-        typecheck(e)
-        return e
+        try:
+            if self.peek().kind == EOF:  # parse.go:152
+                self.error("no expression found in input")
+            e = self.parse_binary(0)
+            t = self.peek()
+            if t.kind != EOF:
+                rest = self.src[t.pos :]
+                self.error(
+                    "could not parse remaining input "
+                    f"{go_quote(rest[:15])}..."
+                )
+            typecheck(e)
+            return e
+        except PromQLSyntaxError as err:
+            if getattr(err, "formatted", False):
+                raise
+            self.error(str(err))  # leaf from typecheck/duration/matcher
 
     # -- binary expressions (precedence climbing) ----------------------
     def parse_binary(self, min_prec: int) -> Expr:
@@ -146,11 +280,30 @@ class Parser:
                 return lhs
             self.next()
             return_bool = False
-            if self.accept_keyword("bool"):
+            t2 = self.peek()
+            if t2.kind == IDENT and t2.text == "bool":
+                # parse-time check like the reference (parse.go:468):
+                # the error reports at the `bool` token, before the
+                # modifier is consumed
+                if op not in COMPARISON_OPS:
+                    self.error(
+                        "bool modifier can only be used on comparison "
+                        "operators"
+                    )
+                self.next()
                 return_bool = True
             matching = self.parse_matching()
             nxt = PRECEDENCE[op] if op in RIGHT_ASSOC else PRECEDENCE[op] + 1
             rhs = self.parse_binary(nxt)
+            if (
+                op in COMPARISON_OPS
+                and not return_bool
+                and lhs.type == ValueType.SCALAR
+                and rhs.type == ValueType.SCALAR
+            ):
+                # balance()-time check (parse.go:530-532) — fires while
+                # parsing, so the position is the token after the rhs
+                self.error("comparisons between scalars must use BOOL modifier")
             lhs = BinaryExpr(op, lhs, rhs, matching=matching, return_bool=return_bool)
 
     def parse_matching(self) -> VectorMatching | None:
@@ -179,23 +332,30 @@ class Parser:
             if matching.on:
                 dup = set(matching.matching_labels) & set(matching.include)
                 if dup:
-                    raise PromQLSyntaxError(
-                        f"label {sorted(dup)[0]!r} must not occur in ON and GROUP clause at once"
+                    self.error(  # %q quoting (parse.go:501)
+                        f"label {go_quote(sorted(dup)[0])} must not occur "
+                        "in ON and GROUP clause at once"
                     )
         return matching
 
     def parse_label_list(self) -> list[str]:
-        self.expect(LPAREN)
+        # `labels()` (parse.go:679-700): ctx "grouping opts"; any
+        # token is consumed then validated with isLabel, producing
+        # "unexpected ... expected label" (not the expect() wording)
+        ctx = "grouping opts"
+        self.expect(LPAREN, ctx)
         labels: list[str] = []
         if self.peek().kind != RPAREN:
             while True:
-                t = self.expect(IDENT)
-                if ":" in t.text:
-                    raise PromQLSyntaxError(f"invalid label name {t.text!r}")
+                t = self.next()
+                if t.kind != IDENT or ":" in t.text:
+                    self.error(
+                        f"unexpected {_tok_desc(t)} in {ctx}, expected label"
+                    )
                 labels.append(t.text)
                 if not self.accept(COMMA):
                     break
-        self.expect(RPAREN)
+        self.expect(RPAREN, ctx)
         return labels
 
     # -- unary / atoms ---------------------------------------------------
@@ -218,25 +378,27 @@ class Parser:
             if not isinstance(e, VectorSelector):
                 # Go's %T of the preceding node (parse.go:574): our AST
                 # classes carry the reference's type names
-                raise PromQLSyntaxError(
+                self.error(
                     "range specification must be preceded by a metric "
                     f"selector, but follows a *promql.{type(e).__name__} "
                     "instead"
                 )
             self.next()
-            d = self.expect(DURATION)
-            self.expect(RBRACKET)
-            e = MatrixSelector(
-                e.name, e.matchers, range_ms=parse_duration_ms(d.text)
-            )
+            # duration validated BEFORE the closing bracket is
+            # expected (rangeSelector, parse.go:602-614) so a bad
+            # duration reports at the duration token
+            d = self.expect(DURATION, "range selector")
+            range_ms = parse_duration_ms(d.text)
+            self.expect(RBRACKET, "range selector")
+            e = MatrixSelector(e.name, e.matchers, range_ms=range_ms)
         if self.peek().kind == IDENT and self.peek().text == "offset":
             self.next()
-            d = self.expect(DURATION)
+            d = self.expect(DURATION, "offset")
             off = parse_duration_ms(d.text)
             if isinstance(e, (VectorSelector, MatrixSelector)):
                 e.offset_ms = off
             else:
-                raise PromQLSyntaxError(
+                self.error(
                     "offset modifier must be preceded by an instant or "
                     f"range selector, but follows a *promql.{type(e).__name__} "
                     "instead"
@@ -264,27 +426,21 @@ class Parser:
             if t.text in KEYWORDS:
                 # a bare keyword (`on`, `bool`, `alert`, ...) lexes as
                 # its keyword item in the reference and can never start
-                # an expression (lex.go:201-234) — a metric by that
-                # name is only reachable via {__name__="on"}
-                raise PromQLSyntaxError(
-                    f"no valid expression found at position {t.pos} "
-                    f"({t.text!r} is a reserved keyword)"
-                )
-            if self.toks[self.pos + 1].kind == LPAREN:
+                # an expression (lex.go:201-234) — primaryExpr's
+                # default case (parse.go:670); a metric by that name is
+                # only reachable via {__name__="on"}
+                self.error("no valid expression found")
+            if self.look(1).kind == LPAREN:
                 # the reference treats ident+'(' unconditionally as a
                 # call (parse.go primaryExpr → call), so a name missing
-                # from the registry is "unknown function", not a
-                # selector followed by junk
+                # from the registry is "unknown function" — reported at
+                # the '(' (the most recently lexed item)
                 if get_function(t.text) is None:
-                    raise PromQLSyntaxError(
-                        f'unknown function with name "{t.text}"'
-                    )
+                    self.error(f"unknown function with name {go_quote(t.text)}")
                 return self.parse_call()
             self.next()
             return self.parse_selector(t.text)
-        raise PromQLSyntaxError(
-            f"no valid expression found at position {t.pos} ({t.text!r})"
-        )
+        self.error("no valid expression found")
 
     # -- aggregations (parse.go:704-759) -------------------------------
     def parse_aggregate(self) -> Expr:
@@ -296,13 +452,13 @@ class Parser:
             without = self.next().text == "without"
             grouping = self.parse_label_list()
             seen_mod = True
-        self.expect(LPAREN)
+        self.expect(LPAREN, "aggregation")
         param = None
         if op in AGGREGATORS_WITH_PARAM:
             param = self.parse_binary(0)
-            self.expect(COMMA)
+            self.expect(COMMA, "aggregation")
         e = self.parse_binary(0)
-        self.expect(RPAREN)
+        self.expect(RPAREN, "aggregation")
         if (
             not seen_mod
             and self.peek().kind == IDENT
@@ -316,61 +472,52 @@ class Parser:
     def parse_call(self) -> Expr:
         name = self.next().text
         fn = get_function(name)
-        self.expect(LPAREN)
+        self.expect(LPAREN, "function call")
         args: list[Expr] = []
         if self.peek().kind != RPAREN:
             while True:
                 args.append(self.parse_binary(0))
                 if not self.accept(COMMA):
                     break
-        self.expect(RPAREN)
-        min_args = len(fn.arg_types) - fn.optional
-        if fn.variadic:
-            # vendored arity rule (parse.go): a variadic function's
-            # LAST declared arg is part of the repeating tail, so the
-            # minimum is len(ArgTypes) - 1 — label_join(v, dst, sep)
-            # with zero source labels is legal
-            if len(args) < len(fn.arg_types) - 1:
-                raise PromQLSyntaxError(
-                    f"expected at least {len(fn.arg_types) - 1} argument(s) in call to {name!r}, got {len(args)}"
-                )
-        elif not (min_args <= len(args) <= len(fn.arg_types)):
-            raise PromQLSyntaxError(
-                f"expected {len(fn.arg_types)} argument(s) in call to {name!r}, got {len(args)}"
-            )
+        self.expect(RPAREN, "function call")
+        # arity is validated in the TYPECHECK pass (checkType,
+        # parse.go:1081-1095), not here — so arity errors report at
+        # the end-of-input position like the reference's
         return Call(fn, args)
 
     # -- selectors (parse.go:596-622, 814-894) --------------------------
     def parse_selector(self, name: str | None) -> Expr:
         matchers: list[LabelMatcher] = []
+        ctx = "label matching"
         if self.peek().kind == LBRACE:
             self.next()
             if self.peek().kind != RBRACE:
                 while True:
-                    ln = self.peek()
-                    # Keywords already lex as IDENT; operator tokens
-                    # (==, <, ...) are never valid label names
-                    # (parse.go:826-832).
-                    if ln.kind != IDENT:
-                        raise PromQLSyntaxError(
-                            f"expected label name, got {ln.text!r} at {ln.pos}"
+                    # Keywords already lex as IDENT; anything else is
+                    # the expect() wording (labelMatchers,
+                    # parse.go:828): "unexpected ... in label
+                    # matching, expected identifier"
+                    lname = self.expect(IDENT, ctx).text
+                    opt = self.next()
+                    is_op = opt.kind in _OPERATOR_KINDS or (
+                        opt.kind == IDENT and opt.text in _WORD_OPS
+                    )
+                    if not is_op:
+                        # parse.go:831-832 prints the itemTYPE's plain
+                        # string (symbol for symbolic items); for
+                        # value-carrying items Go prints an internal
+                        # <item N> — we print the nearest readable form
+                        self.error(
+                            "expected label matching operator but got "
+                            f"{_type_str(opt)}"
                         )
-                    # keywords are valid label names inside braces
-                    lname = self.next().text
-                    opt = self.peek()
                     if opt.kind not in _MATCH_TYPES:
-                        # item desc (lex.go:31-48): operators print as
-                        # <op:x>, identifiers as %q
-                        desc = (
-                            f'"{opt.text}"'
-                            if opt.kind == IDENT
-                            else f"<op:{opt.text}>"
+                        # parse.go:838-840
+                        self.error(
+                            'operator must be one of ["=" "!=" "=~" "!~"], '
+                            f'is "{opt.text}"'
                         )
-                        raise PromQLSyntaxError(
-                            f"expected label matching operator but got {desc}"
-                        )
-                    self.next()
-                    val = self.expect(STRING)
+                    val = self.expect(STRING, ctx)
                     matchers.append(
                         LabelMatcher(_MATCH_TYPES[opt.kind], lname, val.text)
                     )
@@ -378,33 +525,33 @@ class Parser:
                     # missing (parse.go:868-870, checked BEFORE the
                     # comma/terminator decision)
                     if self.peek().kind == IDENT:
-                        raise PromQLSyntaxError(
+                        self.error(
                             "missing comma before next identifier "
-                            f'"{self.peek().text}"'
+                            f"{go_quote(self.peek().text)}"
                         )
                     if not self.accept(COMMA):
                         break
                     if self.peek().kind == RBRACE:
                         break
-            self.expect(RBRACE)
+            self.expect(RBRACE, ctx)
         if name is not None:
             for m in matchers:
                 if m.name == METRIC_NAME_LABEL:
-                    raise PromQLSyntaxError(  # %q quoting (parse.go:949)
-                        f'metric name must not be set twice: "{name}" or '
-                        f'"{m.value}"'
+                    self.error(  # %q quoting (parse.go:949)
+                        f"metric name must not be set twice: "
+                        f"{go_quote(name)} or {go_quote(m.value)}"
                     )
             matchers.append(
                 LabelMatcher(MatchType.EQ, METRIC_NAME_LABEL, name)
             )
         if not matchers:
-            raise PromQLSyntaxError(
+            self.error(
                 "vector selector must contain label matchers or metric name"
             )
         # at least one matcher must not match the empty string
         # (parse.go:879-894)
         if all(m.matches_empty() for m in matchers):
-            raise PromQLSyntaxError(
+            self.error(
                 "vector selector must contain at least one non-empty matcher"
             )
         return VectorSelector(name, matchers)
@@ -413,7 +560,22 @@ class Parser:
 # -- typecheck (parse.go:984-1121) --------------------------------------
 
 
+def _expect_type(e: Expr, want: ValueType, context: str) -> None:
+    """``expectType`` (parse.go:984-989): wording and documentedType
+    names come straight from the reference (our ValueType values ARE
+    the documented forms — "instant vector", "range vector", ...)."""
+    typecheck(e)
+    if e.type != want:
+        raise PromQLSyntaxError(
+            f"expected type {want.value} in {context}, got {e.type.value}"
+        )
+
+
 def typecheck(e: Expr) -> None:
+    """``checkType`` (parse.go:996-1121) — messages verbatim, raised
+    as leaf errors; the parser entry points wrap them with the
+    end-of-input position, exactly where the reference's typecheck
+    pass reports (the lexer is exhausted by then)."""
     if isinstance(e, BinaryExpr):
         typecheck(e.lhs)
         typecheck(e.rhs)
@@ -438,66 +600,79 @@ def typecheck(e: Expr) -> None:
             )
         if e.op in SET_OPS and (lt == ValueType.SCALAR or rt == ValueType.SCALAR):
             raise PromQLSyntaxError(
-                f"set operator {e.op!r} not allowed in binary scalar expression"
+                f"set operator {go_quote(e.op)} not allowed in binary scalar "
+                "expression"
             )
-        if lt == ValueType.SCALAR or rt == ValueType.SCALAR:
-            if e.matching is not None and (
-                e.matching.on or e.matching.matching_labels
-            ):
+        if (lt != ValueType.VECTOR or rt != ValueType.VECTOR) and (
+            e.matching is not None
+        ):
+            # parse.go:1062-1067: explicit matching labels with a
+            # non-vector operand error; a bare on()/group modifier is
+            # silently dropped
+            if e.matching.matching_labels:
                 raise PromQLSyntaxError(
                     "vector matching only allowed between instant vectors"
                 )
-        if lt == ValueType.VECTOR and rt == ValueType.VECTOR and e.matching:
-            if e.op in SET_OPS:
-                if e.matching.card != VectorMatchCardinality.ONE_TO_ONE:
-                    raise PromQLSyntaxError(
-                        "no grouping allowed for set operations"
-                    )
-                e.matching.card = VectorMatchCardinality.MANY_TO_MANY
-        if (
-            e.matching is not None
-            and e.matching.card
-            in (
+            e.matching = None
+        elif e.matching is not None and e.op in SET_OPS:
+            # parse.go:1069-1075 — %q of the operator item
+            if e.matching.card in (
                 VectorMatchCardinality.MANY_TO_ONE,
                 VectorMatchCardinality.ONE_TO_MANY,
-            )
-            and e.op in SET_OPS
-        ):
-            raise PromQLSyntaxError("no grouping allowed for set operations")
+            ):
+                raise PromQLSyntaxError(
+                    f'no grouping allowed for "{e.op}" operation'
+                )
+            # the reference parser pre-sets many-to-many for set ops;
+            # ours defaults the card at construction, so normalize here
+            e.matching.card = VectorMatchCardinality.MANY_TO_MANY
     elif isinstance(e, UnaryExpr):
         typecheck(e.expr)
         if e.expr.type not in (ValueType.SCALAR, ValueType.VECTOR):
             raise PromQLSyntaxError(
-                "only scalar and instant vector types allowed in unary expression"
+                "unary expression only allowed on expressions of type "
+                f'scalar or instant vector, got "{e.expr.type.value}"'
             )
     elif isinstance(e, ParenExpr):
         typecheck(e.expr)
     elif isinstance(e, AggregateExpr):
-        typecheck(e.expr)
-        if e.expr.type != ValueType.VECTOR:
-            raise PromQLSyntaxError(
-                "aggregation operator expects an instant vector"
-            )
+        _expect_type(e.expr, ValueType.VECTOR, "aggregation expression")
         if e.param is not None:
-            typecheck(e.param)
             want = (
                 ValueType.STRING if e.op == "count_values" else ValueType.SCALAR
             )
-            if e.param.type != want:
-                raise PromQLSyntaxError(
-                    f"expected type {want.value} in aggregation parameter"
-                )
+            _expect_type(e.param, want, "aggregation parameter")
     elif isinstance(e, Call):
-        for a in e.args:
-            typecheck(a)
-        n_fixed = len(e.func.arg_types)
-        for i, a in enumerate(e.args):
-            want = e.func.arg_types[min(i, n_fixed - 1)]
-            if a.type != want:
+        # arity first (checkType, parse.go:1081-1095): Variadic==0 is
+        # exact; our optional=k maps to Go Variadic=k (bounded tail),
+        # variadic=True to Variadic=-1 (unbounded)
+        fn = e.func
+        nargs = len(fn.arg_types)
+        got = len(e.args)
+        if not fn.variadic and fn.optional == 0:
+            if nargs != got:
                 raise PromQLSyntaxError(
-                    f"expected type {want.value} in call to function {e.func.name!r},"
-                    f" got {a.type.value}"
+                    f"expected {nargs} argument(s) in call to "
+                    f"{go_quote(fn.name)}, got {got}"
                 )
+        else:
+            na = nargs - 1
+            if na > got:
+                raise PromQLSyntaxError(
+                    f"expected at least {na} argument(s) in call to "
+                    f"{go_quote(fn.name)}, got {got}"
+                )
+            elif not fn.variadic and na + fn.optional < got:
+                raise PromQLSyntaxError(
+                    f"expected at most {na + fn.optional} argument(s) in "
+                    f"call to {go_quote(fn.name)}, got {got}"
+                )
+        n_fixed = len(fn.arg_types)
+        for i, a in enumerate(e.args):
+            want = fn.arg_types[min(i, n_fixed - 1)]
+            _expect_type(
+                a, want, f"call to function {go_quote(fn.name)}"
+            )
 
 
 def parse(src: str) -> Expr:
@@ -513,55 +688,75 @@ def parse_rules(src: str):
     from .ast import AlertStmt, RecordStmt
 
     p = Parser(src)
-    stmts: list = []
-    while p.peek().kind != EOF:
-        t = p.peek()
-        if t.kind != IDENT:
-            raise PromQLSyntaxError(
-                f"no valid statement detected at {t.pos} ({t.text!r})"
-            )
-        if t.text == "alert":
-            stmts.append(_parse_alert_stmt(p))
-        else:
-            stmts.append(_parse_record_stmt(p))
-    for s in stmts:
-        typecheck(s.expr)
-        if isinstance(s, AlertStmt) and s.expr.type != ValueType.VECTOR:
-            # alerts require an instant-vector expression (parse.go:380)
-            raise PromQLSyntaxError(
-                "alert expression must evaluate to an instant vector"
-            )
-    return stmts
+    try:
+        stmts: list = []
+        while p.peek().kind != EOF:
+            t = p.peek()
+            if t.kind != IDENT:
+                p.error("no valid statement detected")  # parse.go:366
+            if t.text == "alert":
+                stmts.append(_parse_alert_stmt(p))
+            else:
+                stmts.append(_parse_record_stmt(p))
+        for s in stmts:
+            if isinstance(s, AlertStmt):
+                # checkType *AlertStmt (parse.go:1017): expectType
+                # against the alert-statement context
+                _expect_type(s.expr, ValueType.VECTOR, "alert statement")
+            else:
+                ty = s.expr.type
+                typecheck(s.expr)
+                if ty not in (ValueType.VECTOR, ValueType.SCALAR):
+                    # checkType *RecordStmt (parse.go:1025-1028)
+                    raise PromQLSyntaxError(
+                        "record statement must have a valid expression "
+                        f"of type instant vector or scalar but got "
+                        f"{ty.value}"
+                    )
+        return stmts
+    except PromQLSyntaxError as err:
+        if getattr(err, "formatted", False):
+            raise
+        p.error(str(err))
 
 
 def _parse_label_set(p: Parser) -> dict[str, str]:
     """``{name="value", ...}`` — equality pairs only (labelSet,
     parse.go:556-580)."""
-    p.expect("{")
+    ctx = "label matching"
+    p.expect("{", ctx)
     out: dict[str, str] = {}
     while p.peek().kind != "}":
-        name = p.expect(IDENT)
+        name = p.expect(IDENT, ctx)
         if ":" in name.text:
-            raise PromQLSyntaxError(f"invalid label name {name.text!r}")
-        p.expect("=")
-        val = p.expect(STRING)
+            p.error(f"invalid label name {go_quote(name.text)}")
+        t = p.peek()
+        if t.kind in _OPERATOR_KINDS and t.kind != "=":
+            # labelSet routes through labelMatchers(itemEQL)
+            # (parse.go:800-806): a non-= matcher operator errors with
+            # the allowed-set wording
+            p.next()
+            p.error(f'operator must be one of ["="], is "{t.text}"')
+        p.expect("=", ctx)
+        val = p.expect(STRING, ctx)
         if name.text in out:
-            raise PromQLSyntaxError(f"duplicate label {name.text!r}")
+            p.error(f"duplicate label {go_quote(name.text)}")
         out[name.text] = val.text
         if not p.accept(","):
             break
-    p.expect("}")
+    p.expect("}", ctx)
     return out
 
 
 def _parse_record_stmt(p: Parser):
     from .ast import RecordStmt
 
-    name = p.expect(IDENT).text
+    ctx = "record statement"
+    name = p.expect(IDENT, ctx).text
     labels: dict[str, str] = {}
     if p.peek().kind == "{":
         labels = _parse_label_set(p)
-    p.expect("=")
+    p.expect("=", ctx)
     expr = p.parse_binary(0)
     return RecordStmt(name=name, labels=labels, expr=expr)
 
@@ -570,14 +765,18 @@ def _parse_alert_stmt(p: Parser):
     from .ast import AlertStmt
     from .lexer import parse_duration_ms
 
+    ctx = "alert statement"
     p.next()  # 'alert'
-    name = p.expect(IDENT).text
+    name = p.expect(IDENT, ctx).text
     if not p.accept_keyword("if"):
-        raise PromQLSyntaxError("expected 'IF' in alert statement")
+        # p.expect(itemIf, ctx) wording (parse.go:381)
+        p.error(
+            f'unexpected {_tok_desc(p.peek())} in {ctx}, expected "if"'
+        )
     expr = p.parse_binary(0)
     duration_ms = 0
     if p.accept_keyword("for"):
-        duration_ms = parse_duration_ms(p.expect(DURATION).text)
+        duration_ms = parse_duration_ms(p.expect(DURATION, ctx).text)
     labels: dict[str, str] = {}
     annotations: dict[str, str] = {}
     if p.accept_keyword("labels"):
