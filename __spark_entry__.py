@@ -62,6 +62,32 @@ def _engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
     return _CACHE[key]
 
 
+ROLLUP_MS = 3600_000  # 1h rollup resolution for the routed branch
+
+
+def _rollup_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
+    """Engine over the SAME cached samples with a 1 h multi-aggregate
+    rollup registered (timbala_spark.rollup) — exact routing for
+    decomposable *_over_time shapes; everything else falls back."""
+    key = ("rollup_engine", sf_dir)
+    if key not in _CACHE:
+        from timbala_spark.rollup import build_rollup
+
+        base, t_max = _engine(spark, sf_dir)
+        ru = build_rollup(base.samples, ROLLUP_MS).cache()
+        ru.count()  # materialize once per sf_dir (like the pivot cache)
+        _CACHE[key] = (
+            Engine(
+                spark,
+                base.samples,
+                lookback_ms=LOOKBACK_MS,
+                rollups={ROLLUP_MS: ru},
+            ),
+            t_max,
+        )
+    return _CACHE[key]
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _setup(spark)
     return load_table(spark, sf_dir, name)
@@ -169,15 +195,38 @@ def q_promql_rate_range(spark, sf_dir):
 
 
 def q_promql_avg_over_time(spark, sf_dir):
+    """Tagged union: the raw *_over_time path plus the SAME aggregate
+    served from the 1 h multi-aggregate rollup (timbala_spark.rollup,
+    VERDICT r6 #7) on a window-aligned grid — the oracle computes BOTH
+    branches from raw samples, so the rollup branch passing proves the
+    routed answer is the raw answer."""
     eng, t = _engine(spark, sf_dir)
     df = eng.query_range(
         "avg_over_time(purchase[6h])", (t - 24 * HOUR) / 1000, t / 1000, 21600
     )
-    return df.select(
+    raw = df.select(
         label_get(F.col("labels"), "user").alias("user"),
         F.col("t"),
         F.round("v", 6).alias("v"),
     )
+    reng, _ = _rollup_engine(spark, sf_dir)
+    from timbala_spark.rollup import pick_rollup
+
+    t_al = t - (t % ROLLUP_MS)  # hour-aligned end → every step aligned
+    start, end, step = t_al - 24 * HOUR, t_al, 2 * 3600
+    # loud guard: this branch must actually ROUTE (a silent fallback
+    # would still pass the oracle and prove nothing)
+    assert pick_rollup(
+        reng.rollups, 2 * HOUR, 0, start, step * 1000, 13, "avg_over_time"
+    ) == ROLLUP_MS
+    routed = reng.query_range(
+        "avg_over_time(purchase[2h])", start / 1000, end / 1000, step
+    ).select(
+        label_get(F.col("labels"), "user").alias("user"),
+        F.col("t"),
+        F.round("v", 6).alias("v"),
+    )
+    return _tagged_union(("raw", raw), ("rollup", routed))
 
 
 def q_promql_topk(spark, sf_dir):
@@ -1123,7 +1172,8 @@ FROM v GROUP BY user, step_t
 
     sql["promql_rate_stored"] = sql["promql_rate_range"]
 
-    sql["promql_avg_over_time"] = _PRELUDE + f"""
+    sql["promql_avg_over_time"] = f"""
+SELECT 'raw' AS fn, * FROM ({_PRELUDE}
 , steps AS (
   SELECT tend - {h24} + i * 21600000 AS step_t FROM tmax, range(5) r(i)
 )
@@ -1132,6 +1182,22 @@ FROM samples s JOIN steps st
   ON s.t >= st.step_t - 21600000 AND s.t <= st.step_t
 WHERE s.name = 'purchase'
 GROUP BY s.user, st.step_t
+) AS _raw
+UNION ALL
+-- rollup-routed branch: SAME definition over raw samples, on the
+-- hour-aligned 2h-step grid the engine serves from the 1h rollup —
+-- equality here proves the routed answer IS the raw answer
+SELECT 'rollup' AS fn, * FROM ({_PRELUDE}
+, steps AS (
+  SELECT (tend - tend % 3600000) - {h24} + i * 7200000 AS step_t
+  FROM tmax, range(13) r(i)
+)
+SELECT s.user, st.step_t AS t, ROUND(avg(s.v), 6) AS v
+FROM samples s JOIN steps st
+  ON s.t >= st.step_t - 7200000 AND s.t <= st.step_t
+WHERE s.name = 'purchase'
+GROUP BY s.user, st.step_t
+) AS _rollup
 """
 
     sql["promql_topk"] = _PRELUDE + """

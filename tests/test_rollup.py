@@ -1,0 +1,206 @@
+"""Exact rollup routing (timbala_spark.rollup, VERDICT r6 #7).
+
+The bar: for every ANSWERABLE shape, the routed engine must return the
+raw engine's answer — count/min/max bit-identical, sum/avg within
+float re-association (the same reordering Spark's partial aggregation
+already applies) — and every non-answerable shape must silently take
+the raw path. A poisoned-rollup probe proves routing genuinely fires.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from timbala_spark.engine import Engine
+from timbala_spark.model import prepare_samples
+from timbala_spark.rollup import ROUTABLE_OVER_TIME, build_rollup, pick_rollup
+
+W = 300_000  # 5m rollup
+T0 = 1_700_000_100_000 - (1_700_000_100_000 % W)  # W-aligned epoch
+FNS = sorted(ROUTABLE_OVER_TIME)
+
+
+def _mk_samples(spark):
+    """4 series x 4h of samples at IRREGULAR intervals, deliberately
+    including window-boundary-aligned timestamps (the inclusive-range
+    corner the s_* columns exist for) and NaN values."""
+    random.seed(7)
+    rows = []
+    for s in range(4):
+        t = T0
+        while t < T0 + 4 * 3_600_000:
+            v = float("nan") if random.random() < 0.04 else random.uniform(-5, 50)
+            rows.append(({"__name__": "m", "i": str(s)}, int(t), v))
+            t += random.choice([15_000, 60_000, 150_000, 300_000])
+    return prepare_samples(
+        spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    df = _mk_samples(spark).cache()
+    df.count()
+    ru = build_rollup(df, W).cache()
+    ru.count()
+    return Engine(spark, df), Engine(spark, df, rollups={W: ru})
+
+
+def _canon(res):
+    return {
+        (tuple(sorted(r["labels"].items())), r["t"]): r["v"]
+        for r in res.collect()
+    }
+
+
+def _same(a, b, exact):
+    if set(a) != set(b):
+        return False
+    for k in a:
+        x, y = a[k], b[k]
+        if math.isnan(x) or math.isnan(y):
+            if not (math.isnan(x) and math.isnan(y)):
+                return False
+        elif exact:
+            if x != y:
+                return False
+        elif x != y and abs(x - y) > 1e-9 * max(1.0, abs(x)):
+            return False
+    return True
+
+
+class TestRoutedEqualsRaw:
+    # count/min/max combine through integer addition and order
+    # statistics — bit-identical; sum/avg re-associate float addition
+    EXACT = {"count_over_time", "min_over_time", "max_over_time"}
+
+    @pytest.mark.parametrize("fn", FNS)
+    @pytest.mark.parametrize(
+        "rng_ms,step_s,off_ms",
+        [
+            (600_000, 300, 0),  # 10m range, W-stride steps
+            (1_800_000, 600, 0),  # 30m range, 2W steps
+            (3_600_000, 900, 600_000),  # 1h range, offset 10m
+            (300_000, 300, 0),  # range == exactly one window
+        ],
+        ids=["10m", "30m/2W", "1h+off", "R=W"],
+    )
+    def test_answerable_range_shapes(self, engines, fn, rng_ms, step_s, off_ms):
+        raw, routed = engines
+        start, end = T0 + 3_600_000, T0 + 3 * 3_600_000
+        # the shape must actually route — a silent fallback would make
+        # this test vacuous
+        assert (
+            pick_rollup(
+                routed.rollups, rng_ms, off_ms, start, step_s * 1000,
+                (end - start) // (step_s * 1000) + 1, fn,
+            )
+            == W
+        )
+        rng = f"{rng_ms // 60000}m"
+        off = f" offset {off_ms // 60000}m" if off_ms else ""
+        q = f"{fn}(m[{rng}]{off})"
+        a = _canon(raw.query_range(q, start / 1000, end / 1000, step_s))
+        b = _canon(routed.query_range(q, start / 1000, end / 1000, step_s))
+        assert a, "empty result would prove nothing"
+        assert _same(a, b, exact=fn in self.EXACT), q
+
+    @pytest.mark.parametrize("fn", FNS)
+    def test_answerable_instant(self, engines, fn):
+        raw, routed = engines
+        t = (T0 + 2 * 3_600_000) / 1000  # aligned whole-window instant
+        q = f"{fn}(m[30m])"
+        a = _canon(raw.query(q, t))
+        b = _canon(routed.query(q, t))
+        assert a and _same(a, b, exact=fn in self.EXACT)
+
+    def test_routing_actually_fires_poisoned_probe(self, engines, spark):
+        """Give an engine a rollup whose sums are wrong: an ANSWERABLE
+        query must now return the wrong answer (proving the rollup was
+        used), while a NON-answerable one still matches raw (proving
+        the fallback ignores the poison)."""
+        raw, routed = engines
+        poisoned_df = routed.rollups[W].withColumn(
+            "sm", F.col("sm") + F.lit(1000.0)
+        ).withColumn("s_sm", F.col("s_sm") + F.lit(1000.0))
+        poisoned = Engine(spark, raw.samples, rollups={W: poisoned_df})
+        start, end = T0 + 3_600_000, T0 + 2 * 3_600_000
+        a = _canon(raw.query_range("sum_over_time(m[10m])", start / 1000, end / 1000, 300))
+        b = _canon(
+            poisoned.query_range("sum_over_time(m[10m])", start / 1000, end / 1000, 300)
+        )
+        assert not _same(a, b, exact=False)  # poison visible => routed
+        # misaligned range -> raw path, poison invisible
+        a = _canon(raw.query_range("sum_over_time(m[7m])", start / 1000, end / 1000, 300))
+        b = _canon(
+            poisoned.query_range("sum_over_time(m[7m])", start / 1000, end / 1000, 300)
+        )
+        assert _same(a, b, exact=True)
+
+    def test_nested_expression_routes_inner_call(self, engines):
+        """Routing happens at the Call node, so surrounding operators
+        (aggregation, binops) compose over the routed result."""
+        raw, routed = engines
+        start, end = T0 + 3_600_000, T0 + 2 * 3_600_000
+        q = "sum by (i) (count_over_time(m[10m])) * 2"
+        a = _canon(raw.query_range(q, start / 1000, end / 1000, 300))
+        b = _canon(routed.query_range(q, start / 1000, end / 1000, 300))
+        assert a and _same(a, b, exact=True)
+
+
+class TestPickRollup:
+    RU = {300_000: "r5m", 600_000: "r10m"}
+
+    def test_alignment_conditions(self):
+        t1 = T0 - (T0 % 600_000)  # aligned to BOTH resolutions
+        ok = dict(rollups=self.RU, range_ms=600_000, offset_ms=0,
+                  start_ms=t1, step_ms=600_000, n_steps=10,
+                  fn_name="sum_over_time")
+        assert pick_rollup(**ok) == 600_000  # coarsest wins
+        # range not a multiple of the coarse resolution -> finer one
+        assert pick_rollup(**{**ok, "range_ms": 900_000}) == 300_000
+        # nothing divides -> raw
+        assert pick_rollup(**{**ok, "range_ms": 450_000}) is None
+        # misaligned start
+        assert pick_rollup(**{**ok, "start_ms": t1 + 1000}) is None
+        # offset realigns start: (start - offset) % W is the test
+        assert pick_rollup(**{**ok, "start_ms": t1 + 1000, "offset_ms": 1000}) == 600_000
+        # step misaligned matters only for n_steps > 1
+        assert pick_rollup(**{**ok, "step_ms": 450_000}) is None
+        assert pick_rollup(**{**ok, "step_ms": 450_000, "n_steps": 1}) == 600_000
+        # range smaller than every resolution
+        assert pick_rollup(**{**ok, "range_ms": 150_000}) is None
+        # non-routable function / no rollups registered
+        assert pick_rollup(**{**ok, "fn_name": "stddev_over_time"}) is None
+        assert pick_rollup(**{**ok, "rollups": None}) is None
+
+
+class TestBuildRollup:
+    def test_boundary_columns_and_stale_filter(self, spark):
+        rows = [
+            ({"__name__": "m"}, T0, 1.0),  # exactly on the boundary
+            ({"__name__": "m"}, T0 + 1000, 2.0),
+            ({"__name__": "m"}, T0 + W, 8.0),  # next window's boundary
+        ]
+        df = prepare_samples(
+            spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+        )
+        # add a stale marker (NULL v): must not appear in any aggregate
+        stale = df.limit(1).withColumn("v", F.lit(None).cast("double")).withColumn(
+            "t", F.lit(T0 + 2000).cast("long")
+        )
+        ru = {
+            r["t"]: r
+            for r in build_rollup(df.unionByName(stale), W).collect()
+        }
+        w0, w1 = ru[T0], ru[T0 + W]
+        assert (w0["cnt"], w0["sm"]) == (2, 3.0)  # stale row excluded
+        assert (w0["s_cnt"], w0["s_sm"]) == (1, 1.0)  # boundary sample
+        assert (w1["cnt"], w1["s_cnt"], w1["s_sm"]) == (1, 1, 8.0)
+        assert w0["mn"] == 1.0 and w0["mx"] == 2.0 and w0["nan"] == 0

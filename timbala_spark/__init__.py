@@ -16,5 +16,6 @@ from .model import (  # noqa: F401
     dedup_replicas,
     prepare_samples,
 )
+from .rollup import build_rollup  # noqa: F401
 
 __version__ = "0.1.0"

@@ -136,6 +136,7 @@ class EvalContext:
         step_ms: int,
         lookback_ms: int = DEFAULT_LOOKBACK_MS,
         strict: bool = True,
+        rollups: dict | None = None,
     ):
         if end_ms < start_ms:
             raise PromQLBadQueryError(
@@ -145,6 +146,10 @@ class EvalContext:
             raise PromQLBadQueryError("zero or negative query resolution step")
         self.spark = spark
         self.samples = samples
+        #: opt-in exact rollup routing (timbala_spark.rollup):
+        #: resolution_ms -> rollup DataFrame built by build_rollup over
+        #: the SAME samples this context serves
+        self.rollups = rollups
         self.start = int(start_ms)
         self.end = int(end_ms)
         self.step = int(step_ms)
@@ -700,6 +705,64 @@ def _matrix_agg(
     out = g.groupBy("series_id", "step_t").agg(
         F.expr("max_by(labels, ts) AS _labels"), *agg_cols
     )
+    return _relabel_dropping_name(out)
+
+
+#: per-function (aggregate SQL exprs, final Column) for the rollup
+#: combine — mirrors the raw-path kernels in _fn_*_over_time exactly;
+#: `B` marks the boundary contribution (step_t == ts → the window
+#: STARTING at the evaluation time contributes only its t==ws samples)
+_ROLLUP_CASE = "CASE WHEN step_t = ts THEN {b} ELSE {f} END"
+
+
+def _rollup_combine(
+    ms: MatrixSelector, ctx: EvalContext, w: int, fn_name: str
+) -> DataFrame:
+    """Serve ``fn_name(ms)`` from the registered rollup of resolution
+    ``w`` — see timbala_spark.rollup for the exactness argument. The
+    plan is the raw kernel's shape (scan → grid explode → one hash
+    aggregate) over the W×-smaller rollup table; matcher/time/day
+    pushdown come from the shared ``_base_scan``."""
+    import copy
+
+    lo = ctx.start - ms.range_ms - ms.offset_ms
+    hi = ctx.end - ms.offset_ms
+    rctx = copy.copy(ctx)
+    rctx.samples = ctx.rollups[w]
+    base = _base_scan(rctx, ms.name, ms.matchers, lo, hi)
+    g = _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
+
+    def case(b: str, f: str) -> str:
+        return _ROLLUP_CASE.format(b=b, f=f)
+
+    aggs = [
+        F.expr("max_by(labels, ts) AS _labels"),
+        F.expr(f"SUM({case('s_cnt', 'cnt')}) AS _cnt"),
+    ]
+    if fn_name in ("sum_over_time", "avg_over_time"):
+        aggs.append(F.expr(f"SUM({case('s_sm', 'sm')}) AS _sm"))
+    if fn_name == "min_over_time":
+        aggs.append(F.expr(f"MIN({case('s_mn', 'mn')}) AS _v"))
+    if fn_name == "max_over_time":
+        aggs.append(F.expr(f"MAX({case('s_mx', 'mx')}) AS _v"))
+    if fn_name in ("min_over_time", "max_over_time"):
+        aggs.append(F.expr(f"MAX({case('s_nan', 'nan')}) AS _nan"))
+    out = (
+        g.groupBy("series_id", "step_t")
+        .agg(*aggs)
+        # a step whose only contribution is an empty boundary term has
+        # no raw samples in its range — the raw path emits no row
+        .filter(F.col("_cnt") > 0)
+    )
+    if fn_name == "count_over_time":
+        final = F.col("_cnt").cast("double")
+    elif fn_name == "sum_over_time":
+        final = F.col("_sm")
+    elif fn_name == "avg_over_time":
+        final = F.col("_sm") / F.col("_cnt")
+    else:  # min/max: NaN if ANY raw sample was NaN (Go math.Min/Max)
+        final = F.when(F.col("_nan") == 1, _nan_lit()).otherwise(F.col("_v"))
+    out = out.withColumn("_v", final.cast("double")).drop("_cnt", "_sm", "_nan")
     return _relabel_dropping_name(out)
 
 
@@ -1876,6 +1939,31 @@ class Compiler:
     # ---- *_over_time -------------------------------------------------
     def _over_time(self, node, agg: dict[str, Column], final: Column) -> VectorValue:
         ms = self._matrix_arg(node.args[0] if node.func.name != "quantile_over_time" else node.args[1])
+        if self.ctx.rollups:
+            # opt-in EXACT rollup routing (timbala_spark.rollup): serve
+            # the decomposable *_over_time family from a registered
+            # downsampled table when its windows tile this query's
+            # inclusive ranges exactly; otherwise fall through to raw
+            from .rollup import pick_rollup
+
+            w = pick_rollup(
+                self.ctx.rollups,
+                ms.range_ms,
+                ms.offset_ms,
+                self.ctx.start,
+                self.ctx.step,
+                self.ctx.n_steps,
+                node.func.name,
+            )
+            if w is not None:
+                df = _rollup_combine(ms, self.ctx, w, node.func.name)
+                out = df.select(
+                    "step_t",
+                    "labels",
+                    F.col("_v").alias("v"),
+                    F.lit(None).cast("long").alias("sample_t"),
+                )
+                return VectorValue(out)
         df = _matrix_agg(ms, self.ctx, agg)
         out = df.select(
             "step_t",

@@ -50,15 +50,24 @@ class Engine:
         strict: bool = True,
         max_points: int = MAX_POINTS_PER_SERIES,
         prepare: bool = False,
+        rollups: dict | None = None,
     ):
         """``samples`` must be in the canonical long format
         (``model.SAMPLES_SCHEMA``); pass ``prepare=True`` to normalize an
-        arbitrary (labels, t, v) frame."""
+        arbitrary (labels, t, v) frame.
+
+        ``rollups`` (opt-in): ``{resolution_ms: rollup_df}`` built by
+        :func:`timbala_spark.rollup.build_rollup` over the SAME samples
+        — decomposable ``*_over_time`` calls whose ranges tile exactly
+        are served from the downsampled table with identical results
+        (see that module's exactness argument); everything else falls
+        back to the raw path automatically."""
         self.spark = spark
         self.samples = prepare_samples(samples) if prepare else samples
         self.lookback_ms = lookback_ms
         self.strict = strict
         self.max_points = max_points
+        self.rollups = rollups
         # Compiled-plan cache: identical (promql, grid) requests return
         # the SAME DataFrame object, so Catalyst analysis/optimization
         # runs once per distinct query shape — the analog of the
@@ -168,6 +177,7 @@ class Engine:
             step_ms,
             lookback_ms=self.lookback_ms,
             strict=self.strict,
+            rollups=self.rollups,
         )
 
     def _shape(self, val, ctx: EvalContext, sorted_out: bool = False) -> DataFrame:
