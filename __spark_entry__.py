@@ -183,15 +183,38 @@ def q_promql_sum_by(spark, sf_dir):
 
 
 def q_promql_rate_range(spark, sf_dir):
+    """Tagged union: the raw lag-kernel rate plus the SAME query served
+    from the 1 h multi-aggregate rollup (timbala_spark.rollup r7
+    extension — within-window corr/first/last pre-aggregates plus
+    cross-window lag) on a window-aligned grid; the oracle computes
+    BOTH branches' extrapolation formula from raw samples."""
     eng, t = _engine(spark, sf_dir)
     df = eng.query_range(
         "sum by (user) (rate(click[4h]))", (t - 24 * HOUR) / 1000, t / 1000, 7200
     )
-    return df.select(
+    raw = df.select(
         label_get(F.col("labels"), "user").alias("user"),
         F.col("t"),
         F.round("v", 6).alias("v"),
     )
+    reng, _ = _rollup_engine(spark, sf_dir)
+    from timbala_spark.rollup import pick_rollup
+
+    t_al = t - (t % ROLLUP_MS)
+    start, end, step = t_al - 24 * HOUR, t_al, 7200
+    # loud guard: this branch must actually ROUTE (silent fallback
+    # would pass the oracle while proving nothing)
+    assert pick_rollup(
+        reng.rollups, 4 * HOUR, 0, start, step * 1000, 13, "rate"
+    ) == ROLLUP_MS
+    routed = reng.query_range(
+        "sum by (user) (rate(click[4h]))", start / 1000, end / 1000, step
+    ).select(
+        label_get(F.col("labels"), "user").alias("user"),
+        F.col("t"),
+        F.round("v", 6).alias("v"),
+    )
+    return _tagged_union(("raw", raw), ("rollup", routed))
 
 
 def q_promql_avg_over_time(spark, sf_dir):
@@ -1123,9 +1146,14 @@ SELECT user, ROUND(v, 6) AS v FROM latest WHERE name = 'click'
 SELECT user, ROUND(SUM(v), 6) AS v FROM latest GROUP BY user
 """
 
-    sql["promql_rate_range"] = _PRELUDE + f"""
+    def _rate_body(step0: str) -> str:
+        # the full extrapolation formula (functions.go:99-119) in
+        # DuckDB SQL over raw samples, parameterized by the grid start
+        # expression — shared by the raw branch (tend-anchored grid)
+        # and the rollup-routed branch (hour-aligned grid)
+        return f"""
 , steps AS (
-  SELECT tend - {h24} + i * 7200000 AS step_t FROM tmax, range(13) r(i)
+  SELECT {step0} + i * 7200000 AS step_t FROM tmax, range(13) r(i)
 ),
 w AS (
   SELECT s.user, st.step_t, s.t, s.v,
@@ -1170,7 +1198,14 @@ SELECT user, step_t AS t, ROUND(SUM(val), 6) AS v
 FROM v GROUP BY user, step_t
 """
 
-    sql["promql_rate_stored"] = sql["promql_rate_range"]
+    sql["promql_rate_range"] = f"""
+SELECT 'raw' AS fn, * FROM ({_PRELUDE}{_rate_body(f"tend - {h24}")}) AS _raw
+UNION ALL
+SELECT 'rollup' AS fn, * FROM (
+{_PRELUDE}{_rate_body(f"(tend - tend % 3600000) - {h24}")}) AS _rollup
+"""
+    # the stored-layout entry keeps the plain raw shape
+    sql["promql_rate_stored"] = _PRELUDE + _rate_body(f"tend - {h24}")
 
     sql["promql_avg_over_time"] = f"""
 SELECT 'raw' AS fn, * FROM ({_PRELUDE}

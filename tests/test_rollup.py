@@ -152,6 +152,110 @@ class TestRoutedEqualsRaw:
         assert a and _same(a, b, exact=True)
 
 
+class TestPairFamilyRoutedEqualsRaw:
+    """rate/increase/delta/resets/changes served from rollups (r7).
+
+    delta/resets/changes are bit-identical (first/last/counts combine
+    exactly and the extrapolation arithmetic runs on identical
+    doubles); rate/increase re-associate the float correction sum."""
+
+    EXACT = {"delta", "resets", "changes"}
+    FNS = ["rate", "increase", "delta", "resets", "changes"]
+
+    @pytest.mark.parametrize("fn", FNS)
+    @pytest.mark.parametrize(
+        "rng_ms,step_s,off_ms",
+        [
+            (600_000, 300, 0),
+            (1_800_000, 600, 0),
+            (3_600_000, 900, 600_000),
+            (300_000, 300, 0),  # R == W: one full window + boundary
+        ],
+        ids=["10m", "30m/2W", "1h+off", "R=W"],
+    )
+    def test_answerable_range_shapes(self, engines, fn, rng_ms, step_s, off_ms):
+        raw, routed = engines
+        start, end = T0 + 3_600_000, T0 + 3 * 3_600_000
+        assert (
+            pick_rollup(
+                routed.rollups, rng_ms, off_ms, start, step_s * 1000,
+                (end - start) // (step_s * 1000) + 1, fn,
+            )
+            == W
+        )
+        rng = f"{rng_ms // 60000}m"
+        off = f" offset {off_ms // 60000}m" if off_ms else ""
+        q = f"{fn}(m[{rng}]{off})"
+        a = _canon(raw.query_range(q, start / 1000, end / 1000, step_s))
+        b = _canon(routed.query_range(q, start / 1000, end / 1000, step_s))
+        assert a, "empty result would prove nothing"
+        assert _same(a, b, exact=fn in self.EXACT), q
+
+    @pytest.mark.parametrize("fn", FNS)
+    def test_answerable_instant(self, engines, fn):
+        raw, routed = engines
+        t = (T0 + 2 * 3_600_000) / 1000
+        q = f"{fn}(m[30m])"
+        a = _canon(raw.query(q, t))
+        b = _canon(routed.query(q, t))
+        assert a and _same(a, b, exact=fn in self.EXACT)
+
+    def test_counter_semantics_on_real_counter(self, engines, spark):
+        """A monotonic-with-resets counter series: the corr term must
+        reconstruct identically from within-window pre-aggregates plus
+        cross-window boundary drops — including a reset that happens
+        exactly ACROSS a window boundary and one exactly AT a boundary
+        sample."""
+        rows, v, t = [], 0.0, T0
+        for i in range(400):
+            # resets at varied phases relative to the 5m windows,
+            # including one landing exactly on a window-start sample
+            v = 0.0 if i % 37 == 0 and i else v + (i % 7) + 0.25
+            rows.append(({"__name__": "c"}, int(t), float(v)))
+            t += 75_000  # W/4: every 4th sample on a boundary
+        df = prepare_samples(
+            spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+        ).cache()
+        ru = build_rollup(df, W).cache()
+        raw, routed = Engine(spark, df), Engine(spark, df, rollups={W: ru})
+        start, end = T0 + 3_600_000, T0 + 6 * 3_600_000
+        for q in ("rate(c[30m])", "increase(c[1h])", "resets(c[30m])"):
+            a = _canon(raw.query_range(q, start / 1000, end / 1000, 600))
+            b = _canon(routed.query_range(q, start / 1000, end / 1000, 600))
+            assert a and _same(a, b, exact=q.startswith("resets")), q
+
+    def test_sparse_series_cross_window_gaps(self, engines, spark):
+        """Windows with gaps between them: the cross-window pair is
+        (last of window i, first of window j) for NON-adjacent present
+        windows too — the lag is over present rows, mirroring raw
+        consecutiveness."""
+        rows = [
+            ({"__name__": "g"}, int(T0 + dt), val)
+            for dt, val in [
+                (0, 10.0), (60_000, 4.0),          # window 0: reset in-window
+                (3 * W, 2.0),                       # gap; drop 4->2 across
+                (3 * W + 150_000, 7.0),
+                (7 * W, 1.0),                       # another gap, drop 7->1
+                (8 * W, 9.0),                       # boundary-aligned
+            ]
+        ]
+        df = prepare_samples(
+            spark.createDataFrame(
+                rows, "labels map<string,string>, t long, v double"
+            )
+        )
+        ru = build_rollup(df, W)
+        raw, routed = Engine(spark, df), Engine(spark, df, rollups={W: ru})
+        end = T0 + 8 * W
+        for q in ("increase(g[40m])", "delta(g[40m])", "resets(g[40m])",
+                  "changes(g[40m])"):
+            a = _canon(raw.query(q, end / 1000))
+            b = _canon(routed.query(q, end / 1000))
+            assert a and _same(a, b, exact=not q.startswith("increase")), q
+
+
 class TestPickRollup:
     RU = {300_000: "r5m", 600_000: "r10m"}
 
@@ -175,8 +279,12 @@ class TestPickRollup:
         # range smaller than every resolution
         assert pick_rollup(**{**ok, "range_ms": 150_000}) is None
         # non-routable function / no rollups registered
-        assert pick_rollup(**{**ok, "fn_name": "stddev_over_time"}) is None
+        assert pick_rollup(**{**ok, "fn_name": "quantile_over_time"}) is None
+        assert pick_rollup(**{**ok, "fn_name": "irate"}) is None
         assert pick_rollup(**{**ok, "rollups": None}) is None
+        # the pair family routes under the same tiling conditions (r7)
+        assert pick_rollup(**{**ok, "fn_name": "rate"}) == 600_000
+        assert pick_rollup(**{**ok, "fn_name": "changes", "range_ms": 450_000}) is None
 
 
 class TestBuildRollup:

@@ -739,8 +739,15 @@ def _rollup_combine(
         F.expr("max_by(labels, ts) AS _labels"),
         F.expr(f"SUM({case('s_cnt', 'cnt')}) AS _cnt"),
     ]
-    if fn_name in ("sum_over_time", "avg_over_time"):
+    if fn_name in (
+        "sum_over_time",
+        "avg_over_time",
+        "stddev_over_time",
+        "stdvar_over_time",
+    ):
         aggs.append(F.expr(f"SUM({case('s_sm', 'sm')}) AS _sm"))
+    if fn_name in ("stddev_over_time", "stdvar_over_time"):
+        aggs.append(F.expr(f"SUM({case('s_sq', 'sq')}) AS _sq"))
     if fn_name == "min_over_time":
         aggs.append(F.expr(f"MIN({case('s_mn', 'mn')}) AS _v"))
     if fn_name == "max_over_time":
@@ -760,9 +767,84 @@ def _rollup_combine(
         final = F.col("_sm")
     elif fn_name == "avg_over_time":
         final = F.col("_sm") / F.col("_cnt")
+    elif fn_name in ("stddev_over_time", "stdvar_over_time"):
+        # the engine's bug-for-bug NAIVE variance (sumsq/n - mean^2,
+        # _NAIVE_VAR_AGGS) — decomposable because it is built from
+        # plain sums; same float-re-association class as sum/avg
+        n = F.col("_cnt").cast("double")
+        mean = F.col("_sm") / n
+        var = F.col("_sq") / n - mean * mean
+        final = F.sqrt(var) if fn_name == "stddev_over_time" else var
     else:  # min/max: NaN if ANY raw sample was NaN (Go math.Min/Max)
         final = F.when(F.col("_nan") == 1, _nan_lit()).otherwise(F.col("_v"))
-    out = out.withColumn("_v", final.cast("double")).drop("_cnt", "_sm", "_nan")
+    drop = [c for c in ("_cnt", "_sm", "_sq", "_nan") if c in out.columns]
+    out = out.withColumn("_v", final.cast("double")).drop(*drop)
+    return _relabel_dropping_name(out)
+
+
+def _rollup_pair_grid(ms: MatrixSelector, ctx: EvalContext, w: int) -> DataFrame:
+    """Grid-exploded rollup rows normalized for the consecutive-pair
+    family (rate/increase/delta/resets/changes) — see
+    timbala_spark.rollup's decomposition argument.
+
+    Each in-range row is either a FULL window (its stored aggregates
+    apply) or the BOUNDARY window starting exactly at the evaluation
+    time (``step_t = ts`` — only its ``t == ws`` sample, at most one by
+    canonical uniqueness, is in the inclusive range, so first = last =
+    that sample and the pair aggregates contribute nothing). Rows whose
+    effective contribution is empty are dropped, then one lag over the
+    per-(series, step) window sequence reconstructs the cross-window
+    pair (last sample of window i, first sample of window i+1) — those
+    two samples are consecutive in raw order because the intervening
+    time belongs to windows that would otherwise be present rows.
+
+    Output: e_cnt, e_f_ts/e_f_v/e_l_ts/e_l_v (shifted times),
+    e_corr/e_rst/e_chg (within-window pair aggregates) and prev_l_v
+    (previous in-range window's last value, NULL for the first). The
+    window partition (series_id, step_t) matches the downstream groupBy
+    exactly, so the sort and the aggregate share ONE exchange.
+    """
+    import copy
+
+    lo = ctx.start - ms.range_ms - ms.offset_ms
+    hi = ctx.end - ms.offset_ms
+    rctx = copy.copy(ctx)
+    rctx.samples = ctx.rollups[w]
+    base = _base_scan(rctx, ms.name, ms.matchers, lo, hi)
+    g = _explode_grid(ctx, base, ms.offset_ms, ms.range_ms)
+    off = int(ms.offset_ms)
+    b = "(step_t = ts)"
+    g = g.selectExpr(
+        "*",
+        f"CASE WHEN {b} THEN s_cnt ELSE cnt END AS e_cnt",
+        f"CASE WHEN {b} THEN s_sm ELSE f_v END AS e_f_v",
+        f"CASE WHEN {b} THEN s_sm ELSE l_v END AS e_l_v",
+        f"CAST((CASE WHEN {b} THEN t ELSE f_t END) + {off} AS BIGINT)"
+        " AS e_f_ts",
+        f"CAST((CASE WHEN {b} THEN t ELSE l_t END) + {off} AS BIGINT)"
+        " AS e_l_ts",
+        f"CASE WHEN {b} THEN 0.0D ELSE corr END AS e_corr",
+        f"CASE WHEN {b} THEN 0.0D ELSE rst END AS e_rst",
+        f"CASE WHEN {b} THEN 0.0D ELSE chg END AS e_chg",
+    ).filter("e_cnt > 0")
+    return g.selectExpr(
+        "*",
+        "lag(e_l_v) OVER (PARTITION BY series_id, step_t ORDER BY ts)"
+        " AS prev_l_v",
+    )
+
+
+def _rollup_pair_agg(
+    ms: MatrixSelector, ctx: EvalContext, w: int, pair_aggs
+) -> DataFrame:
+    """The rollup-served analog of ``_pair_kernel_agg``: aggregate the
+    normalized pair grid per (series, step). ``pair_aggs`` returns the
+    aliased aggregate columns (no prev-in-window test is needed — every
+    cross-window pair on the grid is in range by construction)."""
+    g = _rollup_pair_grid(ms, ctx, w)
+    out = g.groupBy("series_id", "step_t").agg(
+        F.expr("max_by(labels, ts) AS _labels"), *pair_aggs()
+    )
     return _relabel_dropping_name(out)
 
 
@@ -820,6 +902,47 @@ def _pair_kernel_agg(
         F.expr("max_by(labels, ts) AS _labels"), *pair_aggs(prev_in_sql)
     )
     return _relabel_dropping_name(out)
+
+
+def _extrapolated_val_sql(range_ms: int, is_counter: bool, is_rate: bool) -> str:
+    """The extrapolation formula at ``functions.go:99-119`` as a SQL
+    expression over the shared aggregate contract ``_n``/``_first_t``/
+    ``_last_t``/``_first_v``/``_last_v``[/``_corr``] + ``step_t`` —
+    produced identically by the raw lag kernel (``_pair_kernel_agg``)
+    and the rollup combine (``_rollup_pair_agg``), so rate/increase/
+    delta share one post-aggregation tail for both paths. Every float
+    literal carries the D suffix so it parses as DOUBLE (PERF §13)."""
+    range_start = f"CAST(step_t - {int(range_ms)} AS DOUBLE)"
+    range_end = "CAST(step_t AS DOUBLE)"
+    first_t = "CAST(_first_t AS DOUBLE)"
+    last_t = "CAST(_last_t AS DOUBLE)"
+    dur_start = f"(({first_t} - {range_start}) / 1000.0D)"
+    dur_end = f"(({range_end} - {last_t}) / 1000.0D)"
+    sampled = f"(({last_t} - {first_t}) / 1000.0D)"
+    avg_between = f"({sampled} / CAST(_n - 1 AS DOUBLE))"
+    if is_counter:
+        base = "(_last_v - _first_v + _corr)"
+        # counter zero-point clamp (functions.go:107-113)
+        dur_zero = f"({sampled} * (_first_v / {base}))"
+        dur_start = (
+            f"(CASE WHEN {base} > 0 AND _first_v >= 0 "
+            f"AND {dur_zero} < {dur_start} "
+            f"THEN {dur_zero} ELSE {dur_start} END)"
+        )
+    else:
+        base = "(_last_v - _first_v)"
+    threshold = f"({avg_between} * 1.1D)"
+    extrap = (
+        f"({sampled} "
+        f"+ (CASE WHEN {dur_start} < {threshold} THEN {dur_start} "
+        f"ELSE {avg_between} / 2 END) "
+        f"+ (CASE WHEN {dur_end} < {threshold} THEN {dur_end} "
+        f"ELSE {avg_between} / 2 END))"
+    )
+    val = f"({base} * ({extrap} / {sampled}))"
+    if is_rate:
+        val = f"({val} / {range_ms / 1000.0!r}D)"
+    return val
 
 
 def _relabel_dropping_name(out: DataFrame) -> DataFrame:
@@ -2146,37 +2269,11 @@ class Compiler:
                 )
             return cols
 
-        df = _pair_kernel_agg(ms, self.ctx, aggs).filter("_n >= 2")
-        range_start = f"CAST(step_t - {int(ms.range_ms)} AS DOUBLE)"
-        range_end = "CAST(step_t AS DOUBLE)"
-        first_t = "CAST(_first_t AS DOUBLE)"
-        last_t = "CAST(_last_t AS DOUBLE)"
-        dur_start = f"(({first_t} - {range_start}) / 1000.0D)"
-        dur_end = f"(({range_end} - {last_t}) / 1000.0D)"
-        sampled = f"(({last_t} - {first_t}) / 1000.0D)"
-        avg_between = f"({sampled} / CAST(_n - 1 AS DOUBLE))"
-        if is_counter:
-            base = "(_last_v - _first_v + _corr)"
-            # counter zero-point clamp (functions.go:107-113)
-            dur_zero = f"({sampled} * (_first_v / {base}))"
-            dur_start = (
-                f"(CASE WHEN {base} > 0 AND _first_v >= 0 "
-                f"AND {dur_zero} < {dur_start} "
-                f"THEN {dur_zero} ELSE {dur_start} END)"
-            )
-        else:
-            base = "(_last_v - _first_v)"
-        threshold = f"({avg_between} * 1.1D)"
-        extrap = (
-            f"({sampled} "
-            f"+ (CASE WHEN {dur_start} < {threshold} THEN {dur_start} "
-            f"ELSE {avg_between} / 2 END) "
-            f"+ (CASE WHEN {dur_end} < {threshold} THEN {dur_end} "
-            f"ELSE {avg_between} / 2 END))"
-        )
-        val = f"({base} * ({extrap} / {sampled}))"
-        if is_rate:
-            val = f"({val} / {ms.range_ms / 1000.0!r}D)"
+        df = self._route_rate_rollup(ms, is_counter)
+        if df is None:
+            df = _pair_kernel_agg(ms, self.ctx, aggs)
+        df = df.filter("_n >= 2")
+        val = _extrapolated_val_sql(ms.range_ms, is_counter, is_rate)
         out = df.selectExpr(
             "step_t",
             "labels",
@@ -2184,6 +2281,55 @@ class Compiler:
             "CAST(NULL AS BIGINT) AS sample_t",
         )
         return VectorValue(out)
+
+    def _route_rate_rollup(self, ms, is_counter: bool) -> DataFrame | None:
+        """Opt-in EXACT rollup routing for the extrapolation family
+        (timbala_spark.rollup): produce the same ``_n``/``_first_*``/
+        ``_last_*``/``_corr`` frame ``_pair_kernel_agg`` yields, from
+        the registered rollup — first/last via min_by/max_by over the
+        per-window first/last columns, the reset correction as the sum
+        of within-window pre-aggregates plus cross-window boundary
+        drops reconstructed by the pair grid's lag. Returns None when
+        no registered resolution tiles this query (→ raw path)."""
+        if not self.ctx.rollups:
+            return None
+        from .rollup import pick_rollup
+
+        fn = "rate" if is_counter else "delta"
+        w = pick_rollup(
+            self.ctx.rollups,
+            ms.range_ms,
+            ms.offset_ms,
+            self.ctx.start,
+            self.ctx.step,
+            self.ctx.n_steps,
+            fn,
+        )
+        if w is None:
+            return None
+
+        def aggs():
+            cols = [
+                F.expr("sum(e_cnt) AS _n"),
+                F.expr("min(e_f_ts) AS _first_t"),
+                F.expr("max(e_l_ts) AS _last_t"),
+                F.expr("min_by(e_f_v, e_f_ts) AS _first_v"),
+                F.expr("max_by(e_l_v, e_l_ts) AS _last_v"),
+            ]
+            if is_counter:
+                # same NaN guards as the raw kernel (Go `v < last` is
+                # FALSE when either side is NaN)
+                cols.append(
+                    F.expr(
+                        "sum(e_corr + CASE WHEN prev_l_v IS NOT NULL "
+                        "AND NOT isnan(e_f_v) AND NOT isnan(prev_l_v) "
+                        "AND e_f_v < prev_l_v THEN prev_l_v "
+                        "ELSE 0.0D END) AS _corr"
+                    )
+                )
+            return cols
+
+        return _rollup_pair_agg(ms, self.ctx, w, aggs)
 
     def _fn_rate(self, node):
         return self._rate_like(node, is_counter=True, is_rate=True)
@@ -2256,12 +2402,57 @@ class Compiler:
                 )
             ]
 
-        df = _pair_kernel_agg(ms, self.ctx, aggs)
+        df = self._route_pair_count_rollup(ms, node.func.name)
+        if df is None:
+            df = _pair_kernel_agg(ms, self.ctx, aggs)
         out = df.select(
             "step_t", "labels", F.col("_cnt").cast("double").alias("v"),
             F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
+
+    def _route_pair_count_rollup(self, ms, fn_name: str) -> DataFrame | None:
+        """Rollup routing for resets/changes: within-window counts are
+        pre-aggregated at build time (``rst``/``chg``); the cross-window
+        pair is evaluated with the SAME raw condition re-bound to
+        (prev window's last value, next window's first value)."""
+        if not self.ctx.rollups:
+            return None
+        from .rollup import pick_rollup
+
+        w = pick_rollup(
+            self.ctx.rollups,
+            ms.range_ms,
+            ms.offset_ms,
+            self.ctx.start,
+            self.ctx.step,
+            self.ctx.n_steps,
+            fn_name,
+        )
+        if w is None:
+            return None
+        if fn_name == "resets":
+            within = "e_rst"
+            cross = (
+                "NOT isnan(prev_l_v) AND NOT isnan(e_f_v)"
+                " AND e_f_v < prev_l_v"
+            )
+        else:  # changes
+            within = "e_chg"
+            cross = (
+                "e_f_v != prev_l_v"
+                " AND NOT (isnan(e_f_v) AND isnan(prev_l_v))"
+            )
+
+        def aggs():
+            return [
+                F.expr(
+                    f"sum({within} + CASE WHEN prev_l_v IS NOT NULL "
+                    f"AND ({cross}) THEN 1.0D ELSE 0.0D END) AS _cnt"
+                )
+            ]
+
+        return _rollup_pair_agg(ms, self.ctx, w, aggs)
 
     def _fn_resets(self, node):
         # Go `cur < prev` is FALSE whenever either side is NaN

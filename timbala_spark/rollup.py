@@ -29,11 +29,29 @@ re-association — the same reordering Spark's own partial aggregation
 already applies to the raw path, and within the vendored engine's
 ``almostEqual`` comparison.
 
-Routable today: ``sum_over_time`` ``count_over_time`` ``min_over_time``
-``max_over_time`` ``avg_over_time`` (the decomposable ``*_over_time``
-family). ``stddev/stdvar/quantile_over_time`` need sum-of-squares /
-full distributions; ``rate``-family needs per-window counter-reset
-chains — both possible extensions, not implemented.
+Routable today (r7 extension): the decomposable ``*_over_time``
+family — ``sum`` ``count`` ``min`` ``max`` ``avg`` plus ``stddev``/
+``stdvar`` (the engine's bug-for-bug naive ``sumsq/n − mean²`` variance
+is itself decomposable, so each window also stores the sum of squares)
+— AND the extrapolation/pair family ``rate`` ``increase`` ``delta``
+``resets`` ``changes``. The pair family decomposes because consecutive
+retained-sample pairs either lie within one window (pre-aggregated at
+build time into ``corr``/``rst``/``chg`` via the same lag pass the raw
+kernel uses) or straddle two *adjacent present* windows — and with the
+range tiled by whole windows, the straddling pair is always (last
+sample of window i, first sample of window i+1), reconstructed at
+query time from the stored ``f_*``/``l_*`` columns by one lag over the
+per-step window sequence. first/last/count/reset-counts are
+bit-identical; the extrapolation formula is post-aggregation
+arithmetic on them, so rate/increase/delta land in the same exactness
+class as ``sum`` (float re-association only, in ``corr``).
+``quantile_over_time`` needs the full distribution and
+``irate``/``idelta`` need raw inter-sample spacing — not routable.
+
+Invariant relied on by the pair family: canonical samples are unique
+per ``(series_id, t)`` (``model.prepare_samples`` dup-drop), so a
+window's start-boundary sub-aggregate describes at most ONE sample and
+``s_sm`` IS that sample's value.
 
 100 TB design notes: ``build_rollup`` is one hash aggregation keyed by
 ``(series_id, window)`` — map-side partial, no join, output is W/scrape
@@ -48,7 +66,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: functions servable from a multi-aggregate rollup, exactly
+#: decomposable *_over_time functions servable from a rollup, exactly
 ROUTABLE_OVER_TIME = frozenset(
     {
         "sum_over_time",
@@ -56,8 +74,16 @@ ROUTABLE_OVER_TIME = frozenset(
         "min_over_time",
         "max_over_time",
         "avg_over_time",
+        "stddev_over_time",
+        "stdvar_over_time",
     }
 )
+
+#: consecutive-pair / extrapolation functions servable from a rollup
+#: via within-window pre-aggregates + cross-window lag (r7)
+ROUTABLE_PAIR = frozenset({"rate", "increase", "delta", "resets", "changes"})
+
+ROUTABLE = ROUTABLE_OVER_TIME | ROUTABLE_PAIR
 
 
 def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
@@ -68,36 +94,74 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
     (``name``, ``labels``, ``series_id``, ``t`` = window START, plus
     ``day`` for partition pruning) and the aggregate payload:
 
-    * ``cnt``/``sm`` — count (NaN samples included, like
-      ``count_over_time``) and float sum (NaN-propagating, like
-      ``sum_over_time``) of the window's samples;
+    * ``cnt``/``sm``/``sq`` — count (NaN samples included, like
+      ``count_over_time``), float sum and float sum of squares
+      (NaN-propagating, like ``sum_over_time`` / the naive variance)
+      of the window's samples;
     * ``mn``/``mx``/``nan`` — min/max over non-NaN samples (NULL when
       all are NaN) and a had-NaN flag, because the vendored
       ``min/max_over_time`` return NaN if ANY sample is NaN
       (``functions.go`` math.Min/Max semantics);
-    * ``s_cnt``/``s_sm``/``s_mn``/``s_mx``/``s_nan`` — the same five,
-      restricted to samples at EXACTLY the window start (``t == ws``):
-      the boundary term of the inclusive-range decomposition above.
+    * ``f_t``/``f_v``/``l_t``/``l_v`` — the window's first/last sample
+      (raw time + value), the combine inputs for the rate family's
+      extrapolation (``functions.go:99-119``) and for cross-window
+      pair reconstruction;
+    * ``corr``/``rst``/``chg`` — consecutive-pair aggregates over pairs
+      whose BOTH samples lie in this window, with the raw kernels' NaN
+      guards (``compiler._fn_resets/_fn_changes``): counter-reset drop
+      sum (rate's correction term), reset count, change count;
+    * ``s_cnt``/``s_sm``/``s_sq``/``s_mn``/``s_mx``/``s_nan`` — the
+      scalar aggregates restricted to samples at EXACTLY the window
+      start (``t == ws``): the boundary term of the inclusive-range
+      decomposition above. Pair aggregates need no boundary variant —
+      a boundary term holds at most one sample (canonical
+      ``(series_id, t)`` uniqueness), hence no within-boundary pairs,
+      and its value for cross-window pairing IS ``s_sm``.
 
     Stale markers (NULL ``v``) are dropped first — range vectors never
-    see them (``engine.go:869``), so neither may rollups.
+    see them (``engine.go:869``), so neither may rollups. The pair
+    columns add one per-series time sort to the build (the same lag
+    window the raw rate kernel runs per QUERY, ``_matrix_lagged``);
+    the build stays one shuffle + one hash aggregation.
     """
     w = int(resolution_ms)
     if w <= 0:
         raise ValueError("resolution_ms must be positive")
-    base = samples.filter(F.col("v").isNotNull()).selectExpr(
-        "*", f"CAST(t - pmod(t, {w}) AS BIGINT) AS _ws"
+    base = (
+        samples.filter(F.col("v").isNotNull())
+        .selectExpr(
+            "*",
+            "lag(t) OVER (PARTITION BY series_id ORDER BY t) AS _pt",
+            "lag(v) OVER (PARTITION BY series_id ORDER BY t) AS _pv",
+        )
+        .selectExpr("*", f"CAST(t - pmod(t, {w}) AS BIGINT) AS _ws")
+    )
+    # both ends of the pair are in this window iff the predecessor is
+    # (windows tile time and _pt < t)
+    pair_in = "(_pt IS NOT NULL AND _pt >= _ws)"
+    is_reset = f"{pair_in} AND NOT isnan(_pv) AND NOT isnan(v) AND v < _pv"
+    is_change = (
+        f"{pair_in} AND v != _pv AND NOT (isnan(v) AND isnan(_pv))"
     )
     out = base.groupBy("series_id", "_ws").agg(
         F.expr("min(name) AS name"),
         F.expr("max_by(labels, t) AS labels"),
         F.expr("count(1) AS cnt"),
         F.expr("sum(v) AS sm"),
+        F.expr("sum(v * v) AS sq"),
         F.expr("min(CASE WHEN NOT isnan(v) THEN v END) AS mn"),
         F.expr("max(CASE WHEN NOT isnan(v) THEN v END) AS mx"),
         F.expr("max(CAST(isnan(v) AS INT)) AS nan"),
+        F.expr("min(t) AS f_t"),
+        F.expr("min_by(v, t) AS f_v"),
+        F.expr("max(t) AS l_t"),
+        F.expr("max_by(v, t) AS l_v"),
+        F.expr(f"sum(CASE WHEN {is_reset} THEN _pv ELSE 0.0D END) AS corr"),
+        F.expr(f"sum(CASE WHEN {is_reset} THEN 1.0D ELSE 0.0D END) AS rst"),
+        F.expr(f"sum(CASE WHEN {is_change} THEN 1.0D ELSE 0.0D END) AS chg"),
         F.expr("sum(CASE WHEN t = _ws THEN 1 ELSE 0 END) AS s_cnt"),
         F.expr("sum(CASE WHEN t = _ws THEN v END) AS s_sm"),
+        F.expr("sum(CASE WHEN t = _ws THEN v * v END) AS s_sq"),
         F.expr(
             "min(CASE WHEN t = _ws AND NOT isnan(v) THEN v END) AS s_mn"
         ),
@@ -115,8 +179,9 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
         "series_id",
         "_ws AS t",
         "date_format(timestamp_millis(_ws), 'yyyyMMdd') AS day",
-        "cnt", "sm", "mn", "mx", "nan",
-        "s_cnt", "s_sm", "s_mn", "s_mx", "s_nan",
+        "cnt", "sm", "sq", "mn", "mx", "nan",
+        "f_t", "f_v", "l_t", "l_v", "corr", "rst", "chg",
+        "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan",
     )
 
 
@@ -135,7 +200,7 @@ def pick_rollup(
     windows), ``W | (start - offset)`` (every evaluation timestamp
     lands on a window boundary in raw time) and — when there is more
     than one step — ``W | step`` (so every later step does too)."""
-    if not rollups or fn_name not in ROUTABLE_OVER_TIME:
+    if not rollups or fn_name not in ROUTABLE:
         return None
     best = None
     for w in rollups:
