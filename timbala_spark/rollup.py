@@ -124,6 +124,28 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
     window the raw rate kernel runs per QUERY, ``_matrix_lagged``);
     the build stays one shuffle + one hash aggregation.
     """
+    return _build(samples, resolution_ms, identity=True)
+
+
+#: the rollup payload columns, in schema order
+PAYLOAD_COLUMNS = (
+    "cnt", "sm", "sq", "mn", "mx", "nan",
+    "f_t", "f_v", "l_t", "l_v", "corr", "rst", "chg",
+    "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan",
+)
+
+
+def build_rollup_narrow(samples: DataFrame, resolution_ms: int) -> DataFrame:
+    """``build_rollup`` over a NARROW samples frame (``series_id``,
+    ``t``, ``v`` — the split store's samples side, no name/labels):
+    output is ``series_id``, ``t`` (window start), ``day`` + the
+    payload columns. The read path joins the store's series dictionary
+    to recover name/labels, exactly like ``ingest.read_samples_table``
+    — the rollup never duplicates the labels map on disk."""
+    return _build(samples, resolution_ms, identity=False)
+
+
+def _build(samples: DataFrame, resolution_ms: int, identity: bool) -> DataFrame:
     w = int(resolution_ms)
     if w <= 0:
         raise ValueError("resolution_ms must be positive")
@@ -143,9 +165,13 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
     is_change = (
         f"{pair_in} AND v != _pv AND NOT (isnan(v) AND isnan(_pv))"
     )
-    out = base.groupBy("series_id", "_ws").agg(
-        F.expr("min(name) AS name"),
-        F.expr("max_by(labels, t) AS labels"),
+    aggs = []
+    if identity:
+        aggs += [
+            F.expr("min(name) AS name"),
+            F.expr("max_by(labels, t) AS labels"),
+        ]
+    aggs += [
         F.expr("count(1) AS cnt"),
         F.expr("sum(v) AS sm"),
         F.expr("sum(v * v) AS sq"),
@@ -172,16 +198,15 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
             "max(CASE WHEN t = _ws THEN CAST(isnan(v) AS INT) ELSE 0 END)"
             " AS s_nan"
         ),
-    )
+    ]
+    out = base.groupBy("series_id", "_ws").agg(*aggs)
+    head = ["name", "labels"] if identity else []
     return out.selectExpr(
-        "name",
-        "labels",
+        *head,
         "series_id",
         "_ws AS t",
         "date_format(timestamp_millis(_ws), 'yyyyMMdd') AS day",
-        "cnt", "sm", "sq", "mn", "mx", "nan",
-        "f_t", "f_v", "l_t", "l_v", "corr", "rst", "chg",
-        "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan",
+        *PAYLOAD_COLUMNS,
     )
 
 

@@ -121,6 +121,7 @@ class TimbalaServer:
         maintenance_interval_s: float | None = None,
         rules: str | None = None,
         rule_interval_s: float = 15.0,
+        rollup_resolutions_ms: tuple[int, ...] = (),
     ) -> None:
         """``maintenance_interval_s`` starts a background maintenance
         loop with :meth:`start` — the analog of the reference's
@@ -142,9 +143,21 @@ class TimbalaServer:
         the next query sees them. Alerting FOR clocks restore from
         persisted ALERTS_FOR_STATE on startup (outage tolerance) —
         the reference binary wires no rule engine; this is the
-        documented Spark-native extension (SURVEY §2.8)."""
+        documented Spark-native extension (SURVEY §2.8).
+
+        ``rollup_resolutions_ms``: resolutions of EXACT multi-aggregate
+        rollups (:mod:`timbala_spark.rollup`) each maintenance pass
+        materializes into the compacted generation; the engine serves
+        answerable ``*_over_time``/rate-family shapes from them and
+        falls back to raw otherwise. Appends after compaction dirty
+        the generation, which disables its rollups until the next pass
+        (``ingest.read_rollup_tables``) — exactness is structural, not
+        scheduled."""
         self.spark = spark
         self.store_path = store_path
+        self.rollup_resolutions_ms = tuple(
+            int(w) for w in rollup_resolutions_ms
+        )
         self.maintenance_interval_s = maintenance_interval_s
         self._maint_stop = threading.Event()
         self._maint_thread: threading.Thread | None = None
@@ -272,13 +285,22 @@ class TimbalaServer:
         self._maint_stop.set()
         if self._maint_thread:
             self._maint_thread.join(timeout=60)
-        self._httpd.shutdown()
+        if self._thread or self._serving_fg:
+            # shutdown() blocks until serve_forever acknowledges — it
+            # would hang forever on a server that was never started
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=10)
 
+    _serving_fg = False  # foreground serve_forever() in progress
+
     def serve_forever(self) -> None:
-        self._httpd.serve_forever()
+        self._serving_fg = True
+        try:
+            self._httpd.serve_forever()
+        finally:
+            self._serving_fg = False
 
     # -- engine over the store ----------------------------------------
 
@@ -297,6 +319,14 @@ class TimbalaServer:
                 kw = {}
                 if self._lookback_ms is not None:
                     kw["lookback_ms"] = self._lookback_ms
+                if self.rollup_resolutions_ms:
+                    from .streaming.ingest import read_rollup_tables
+
+                    # {} on a dirty generation — the engine then takes
+                    # the raw path for every shape (exactness gate)
+                    kw["rollups"] = read_rollup_tables(
+                        self.spark, self.store_path
+                    ) or None
                 self._api = PromAPI(
                     Engine(self.spark, samples, **kw), **self._api_kw
                 )
@@ -321,7 +351,11 @@ class TimbalaServer:
         from .streaming.compact import compact_store
 
         with self._store_lock:
-            compact_store(self.spark, self.store_path)
+            compact_store(
+                self.spark,
+                self.store_path,
+                rollup_ms=self.rollup_resolutions_ms,
+            )
         self._invalidate_engine()
 
     # -- request plumbing ---------------------------------------------

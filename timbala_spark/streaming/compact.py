@@ -75,6 +75,7 @@ def compact_store(
     gc_keep: int = 1,
     gc_grace_s: float | None = None,
     lock_timeout_s: float = 0.0,
+    rollup_ms: tuple[int, ...] = (),
     _after_rewrite=None,
 ) -> None:
     """Rewrite the store as a new generation with large sorted files
@@ -101,12 +102,26 @@ def compact_store(
     ``maintenance_lock`` (raises ``MaintenanceLockHeldError`` if
     another maintenance pass holds it past ``lock_timeout_s``), and
     the commit is a CAS against the resolved generation — two
-    committers can never both claim ``gen-N+1``."""
+    committers can never both claim ``gen-N+1``.
+
+    ``rollup_ms``: resolutions (ms) of multi-aggregate downsampled
+    rollups (:mod:`timbala_spark.rollup`) to materialize as part of
+    the new generation — the Thanos-compactor-downsampling analog,
+    except EXACT by construction: each ``rollup-<W>/`` table is built
+    from the generation's own compacted, deduped samples, so it
+    describes precisely the rows the generation serves, and the read
+    path (``ingest.read_rollup_tables``) refuses rollups whenever the
+    generation is dirty (straggler carry-over or later appends) —
+    staleness is therefore impossible, queries just fall back to raw
+    until the next pass. Narrow layout (no name/labels; the dict joins
+    at read), day-partitioned for the same pruning as samples."""
     with maintenance_lock(path, timeout_s=lock_timeout_s):
-        _compact_locked(spark, path, gc_keep, gc_grace_s, _after_rewrite)
+        _compact_locked(
+            spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite
+        )
 
 
-def _compact_locked(spark, path, gc_keep, gc_grace_s, _after_rewrite):
+def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite):
     src = resolve_store(path)
     if not os.path.isdir(src.samples):
         return  # nothing written yet
@@ -134,6 +149,25 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, _after_rewrite):
         .write.mode("overwrite")
         .parquet(new_d)
     )
+    for w in rollup_ms:
+        # built from the generation's OWN compacted output (already
+        # (series_id, t)-deduped above), so rollup content == served
+        # content by construction; sorted like the samples for the
+        # same row-group pruning
+        from ..rollup import build_rollup_narrow
+
+        (
+            build_rollup_narrow(
+                spark.read.parquet(new_s).select("series_id", "t", "v"),
+                int(w),
+            )
+            .repartitionByRange(F.col("day"), F.col("series_id"))
+            .sortWithinPartitions("series_id", "t")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("day")
+            .parquet(os.path.join(gdir, f"rollup-{int(w)}"))
+        )
     if _after_rewrite is not None:
         _after_rewrite(src)
     # straggler carry-over: appends that landed after the snapshot are
@@ -179,6 +213,11 @@ def apply_retention(
     dictionary is carried as-is; a following ``compact_store`` plus an
     anti-join against live series_ids could shrink it, but a stale
     dict entry is harmless (never matched by the samples join).
+    Rollup tables are deliberately NOT carried into the new
+    generation: a rollup window whose resolution doesn't divide a day
+    can straddle the retention cutoff, leaving it inconsistent with
+    the surviving samples — queries fall back to raw (exact) until
+    the next ``compact_store`` rebuilds rollups from the pruned data.
     Runs under the cross-process ``maintenance_lock`` with a CAS
     commit, exactly like ``compact_store``.
     """

@@ -301,6 +301,63 @@ def read_samples_table(
     return dedup_replicas(out) if dedup else out
 
 
+def read_rollup_tables(
+    spark: SparkSession, path: str
+) -> dict[int, DataFrame]:
+    """The store's committed multi-aggregate rollups, in the shape
+    ``Engine(rollups=...)`` takes — ``{resolution_ms: DataFrame}`` —
+    or ``{}`` when none are servable.
+
+    Exactness gate: rollups are materialized by ``compact_store`` from
+    the generation's own compacted samples, so they describe the
+    generation's content — UNLESS appends landed afterwards (or
+    stragglers were carried over), which the ``_dirty`` marker records.
+    A dirty generation returns ``{}`` and queries fall back to the raw
+    path; because writers create the marker BEFORE their files land
+    and the marker is only ever absent on a generation born clean, a
+    clean check here proves the rollups match every file the samples
+    scan can list. Cross-generation skew with a concurrently-built
+    samples snapshot is also exact: a clean generation's rollups
+    describe the previous generation's content post-collapse — the
+    same logical view a deduped read of that generation serves.
+
+    Narrow rollup rows join the series dictionary for name/labels,
+    exactly like :func:`read_samples_table` — same broadcast/shuffle
+    degradation, same pushdown through the (series_id, name) dedup,
+    and ``day`` rides along for partition pruning."""
+    import os
+
+    from .store import resolve_store
+
+    st = resolve_store(path)
+    gdir = os.path.dirname(st.samples)
+    out: dict[int, DataFrame] = {}
+    if st.gen == 0 or os.path.exists(st.dirty_marker):
+        return out
+    try:
+        entries = sorted(os.listdir(gdir))
+    except FileNotFoundError:
+        return out
+    d = None
+    for entry in entries:
+        if not entry.startswith("rollup-"):
+            continue
+        try:
+            w = int(entry.split("-", 1)[1])
+        except ValueError:
+            continue
+        if d is None:
+            d = spark.read.parquet(st.series).dropDuplicates(
+                ["series_id", "name"]
+            )
+        r = spark.read.parquet(os.path.join(gdir, entry))
+        payload = [c for c in r.columns if c not in ("series_id", "day")]
+        out[w] = r.join(d, "series_id").select(
+            "name", "labels", "series_id", *payload, "day"
+        )
+    return out
+
+
 def read_fanout(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Fan-out read over several stores, merged and replica-deduped.
 
