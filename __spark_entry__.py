@@ -144,13 +144,21 @@ def _stored_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
         _setup(spark)
         path = tempfile.mkdtemp(prefix="timbala_contract_store_")
         write_samples_batch(events_to_samples(spark, sf_dir), path)
-        compact_store(spark, path)
+        # the maintenance pass also materializes the 1 h rollup INTO
+        # the committed generation (timbala_spark.rollup store
+        # integration) — the stored rate entry's rollup branch then
+        # proves the whole write→compact→read→route path on the oracle
+        compact_store(spark, path, rollup_ms=(ROLLUP_MS,))
         # dedup="auto" (default) sees the cleared _dirty marker after
         # compaction and skips the replica-collapse exchange
         store = read_samples_table(spark, path)
+        from timbala_spark.streaming.ingest import read_rollup_tables
+
+        rollups = read_rollup_tables(spark, path)
+        assert rollups, "clean generation must serve its rollups"
         t_max = store.agg(F.max("t")).first()[0]
         _CACHE[key] = (
-            Engine(spark, store, lookback_ms=LOOKBACK_MS),
+            Engine(spark, store, lookback_ms=LOOKBACK_MS, rollups=rollups),
             int(t_max),
         )
     return _CACHE[key]
@@ -164,17 +172,39 @@ def q_promql_selector_stored(spark, sf_dir):
 
 
 def q_promql_rate_stored(spark, sf_dir):
-    """Range-query rate over the stored layout (same oracle as
-    ``promql_rate_range``)."""
+    """Tagged union over the STORED layout: the raw branch on the
+    t_max-anchored grid plus the SAME query on an hour-aligned grid,
+    which the engine serves from the rollup `compact_store` itself
+    materialized into the generation — the oracle computes both
+    branches from raw samples, so this entry proves the whole
+    write→compact(rollup)→read→route path end to end."""
     eng, t = _stored_engine(spark, sf_dir)
-    df = eng.query_range(
-        "sum by (user) (rate(click[4h]))", (t - 24 * HOUR) / 1000, t / 1000, 7200
-    )
-    return df.select(
+    sel = lambda df: df.select(
         label_get(F.col("labels"), "user").alias("user"),
         F.col("t"),
         F.round("v", 6).alias("v"),
     )
+    raw = sel(
+        eng.query_range(
+            "sum by (user) (rate(click[4h]))",
+            (t - 24 * HOUR) / 1000,
+            t / 1000,
+            7200,
+        )
+    )
+    from timbala_spark.rollup import pick_rollup
+
+    t_al = t - (t % ROLLUP_MS)
+    start, end, step = t_al - 24 * HOUR, t_al, 7200
+    assert pick_rollup(
+        eng.rollups, 4 * HOUR, 0, start, step * 1000, 13, "rate"
+    ) == ROLLUP_MS
+    routed = sel(
+        eng.query_range(
+            "sum by (user) (rate(click[4h]))", start / 1000, end / 1000, step
+        )
+    )
+    return _tagged_union(("raw", raw), ("rollup", routed))
 
 
 def q_promql_sum_by(spark, sf_dir):
@@ -1204,8 +1234,9 @@ UNION ALL
 SELECT 'rollup' AS fn, * FROM (
 {_PRELUDE}{_rate_body(f"(tend - tend % 3600000) - {h24}")}) AS _rollup
 """
-    # the stored-layout entry keeps the plain raw shape
-    sql["promql_rate_stored"] = _PRELUDE + _rate_body(f"tend - {h24}")
+    # the stored-layout entry is the SAME union (its rollup branch is
+    # served from the rollups compact_store materialized in the store)
+    sql["promql_rate_stored"] = sql["promql_rate_range"]
 
     sql["promql_avg_over_time"] = f"""
 SELECT 'raw' AS fn, * FROM ({_PRELUDE}

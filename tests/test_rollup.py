@@ -159,8 +159,8 @@ class TestPairFamilyRoutedEqualsRaw:
     exactly and the extrapolation arithmetic runs on identical
     doubles); rate/increase re-associate the float correction sum."""
 
-    EXACT = {"delta", "resets", "changes"}
-    FNS = ["rate", "increase", "delta", "resets", "changes"]
+    EXACT = {"delta", "resets", "changes", "irate", "idelta"}
+    FNS = ["rate", "increase", "delta", "resets", "changes", "irate", "idelta"]
 
     @pytest.mark.parametrize("fn", FNS)
     @pytest.mark.parametrize(
@@ -250,7 +250,7 @@ class TestPairFamilyRoutedEqualsRaw:
         raw, routed = Engine(spark, df), Engine(spark, df, rollups={W: ru})
         end = T0 + 8 * W
         for q in ("increase(g[40m])", "delta(g[40m])", "resets(g[40m])",
-                  "changes(g[40m])"):
+                  "changes(g[40m])", "irate(g[40m])", "idelta(g[40m])"):
             a = _canon(raw.query(q, end / 1000))
             b = _canon(routed.query(q, end / 1000))
             assert a and _same(a, b, exact=not q.startswith("increase")), q
@@ -280,10 +280,11 @@ class TestPickRollup:
         assert pick_rollup(**{**ok, "range_ms": 150_000}) is None
         # non-routable function / no rollups registered
         assert pick_rollup(**{**ok, "fn_name": "quantile_over_time"}) is None
-        assert pick_rollup(**{**ok, "fn_name": "irate"}) is None
+        assert pick_rollup(**{**ok, "fn_name": "holt_winters"}) is None
         assert pick_rollup(**{**ok, "rollups": None}) is None
         # the pair family routes under the same tiling conditions (r7)
         assert pick_rollup(**{**ok, "fn_name": "rate"}) == 600_000
+        assert pick_rollup(**{**ok, "fn_name": "irate"}) == 600_000
         assert pick_rollup(**{**ok, "fn_name": "changes", "range_ms": 450_000}) is None
 
 

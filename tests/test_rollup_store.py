@@ -150,6 +150,34 @@ class TestStoreRollups:
         assert ru and ru[W].filter(f"t < {T0 + 2 * day_ms}").count() == 0
 
 
+class TestFrontendComposition:
+    def test_results_cache_over_routed_engine_stays_exact(self, spark, store):
+        """The query-frontend results cache composes over a
+        rollup-routed engine: repeated and extended aligned range
+        queries through PromAPI return exactly what a cache-less raw
+        engine returns (the cache stores final envelope rows, routing
+        changes only how they were computed)."""
+        from timbala_spark.api import PromAPI
+
+        compact_store(spark, store, rollup_ms=(W,))
+        samples = read_samples_table(spark, store)
+        rollups = read_rollup_tables(spark, store)
+        routed_api = PromAPI(Engine(spark, samples, rollups=rollups))
+        raw_api = PromAPI(Engine(spark, samples))
+        # delta/resets are BIT-identical routed (rate's corr term may
+        # re-associate float addition, which could flip a last digit in
+        # the envelope's formatted strings)
+        start = (T0 + 3_600_000) / 1000
+        for q in ("delta(c[30m])", "resets(c[1h])"):
+            for end in (T0 + 2 * 3_600_000, T0 + 2 * 3_600_000 + 1_200_000):
+                a = raw_api.query_range(q, start, end / 1000, 600)
+                b = routed_api.query_range(q, start, end / 1000, 600)  # fill
+                c = routed_api.query_range(q, start, end / 1000, 600)  # hit
+                assert a == b == c
+                assert a["status"] == "success"
+                assert a["data"]["result"], "empty result would prove nothing"
+
+
 class TestServerRollups:
     def test_server_engine_picks_up_rollups(self, spark, store):
         from timbala_spark.server import TimbalaServer
@@ -167,5 +195,33 @@ class TestServerRollups:
             b = _canon(eng.query_range("rate(c[30m])", start / 1000, end / 1000, 600))
             assert a
             _close(a, b)
+        finally:
+            srv.stop()
+
+    def test_maintenance_loop_materializes_missing_rollups(self, spark, store):
+        """Enabling rollups on an EXISTING clean store must not wait
+        for the next write: the maintenance loop compacts when the
+        generation lacks a configured resolution."""
+        import time
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.streaming.ingest import store_missing_rollups
+
+        compact_store(spark, store)  # clean generation, NO rollups
+        assert store_missing_rollups(store, (W,))
+        assert read_rollup_tables(spark, store) == {}
+        srv = TimbalaServer(
+            spark,
+            store,
+            rollup_resolutions_ms=(W,),
+            maintenance_interval_s=0.2,
+        )
+        srv.start()
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and store_missing_rollups(store, (W,)):
+                time.sleep(0.5)
+            assert not store_missing_rollups(store, (W,))
+            assert read_rollup_tables(spark, store)
         finally:
             srv.stop()

@@ -826,11 +826,18 @@ def _rollup_pair_grid(ms: MatrixSelector, ctx: EvalContext, w: int) -> DataFrame
         f"CASE WHEN {b} THEN 0.0D ELSE corr END AS e_corr",
         f"CASE WHEN {b} THEN 0.0D ELSE rst END AS e_rst",
         f"CASE WHEN {b} THEN 0.0D ELSE chg END AS e_chg",
+        # second-to-last (irate/idelta): the boundary term's single
+        # sample has no in-window predecessor
+        f"CAST((CASE WHEN {b} THEN NULL ELSE l2_t END) + {off} AS BIGINT)"
+        " AS e_l2_ts",
+        f"CAST(CASE WHEN {b} THEN NULL ELSE l2_v END AS DOUBLE) AS e_l2_v",
     ).filter("e_cnt > 0")
     return g.selectExpr(
         "*",
         "lag(e_l_v) OVER (PARTITION BY series_id, step_t ORDER BY ts)"
         " AS prev_l_v",
+        "lag(e_l_ts) OVER (PARTITION BY series_id, step_t ORDER BY ts)"
+        " AS prev_l_ts",
     )
 
 
@@ -2358,7 +2365,11 @@ class Compiler:
                 )
             ]
 
-        df = _pair_kernel_agg(ms, self.ctx, aggs)
+        df = self._route_instant_pair_rollup(
+            ms, "irate" if is_rate else "idelta"
+        )
+        if df is None:
+            df = _pair_kernel_agg(ms, self.ctx, aggs)
         s = F.col("_s")
         dt_ms = s["ts"] - s["prev_ts"]
         df = df.filter(s["prev_in"] & (dt_ms != 0))
@@ -2380,6 +2391,57 @@ class Compiler:
             F.lit(None).cast("long").alias("sample_t"),
         )
         return VectorValue(out)
+
+    def _route_instant_pair_rollup(self, ms, fn_name: str) -> DataFrame | None:
+        """Rollup routing for irate/idelta: the last two in-range
+        samples are (tail window's second-last, tail window's last) —
+        or, when the tail window holds a single in-range sample, the
+        previous PRESENT window's last stands in (windows tile time,
+        so nothing can lie between present windows). The result is
+        normalized into the raw kernel's ``_s`` struct so the
+        arithmetic tail is shared verbatim."""
+        if not self.ctx.rollups:
+            return None
+        from .rollup import pick_rollup
+
+        w = pick_rollup(
+            self.ctx.rollups,
+            ms.range_ms,
+            ms.offset_ms,
+            self.ctx.start,
+            self.ctx.step,
+            self.ctx.n_steps,
+            fn_name,
+        )
+        if w is None:
+            return None
+
+        def aggs():
+            return [
+                F.expr(
+                    "max_by(named_struct("
+                    "'ts', e_l_ts, 'v', e_l_v, "
+                    "'l2_ts', e_l2_ts, 'l2_v', e_l2_v, "
+                    "'p_ts', prev_l_ts, 'p_v', prev_l_v), e_l_ts) AS _t"
+                )
+            ]
+
+        df = _rollup_pair_agg(ms, self.ctx, w, aggs)
+        # prefer the tail window's own predecessor (always later than
+        # any other window's last); prev_in is its existence — both
+        # candidates are in range by construction
+        return df.selectExpr(
+            "step_t",
+            "labels",
+            "named_struct("
+            "'ts', _t.ts, 'v', _t.v, "
+            "'prev_ts', CASE WHEN _t.l2_ts IS NOT NULL THEN _t.l2_ts "
+            "ELSE _t.p_ts END, "
+            "'prev_v', CASE WHEN _t.l2_ts IS NOT NULL THEN _t.l2_v "
+            "ELSE _t.p_v END, "
+            "'prev_in', (_t.l2_ts IS NOT NULL OR _t.p_ts IS NOT NULL)"
+            ") AS _s",
+        )
 
     def _fn_irate(self, node):
         return self._instant_pair(node, is_rate=True)

@@ -45,8 +45,11 @@ per-step window sequence. first/last/count/reset-counts are
 bit-identical; the extrapolation formula is post-aggregation
 arithmetic on them, so rate/increase/delta land in the same exactness
 class as ``sum`` (float re-association only, in ``corr``).
-``quantile_over_time`` needs the full distribution and
-``irate``/``idelta`` need raw inter-sample spacing — not routable.
+``irate``/``idelta`` route too: the last two in-range samples are
+always reconstructible from the tail window's last/second-last columns
+plus the previous present window's last (windows tile time, so no
+sample can hide between present windows). ``quantile_over_time`` needs
+the full distribution and stays raw-only.
 
 Invariant relied on by the pair family: canonical samples are unique
 per ``(series_id, t)`` (``model.prepare_samples`` dup-drop), so a
@@ -80,8 +83,14 @@ ROUTABLE_OVER_TIME = frozenset(
 )
 
 #: consecutive-pair / extrapolation functions servable from a rollup
-#: via within-window pre-aggregates + cross-window lag (r7)
-ROUTABLE_PAIR = frozenset({"rate", "increase", "delta", "resets", "changes"})
+#: via within-window pre-aggregates + cross-window lag (r7); irate/
+#: idelta ride the same machinery — the last TWO in-range samples are
+#: always (tail window's l2, tail window's l) or, when the tail window
+#: holds a single in-range sample, (previous present window's l, tail's
+#: l), both reconstructible from stored columns
+ROUTABLE_PAIR = frozenset(
+    {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
+)
 
 ROUTABLE = ROUTABLE_OVER_TIME | ROUTABLE_PAIR
 
@@ -106,6 +115,10 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
       (raw time + value), the combine inputs for the rate family's
       extrapolation (``functions.go:99-119``) and for cross-window
       pair reconstruction;
+    * ``l2_t``/``l2_v`` — the window's second-to-last sample (NULL for
+      single-sample windows): with the previous present window's
+      ``l_*``, reconstructs the last TWO samples of any tiled range
+      (irate/idelta, ``functions.go:144-191``);
     * ``corr``/``rst``/``chg`` — consecutive-pair aggregates over pairs
       whose BOTH samples lie in this window, with the raw kernels' NaN
       guards (``compiler._fn_resets/_fn_changes``): counter-reset drop
@@ -130,7 +143,7 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
 #: the rollup payload columns, in schema order
 PAYLOAD_COLUMNS = (
     "cnt", "sm", "sq", "mn", "mx", "nan",
-    "f_t", "f_v", "l_t", "l_v", "corr", "rst", "chg",
+    "f_t", "f_v", "l_t", "l_v", "l2_t", "l2_v", "corr", "rst", "chg",
     "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan",
 )
 
@@ -182,6 +195,12 @@ def _build(samples: DataFrame, resolution_ms: int, identity: bool) -> DataFrame:
         F.expr("min_by(v, t) AS f_v"),
         F.expr("max(t) AS l_t"),
         F.expr("max_by(v, t) AS l_v"),
+        # the LAST row's in-window predecessor (NULL when the window's
+        # last sample is also its first) — max_by keeps the value from
+        # the max-t row even when that value is NULL, which is exactly
+        # the wanted semantics
+        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pt END, t) AS l2_t"),
+        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pv END, t) AS l2_v"),
         F.expr(f"sum(CASE WHEN {is_reset} THEN _pv ELSE 0.0D END) AS corr"),
         F.expr(f"sum(CASE WHEN {is_reset} THEN 1.0D ELSE 0.0D END) AS rst"),
         F.expr(f"sum(CASE WHEN {is_change} THEN 1.0D ELSE 0.0D END) AS chg"),

@@ -228,11 +228,18 @@ class TimbalaServer:
             self._rules_thread.start()
 
     def _maintenance_loop(self) -> None:
-        from .streaming.ingest import store_is_dirty
+        from .streaming.ingest import store_is_dirty, store_missing_rollups
 
         while not self._maint_stop.wait(self.maintenance_interval_s):
             try:
-                if store_is_dirty(self.store_path):
+                # a clean store still needs one pass when rollups were
+                # just enabled (or a retention pass dropped them)
+                if store_is_dirty(self.store_path) or (
+                    self.rollup_resolutions_ms
+                    and store_missing_rollups(
+                        self.store_path, self.rollup_resolutions_ms
+                    )
+                ):
                     self.compact()
             except Exception:  # noqa: BLE001 — keep the loop alive
                 import logging

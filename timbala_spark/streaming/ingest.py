@@ -301,6 +301,26 @@ def read_samples_table(
     return dedup_replicas(out) if dedup else out
 
 
+def store_missing_rollups(path: str, resolutions_ms) -> bool:
+    """True when the store's current generation lacks a committed
+    rollup for any of ``resolutions_ms`` — the server's maintenance
+    loop uses this (filesystem metadata only, no Spark) so enabling
+    rollups on an existing clean store triggers one materializing
+    pass instead of waiting for the next write to dirty it."""
+    import os
+
+    from .store import resolve_store
+
+    st = resolve_store(path)
+    if not os.path.isdir(st.samples):
+        return False  # nothing to roll up yet
+    gdir = os.path.dirname(st.samples)
+    return any(
+        not os.path.isdir(os.path.join(gdir, f"rollup-{int(w)}"))
+        for w in resolutions_ms
+    )
+
+
 def read_rollup_tables(
     spark: SparkSession, path: str
 ) -> dict[int, DataFrame]:
