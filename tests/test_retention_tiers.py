@@ -1,0 +1,289 @@
+"""Rollup retention tiers (r7): raw days expire, exact rollup days
+survive — the Thanos ``--retention.resolution-raw`` <
+``--retention.resolution-1h`` pattern minus the approximation.
+
+Invariants pinned here:
+* a routable query over a range whose raw samples were dropped keeps
+  returning EXACTLY what it returned before the drop (archived rollup
+  days are the same bytes that served it then);
+* the ingest write guard rejects rows below the retention horizon,
+  so archived days are immutable (``tsdb/head.go:1151-1169`` — the
+  reference's head refuses appends before its minimum valid time);
+* a DIRTY generation still serves the archive (hybrid frame: stored
+  archive rows + an exact on-the-fly rollup of live raw) — dirtiness
+  changes the physical plan, never the answer;
+* ``compact_store`` carries archive days into every new generation
+  (they are irreplaceable data, unlike the rebuildable fresh part).
+"""
+
+import math
+
+import pytest
+
+from timbala_spark.engine import Engine
+from timbala_spark.model import prepare_samples
+from timbala_spark.rollup import pick_rollup
+from timbala_spark.streaming.compact import (
+    RetentionRequiresCompactionError,
+    apply_retention,
+    compact_store,
+)
+from timbala_spark.streaming.ingest import (
+    read_rollup_tables,
+    read_samples_table,
+    write_samples_batch,
+)
+from timbala_spark.streaming.store import read_min_t
+
+DAY = 86_400_000
+W = 3_600_000  # 1 h — divides a day, archivable
+D0 = (1_700_000_000_000 // DAY) * DAY  # UTC-day-aligned origin
+
+
+def _mk(spark, rows):
+    return prepare_samples(
+        spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+    )
+
+
+def _rows(days=4, step_ms=600_000):
+    """A counter with resets + two label variants over ``days`` days."""
+    rows, v, t, i = [], 0.0, D0, 0
+    while t < D0 + days * DAY:
+        v = 0.0 if i and i % 97 == 0 else v + (i % 7) + 0.5
+        rows.append(({"__name__": "c", "i": str(i % 3)}, int(t), float(v)))
+        i += 1
+        t += step_ms
+    return rows
+
+
+def _canon(res):
+    return {
+        (tuple(sorted(r["labels"].items())), r["t"]): r["v"]
+        for r in res.collect()
+    }
+
+
+def _close(a, b):
+    assert set(a) == set(b)
+    for k in a:
+        x, y = a[k], b[k]
+        if math.isnan(x) or math.isnan(y):
+            assert math.isnan(x) and math.isnan(y)
+        else:
+            assert x == y or abs(x - y) <= 1e-9 * max(1.0, abs(x))
+
+
+# the full-span W-aligned dashboard grid: D0+1d .. D0+4d, 2 h step
+GRID = (D0 + DAY, D0 + 4 * DAY, 7200)
+QUERIES = ("rate(c[2h])", "delta(c[3h])", "resets(c[2h])",
+           "sum by (i) (increase(c[2h]))", "avg_over_time(c[1h])")
+
+
+def _routed_engine(spark, store):
+    samples = read_samples_table(spark, store)
+    rollups = read_rollup_tables(spark, store)
+    assert rollups, "rollups must be servable"
+    return Engine(spark, samples, rollups=rollups)
+
+
+def _run(eng, q, grid=GRID):
+    start, end, step = grid
+    return _canon(eng.query_range(q, start / 1000, end / 1000, step))
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    tmp = str(tmp_path / "store")
+    write_samples_batch(_mk(spark, _rows()), tmp)
+    compact_store(spark, tmp, rollup_ms=(W,))
+    return tmp
+
+
+class TestArchiveTier:
+    def test_routable_queries_survive_raw_expiry_exactly(
+        self, spark, store
+    ):
+        before = {q: _run(_routed_engine(spark, store), q) for q in QUERIES}
+        assert all(before.values())
+        dropped = apply_retention(
+            store, D0 + 2 * DAY, rollup_min_t_ms=D0
+        )
+        assert len(dropped) == 2  # day 0 and day 1 raw gone
+        assert read_min_t(store) == D0 + 2 * DAY
+        samples = read_samples_table(spark, store)
+        assert samples.agg({"t": "min"}).first()[0] >= D0 + 2 * DAY
+        # raw path (no rollups) lost the expired range…
+        raw_after = _run(Engine(spark, samples), QUERIES[0])
+        assert not any(t < D0 + 2 * DAY for (_, t) in raw_after)
+        # …but the routed engine still answers the whole span, exactly
+        eng = _routed_engine(spark, store)
+        assert (
+            pick_rollup(eng.rollups, 7_200_000, 0, GRID[0], 7_200_000,
+                        1 + (GRID[1] - GRID[0]) // 7_200_000, "rate")
+            == W
+        )
+        for q in QUERIES:
+            _close(before[q], _run(eng, q))
+
+    def test_default_policy_drops_rollups_with_raw(self, spark, store):
+        """No rollup_min_t_ms: rollup days expire WITH their raw days
+        (no silent infinite rollup retention)."""
+        apply_retention(store, D0 + 2 * DAY)
+        ru = read_rollup_tables(spark, store)
+        assert ru and ru[W].filter(f"t < {D0 + 2 * DAY}").count() == 0
+
+    def test_write_guard_rejects_rows_below_horizon(self, spark, store):
+        apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+        n0 = read_samples_table(spark, store).count()
+        write_samples_batch(
+            _mk(
+                spark,
+                [
+                    ({"__name__": "c", "i": "0"}, D0 + 3600_000, 1.0),  # doomed
+                    ({"__name__": "c", "i": "0"}, D0 + 3 * DAY + 1000, 7.0),
+                ],
+            ),
+            store,
+        )
+        after = read_samples_table(spark, store)
+        assert after.count() == n0 + 1  # only the in-bounds row landed
+        assert after.filter(f"t < {D0 + 2 * DAY}").count() == 0
+
+    def test_dirty_generation_serves_hybrid_archive(self, spark, store):
+        """Late in-bounds writes dirty the generation; the archive tier
+        must keep serving — stored archive + on-the-fly fresh rollup,
+        compared against a never-retained reference store holding the
+        same logical rows."""
+        apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+        late = [
+            ({"__name__": "c", "i": "1"}, D0 + 3 * DAY + k * 600_000 + 300_000,
+             float(k))
+            for k in range(4)
+        ]
+        write_samples_batch(_mk(spark, late), store)  # dirty now
+        ru = read_rollup_tables(spark, store)
+        assert ru, "archive must stay servable on a dirty generation"
+        eng = Engine(
+            spark, read_samples_table(spark, store), rollups=ru
+        )
+        # reference: full store, never retained, same logical content
+        import tempfile
+
+        ref = tempfile.mkdtemp(prefix="timbala_tier_ref_")
+        write_samples_batch(_mk(spark, _rows() + late), ref)
+        compact_store(spark, ref)
+        ref_eng = Engine(spark, read_samples_table(spark, ref))
+        for q in QUERIES:
+            got, want = _run(eng, q), _run(ref_eng, q)
+            assert want
+            _close(want, got)
+
+    def test_compact_carries_archive_and_rebuilds_fresh(
+        self, spark, store
+    ):
+        apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+        before = {q: _run(_routed_engine(spark, store), q) for q in QUERIES}
+        late = [({"__name__": "c", "i": "1"}, D0 + 3 * DAY + 500, 2.0)]
+        write_samples_batch(_mk(spark, late), store)
+        # a pass WITHOUT rollup_ms must still preserve the archive
+        # (irreplaceable) and rebuild the fresh part to full coverage
+        compact_store(spark, store)
+        ru = read_rollup_tables(spark, store)
+        assert list(ru) == [W]
+        assert ru[W].filter(f"t < {D0 + DAY}").count() > 0  # archive day 0
+        assert ru[W].filter(f"t >= {D0 + 3 * DAY}").count() > 0  # fresh
+        eng = _routed_engine(spark, store)
+        for q in QUERIES:
+            got = _run(eng, q)
+            # the late row only perturbs rate/delta/… values in its own
+            # windows; spot-check a query whose windows it can't touch
+            assert set(got) >= set(before[q])
+
+    def test_raw_drop_on_dirty_store_with_rollups_refuses(
+        self, spark, store
+    ):
+        write_samples_batch(
+            _mk(spark, [({"__name__": "c", "i": "0"}, D0 + 3 * DAY + 7, 1.0)]),
+            store,
+        )
+        with pytest.raises(RetentionRequiresCompactionError):
+            apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+        # compacting first makes the same call legal
+        compact_store(spark, store, rollup_ms=(W,))
+        assert apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+
+    def test_non_divisible_resolution_is_dropped_not_archived(
+        self, spark, store
+    ):
+        w_bad = 7_000_000  # does not divide a day — windows straddle
+        compact_store(spark, store, rollup_ms=(W, w_bad))
+        assert sorted(read_rollup_tables(spark, store)) == [W, w_bad]
+        apply_retention(store, D0 + 2 * DAY, rollup_min_t_ms=D0)
+        assert list(read_rollup_tables(spark, store)) == [W]
+
+    def test_rollup_cutoff_validation(self, store):
+        with pytest.raises(ValueError):
+            apply_retention(store, D0, rollup_min_t_ms=D0 + DAY)
+
+
+class TestServerRetention:
+    def test_maintenance_loop_applies_tiers(self, spark, tmp_path):
+        """End to end over HTTP: the loop compacts, drops raw beyond
+        retention_ms, archives rollups down to rollup_retention_ms —
+        and a routable dashboard query over the expired range still
+        answers."""
+        import json
+        import time
+        import urllib.request
+
+        from timbala_spark.server import TimbalaServer
+
+        store = str(tmp_path / "srvstore")
+        now_ms = int(time.time() * 1000)
+        # hour-aligned recent origin so the grid tiles W
+        t1 = now_ms - (now_ms % W)
+        t0 = t1 - 3 * DAY
+        rows, v = [], 0.0
+        t = t0
+        while t < t1:
+            v += 1.5
+            rows.append(({"__name__": "c", "i": "0"}, int(t), float(v)))
+            t += 600_000
+        write_samples_batch(_mk(spark, rows), store)
+        srv = TimbalaServer(
+            spark,
+            store,
+            rollup_resolutions_ms=(W,),
+            retention_ms=2 * DAY,
+            rollup_retention_ms=30 * DAY,
+            maintenance_interval_s=0.2,
+        )
+        srv.start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and read_min_t(store) is None:
+                time.sleep(0.5)
+            horizon = read_min_t(store)
+            assert horizon is not None and horizon > t0
+            q = (
+                f"/api/v1/query_range?query=rate(c[2h])"
+                f"&start={t0 // 1000}&end={t1 // 1000}&step=7200"
+            )
+            doc = json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}{q}"
+                ).read()
+            )
+            assert doc["status"] == "success"
+            pts = [
+                int(ts)
+                for r in doc["data"]["result"]
+                for ts, _ in r["values"]
+            ]
+            # points below the raw horizon are served from the archive
+            assert pts and min(pts) * 1000 < horizon
+        finally:
+            srv.stop()

@@ -128,11 +128,19 @@ class TestStoreRollups:
         compact_store(spark, store, rollup_ms=(W,), _after_rewrite=mid_rewrite)
         assert read_rollup_tables(spark, store) == {}
 
-    def test_retention_drops_rollups_until_next_compact(self, spark, store):
+    def test_retention_carries_rollups_and_drops_expired_days(
+        self, spark, store
+    ):
+        """W divides a day, so retention carries the surviving rollup
+        day partitions instead of discarding the whole table (r7 tier
+        machinery, default policy: rollup cutoff == raw cutoff) — the
+        store keeps serving rollups immediately after the pass, with
+        no pre-cutoff rows left. tests/test_retention_tiers.py covers
+        the rollup_min_t_ms < min_t_ms archive case."""
         compact_store(spark, store, rollup_ms=(W,))
         assert read_rollup_tables(spark, store)
         # cutoff far in the future drops nothing -> no new generation,
-        # rollups survive; a real drop discards them
+        # rollups survive in full
         day_ms = 86_400_000
         assert apply_retention(store, T0 - day_ms) == []
         assert read_rollup_tables(spark, store)
@@ -144,7 +152,9 @@ class TestStoreRollups:
         compact_store(spark, store, rollup_ms=(W,))
         dropped = apply_retention(store, T0 + 2 * day_ms)
         assert dropped
-        assert read_rollup_tables(spark, store) == {}
+        ru = read_rollup_tables(spark, store)
+        assert ru and ru[W].filter(f"t < {T0 + 2 * day_ms}").count() == 0
+        assert ru[W].count() > 0
         compact_store(spark, store, rollup_ms=(W,))
         ru = read_rollup_tables(spark, store)
         assert ru and ru[W].filter(f"t < {T0 + 2 * day_ms}").count() == 0

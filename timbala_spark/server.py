@@ -122,6 +122,8 @@ class TimbalaServer:
         rules: str | None = None,
         rule_interval_s: float = 15.0,
         rollup_resolutions_ms: tuple[int, ...] = (),
+        retention_ms: int | None = None,
+        rollup_retention_ms: int | None = None,
     ) -> None:
         """``maintenance_interval_s`` starts a background maintenance
         loop with :meth:`start` — the analog of the reference's
@@ -152,9 +154,31 @@ class TimbalaServer:
         falls back to raw otherwise. Appends after compaction dirty
         the generation, which disables its rollups until the next pass
         (``ingest.read_rollup_tables``) — exactness is structural, not
-        scheduled."""
+        scheduled.
+
+        ``retention_ms`` / ``rollup_retention_ms``: the maintenance
+        loop also applies :func:`streaming.compact.apply_retention`
+        each pass — raw day partitions older than ``now -
+        retention_ms`` are dropped; with ``rollup_retention_ms >
+        retention_ms``, exact rollup days are archived down to ``now -
+        rollup_retention_ms`` (the Thanos raw/coarse retention-tier
+        pattern: e.g. two weeks of raw plus a year of 1 h rollups —
+        routable dashboards over the old range stay exact at 1/W the
+        bytes; see ``apply_retention``). Retention runs AFTER the
+        compaction check, so the carried rollups always describe a
+        clean generation. ``None`` (default) keeps the reference's
+        infinite retention (``cmd/timbala/main.go:152``)."""
+        if rollup_retention_ms is not None and retention_ms is None:
+            raise ValueError("rollup_retention_ms requires retention_ms")
+        if (
+            rollup_retention_ms is not None
+            and rollup_retention_ms < retention_ms
+        ):
+            raise ValueError("rollup_retention_ms must be >= retention_ms")
         self.spark = spark
         self.store_path = store_path
+        self.retention_ms = retention_ms
+        self.rollup_retention_ms = rollup_retention_ms
         self.rollup_resolutions_ms = tuple(
             int(w) for w in rollup_resolutions_ms
         )
@@ -241,6 +265,8 @@ class TimbalaServer:
                     )
                 ):
                     self.compact()
+                if self.retention_ms is not None:
+                    self.retain()
             except Exception:  # noqa: BLE001 — keep the loop alive
                 import logging
 
@@ -364,6 +390,37 @@ class TimbalaServer:
                 rollup_ms=self.rollup_resolutions_ms,
             )
         self._invalidate_engine()
+
+    def retain(self) -> list[str]:
+        """One retention pass against the configured windows: drop raw
+        days older than ``retention_ms``, keep exact rollup days down
+        to ``rollup_retention_ms`` (the archive tier — see
+        ``streaming.compact.apply_retention``). Serialized against
+        writes like :meth:`compact` (retention has no straggler
+        re-list, so a batch landing mid-pass must be excluded by the
+        lock, not recovered after). Returns the dropped raw day
+        partitions."""
+        import time as _time
+
+        from .streaming.compact import apply_retention
+
+        if self.retention_ms is None:
+            return []
+        now_ms = int(_time.time() * 1000)
+        rollup_min = (
+            now_ms - self.rollup_retention_ms
+            if self.rollup_retention_ms is not None
+            else None
+        )
+        with self._store_lock:
+            dropped = apply_retention(
+                self.store_path,
+                now_ms - self.retention_ms,
+                rollup_min_t_ms=rollup_min,
+            )
+        if dropped:
+            self._invalidate_engine()
+        return dropped
 
     # -- request plumbing ---------------------------------------------
 

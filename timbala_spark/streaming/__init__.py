@@ -7,12 +7,17 @@ from .ingest import (  # noqa: F401
     synthetic_rate_source,
     write_samples_batch,
 )
-from .compact import apply_retention, compact_store  # noqa: F401
+from .compact import (  # noqa: F401
+    RetentionRequiresCompactionError,
+    apply_retention,
+    compact_store,
+)
 from .store import (  # noqa: F401
     ConcurrentCommitError,
     MaintenanceLockHeldError,
     gc_store,
     maintenance_lock,
+    read_min_t,
     resolve_store,
 )
 from .downsample import streaming_downsample  # noqa: F401

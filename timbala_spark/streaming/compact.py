@@ -65,7 +65,9 @@ from .store import (
     link_files,
     list_data_files,
     maintenance_lock,
+    read_min_t,
     resolve_store,
+    write_min_t,
 )
 
 
@@ -149,7 +151,33 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
         .write.mode("overwrite")
         .parquet(new_d)
     )
-    for w in rollup_ms:
+    # archived rollup days (below the retention horizon — their raw
+    # samples are GONE, the rollup rows are the only remaining record)
+    # are irreplaceable DATA, unlike the rebuildable fresh part: carry
+    # them into every new generation, whether or not their resolution
+    # is in this pass's rollup_ms, and rebuild the fresh part for any
+    # archived resolution so each committed rollup table always covers
+    # the generation's full time extent (routing never sees a gap).
+    horizon = read_min_t(path)
+    src_gdir = os.path.dirname(src.samples)
+    archive: dict[int, set[str]] = {}
+    if horizon is not None and os.path.isdir(src_gdir):
+        hday = _day_str(horizon)
+        for entry in sorted(os.listdir(src_gdir)):
+            if not entry.startswith("rollup-"):
+                continue
+            try:
+                w = int(entry.split("-", 1)[1])
+            except ValueError:
+                continue
+            files = {
+                f
+                for f in list_data_files(os.path.join(src_gdir, entry))
+                if (_rel_day(f) or "~") < hday
+            }
+            if files:
+                archive[w] = files
+    for w in sorted({int(w) for w in rollup_ms} | set(archive)):
         # built from the generation's OWN compacted output (already
         # (series_id, t)-deduped above), so rollup content == served
         # content by construction; sorted like the samples for the
@@ -167,6 +195,15 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
             .option("parquet.writer.version", "v2")
             .partitionBy("day")
             .parquet(os.path.join(gdir, f"rollup-{int(w)}"))
+        )
+    for w, files in archive.items():
+        # no collision with the rebuilt part: raw holds nothing below
+        # the horizon (retention dropped it, the write guard keeps it
+        # out), so the rebuild wrote only day >= horizon partitions
+        link_files(
+            os.path.join(src_gdir, f"rollup-{w}"),
+            files,
+            os.path.join(gdir, f"rollup-{w}"),
         )
     if _after_rewrite is not None:
         _after_rewrite(src)
@@ -194,12 +231,54 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     gc_store(path, keep=gc_keep, grace_s=gc_grace_s)
 
 
+class RetentionRequiresCompactionError(RuntimeError):
+    """Raw-day retention was requested on a DIRTY store that carries
+    rollup tables: batches appended since the last compaction may hold
+    rows in the doomed days that the rollups never saw, so carrying
+    the rollup days forward (and archiving the expired ones) would
+    freeze a view missing those rows. Compact first — the server's
+    maintenance loop does exactly that ordering."""
+
+
+DAY_MS = 86_400_000
+
+
+def _day_str(ms: int) -> str:
+    # day partition format is yyyyMMdd in UTC
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        ms / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y%m%d")
+
+
+def _day_floor_ms(ms: int) -> int:
+    """Start (epoch ms) of the UTC day containing ``ms``."""
+    import datetime
+
+    d = datetime.datetime.fromtimestamp(ms / 1000, tz=datetime.timezone.utc)
+    return int(
+        datetime.datetime(
+            d.year, d.month, d.day, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1000
+    )
+
+
+def _rel_day(rel: str) -> str | None:
+    """``day=YYYYMMDD/part-…`` → ``YYYYMMDD`` (None for unpartitioned
+    files)."""
+    head = rel.split(os.sep, 1)[0]
+    return head.split("=", 1)[1] if head.startswith("day=") else None
+
+
 def apply_retention(
     path: str,
     min_t_ms: int,
     gc_keep: int = 1,
     gc_grace_s: float | None = None,
     lock_timeout_s: float = 0.0,
+    rollup_min_t_ms: int | None = None,
 ) -> list[str]:
     """Drop day partitions strictly older than ``min_t_ms``.
 
@@ -213,25 +292,43 @@ def apply_retention(
     dictionary is carried as-is; a following ``compact_store`` plus an
     anti-join against live series_ids could shrink it, but a stale
     dict entry is harmless (never matched by the samples join).
-    Rollup tables are deliberately NOT carried into the new
-    generation: a rollup window whose resolution doesn't divide a day
-    can straddle the retention cutoff, leaving it inconsistent with
-    the surviving samples — queries fall back to raw (exact) until
-    the next ``compact_store`` rebuilds rollups from the pruned data.
+
+    **Rollups and retention tiers.** Rollup day partitions whose
+    resolution divides a day (windows can never straddle a day
+    boundary) are carried forward down to ``rollup_min_t_ms``
+    (default: the raw cutoff) — the Thanos retention-tier pattern
+    (``--retention.resolution-raw`` < ``--retention.resolution-1h``),
+    minus the approximation: with ``rollup_min_t_ms < min_t_ms`` the
+    days in between keep ONLY their exact rollup rows (the archive
+    tier), so routable ``*_over_time``/rate-family dashboards still
+    answer exactly over ranges whose raw samples are gone, at 1/W the
+    bytes. Dropping raw days advances the store's persistent write
+    horizon (``store.read_min_t``): later writes below it are rejected
+    (the reference's out-of-bounds append error, ``tsdb/head.go:
+    1151-1169``), which is what makes archived days immutable —
+    nothing can ever dirty them again. Resolutions that do NOT divide
+    a day are dropped whenever raw days drop (straddle hazard) and
+    rebuilt by the next ``compact_store``. Raw-day drops on a dirty
+    store that has rollup tables raise
+    :class:`RetentionRequiresCompactionError` (compact first, so the
+    carried rollups describe every surviving row).
+
     Runs under the cross-process ``maintenance_lock`` with a CAS
     commit, exactly like ``compact_store``.
     """
+    if rollup_min_t_ms is not None and rollup_min_t_ms > min_t_ms:
+        raise ValueError("rollup_min_t_ms must be <= min_t_ms")
     with maintenance_lock(path, timeout_s=lock_timeout_s):
-        return _retention_locked(path, min_t_ms, gc_keep, gc_grace_s)
+        return _retention_locked(
+            path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms
+        )
 
 
-def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s):
-    # day partition format is yyyyMMdd in UTC
-    import datetime
-
-    cutoff = datetime.datetime.fromtimestamp(
-        min_t_ms / 1000, tz=datetime.timezone.utc
-    ).strftime("%Y%m%d")
+def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
+    cutoff = _day_str(min_t_ms)
+    r_cutoff = _day_str(
+        min_t_ms if rollup_min_t_ms is None else rollup_min_t_ms
+    )
     src = resolve_store(path)
     if not os.path.isdir(src.samples):
         return []
@@ -240,8 +337,35 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s):
         for entry in sorted(os.listdir(src.samples))
         if entry.startswith("day=") and entry.split("=", 1)[1] < cutoff
     ]
-    if not dropped:
+    # plan the rollup carry: {dir entry: surviving rel files}
+    src_gdir = os.path.dirname(src.samples)
+    rollup_plan: dict[str, set[str]] = {}
+    rollups_dropping = False
+    for entry in sorted(os.listdir(src_gdir)):
+        if not entry.startswith("rollup-"):
+            continue
+        try:
+            w = int(entry.split("-", 1)[1])
+        except ValueError:
+            continue
+        files = list_data_files(os.path.join(src_gdir, entry))
+        if w <= 0 or DAY_MS % w:
+            # windows may straddle the cutoff day — not carryable
+            # across a raw drop; rebuilt from raw by the next compact
+            keep = files if not dropped else set()
+        else:
+            keep = {
+                f for f in files if (_rel_day(f) or "") >= r_cutoff
+            }
+        rollup_plan[entry] = keep
+        rollups_dropping = rollups_dropping or keep != files
+    if not dropped and not rollups_dropping:
         return []
+    if dropped and rollup_plan and os.path.exists(src.dirty_marker):
+        raise RetentionRequiresCompactionError(
+            f"store {path!r} has uncompacted appends; compact before "
+            "dropping raw days so the carried rollups stay exact"
+        )
     new_gen = src.gen + 1
     gdir = os.path.join(path, gen_dirname(new_gen))
     if os.path.exists(gdir):  # crashed uncommitted attempt: discard
@@ -256,11 +380,21 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s):
     link_files(
         src.series, list_data_files(src.series), os.path.join(gdir, "series")
     )
+    for entry, keep in rollup_plan.items():
+        if keep:
+            link_files(
+                os.path.join(src_gdir, entry), keep, os.path.join(gdir, entry)
+            )
     os.makedirs(os.path.join(gdir, "samples"), exist_ok=True)
     os.makedirs(os.path.join(gdir, "series"), exist_ok=True)
     if os.path.exists(src.dirty_marker):  # uncompacted tail survives
         with open(os.path.join(gdir, "_dirty"), "w"):
             pass
+    if dropped:
+        # advance the write horizon BEFORE the commit makes the drop
+        # visible: from here on, no batch can recreate a doomed day
+        # (and so no archived rollup day can ever go stale)
+        write_min_t(path, _day_floor_ms(min_t_ms))
     try:
         commit_manifest(path, new_gen, expect_gen=src.gen)
     except Exception:

@@ -63,6 +63,18 @@ def write_samples_batch(
     once maintenance has run (``streaming.store``); a never-compacted
     store keeps the flat ``<path>/{samples,series}`` layout.
     """
+    # retention-horizon write guard: rows at or below a time the store
+    # has already deleted are dropped — the reference's head likewise
+    # refuses appends before its minimum valid time
+    # (``tsdb/head.go:1151-1169``; it errors per sample, we filter and
+    # keep the batch). This is what makes ARCHIVED rollup days
+    # (``compact.apply_retention`` tiers) immutable: no write can ever
+    # land under one again. One comparison, pushed into the scan.
+    from .store import read_min_t
+
+    horizon = read_min_t(path)
+    if horizon is not None:
+        samples = samples.filter(F.col("t") >= F.lit(int(horizon)))
     if layout == "row":
         _mark_dirty(path)  # BEFORE the data lands — see below
         deduped = dedup_replicas(samples) if dedup else samples
@@ -344,15 +356,36 @@ def read_rollup_tables(
     Narrow rollup rows join the series dictionary for name/labels,
     exactly like :func:`read_samples_table` — same broadcast/shuffle
     degradation, same pushdown through the (series_id, name) dedup,
-    and ``day`` rides along for partition pruning."""
+    and ``day`` rides along for partition pruning.
+
+    **Archive tiers survive dirtiness.** When the store has a
+    retention horizon (``apply_retention`` with ``rollup_min_t_ms``
+    archived rollup days whose raw samples are deleted), a DIRTY
+    generation still has to serve those days — falling back to raw
+    would silently drop everything below the horizon. Archived days
+    are immutable (the ingest write guard rejects rows below the
+    horizon), so the dirty path serves a HYBRID frame: the stored
+    archive rows (``t`` < horizon, exact forever) unioned with an
+    on-the-fly :func:`~timbala_spark.rollup.build_rollup_narrow` over
+    the live raw samples (replica-collapsed first — the same
+    ``(series_id, t)`` rule the raw read path applies), which is
+    exact by construction. Dirtiness changes the physical plan, never
+    the answer; the next maintenance pass restores the cheap all-
+    stored path. A dirty generation with no archive keeps today's
+    behavior — ``{}``, raw fallback (the on-the-fly build would add
+    cost without adding data)."""
     import os
 
-    from .store import resolve_store
+    from .store import read_min_t, resolve_store
 
     st = resolve_store(path)
     gdir = os.path.dirname(st.samples)
     out: dict[int, DataFrame] = {}
-    if st.gen == 0 or os.path.exists(st.dirty_marker):
+    if st.gen == 0:
+        return out
+    dirty = os.path.exists(st.dirty_marker)
+    horizon = read_min_t(st.root) if dirty else None
+    if dirty and horizon is None:
         return out
     try:
         entries = sorted(os.listdir(gdir))
@@ -366,11 +399,47 @@ def read_rollup_tables(
             w = int(entry.split("-", 1)[1])
         except ValueError:
             continue
+        rdir = os.path.join(gdir, entry)
+        if dirty:
+            import datetime
+
+            hday = datetime.datetime.fromtimestamp(
+                horizon / 1000, tz=datetime.timezone.utc
+            ).strftime("%Y%m%d")
+            has_archive = any(
+                e.startswith("day=") and e.split("=", 1)[1] < hday
+                for e in os.listdir(rdir)
+            )
+            if not has_archive:
+                continue
+            from ..rollup import build_rollup_narrow
+
+            # archive windows end at/below the day-aligned horizon
+            # (W divides a day — apply_retention only archives such
+            # resolutions), live raw starts at it: no overlap
+            stored = spark.read.parquet(rdir).filter(
+                f"t < {int(horizon)}"
+            )
+            fresh = build_rollup_narrow(
+                dedup_replicas(
+                    spark.read.parquet(st.samples).select(
+                        "series_id", "t", "v"
+                    )
+                ),
+                w,
+            )
+            cols = [c for c in fresh.columns if c != "day"]
+            r = (
+                stored.select(*cols)
+                .unionByName(fresh.select(*cols))
+                .withColumn("day", utc_day_expr(F.col("t")))
+            )
+        else:
+            r = spark.read.parquet(rdir)
         if d is None:
             d = spark.read.parquet(st.series).dropDuplicates(
                 ["series_id", "name"]
             )
-        r = spark.read.parquet(os.path.join(gdir, entry))
         payload = [c for c in r.columns if c not in ("series_id", "day")]
         out[w] = r.join(d, "series_id").select(
             "name", "labels", "series_id", *payload, "day"

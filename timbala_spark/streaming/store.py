@@ -71,6 +71,8 @@ from dataclasses import dataclass
 MANIFEST_NAME = "MANIFEST"
 MAINTENANCE_LOCK_NAME = ".maintenance.lock"
 RETIRED_STAMP = "_retired"
+#: store-root retention-horizon marker — see :func:`read_min_t`
+MIN_T_MARKER = "_min_t"
 
 #: Minimum seconds a generation must have been retired before GC may
 #: delete it. Sized above the server's default per-query timeout
@@ -317,6 +319,38 @@ def gc_store(
     return deleted
 
 
+def read_min_t(path: str) -> int | None:
+    """The store's retention horizon (ms), or None if retention never
+    dropped anything. Samples strictly below it have been deleted;
+    writes below it are rejected (``ingest.write_samples_batch`` —
+    the reference likewise refuses appends before the head's minimum
+    valid time, ``tsdb/head.go:1151-1169`` ErrOutOfOrderSample /
+    out-of-bounds). The guard is what makes ARCHIVED rollup day
+    partitions (``compact.apply_retention`` ``rollup_min_t_ms``)
+    immutable: no write can ever land under an archived day again,
+    so the archive stays exact forever without re-validation."""
+    try:
+        with open(os.path.join(path, MIN_T_MARKER)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def write_min_t(path: str, min_t_ms: int) -> None:
+    """Advance the retention horizon (monotonic — never lowered; a
+    lower horizon would re-open archived days to writes). Atomic
+    same-directory rename, like the manifest."""
+    cur = read_min_t(path)
+    if cur is not None and cur >= min_t_ms:
+        return
+    tmp = os.path.join(path, f".{MIN_T_MARKER}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(int(min_t_ms)))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(path, MIN_T_MARKER))
+
+
 __all__ = [
     "StorePaths",
     "ConcurrentCommitError",
@@ -327,6 +361,8 @@ __all__ = [
     "commit_manifest",
     "gen_dirname",
     "list_data_files",
+    "read_min_t",
+    "write_min_t",
     "link_files",
     "retired_generations",
     "gc_store",
