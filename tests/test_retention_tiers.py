@@ -287,3 +287,133 @@ class TestServerRetention:
             assert pts and min(pts) * 1000 < horizon
         finally:
             srv.stop()
+
+    def test_tier_soak_archive_never_flickers(self, spark, tmp_path):
+        """Concurrency soak on the tier machinery: readers hammer a
+        routable query whose range lies entirely in the ARCHIVE (raw
+        gone, rollup days are the only record) while writers keep
+        dirtying the store with fresh in-bounds samples and the
+        maintenance loop compacts + retains underneath. The archived
+        answer must be byte-identical on every read — dirty
+        generations serve the hybrid frame, clean ones the stored
+        archive, and neither may flicker to the raw fallback (which
+        would silently return empty below the horizon). A below-
+        horizon write racing the soak must change nothing."""
+        import json
+        import threading
+        import time
+        import urllib.parse
+        import urllib.request
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.sources.wire import encode_write_request
+
+        store = str(tmp_path / "soakstore")
+        now_ms = int(time.time() * 1000)
+        t1 = now_ms - (now_ms % W)
+        t0 = t1 - 4 * DAY
+        rows, v = [], 0.0
+        t = t0
+        i = 0
+        while t < t1:
+            v = 0.0 if i and i % 131 == 0 else v + 1.5  # counter w/ resets
+            rows.append(({"__name__": "c", "i": str(i % 2)}, int(t), v))
+            t += 600_000
+            i += 1
+        write_samples_batch(_mk(spark, rows), store)
+        srv = TimbalaServer(
+            spark,
+            store,
+            timeout_s=300.0,
+            rollup_resolutions_ms=(W,),
+            retention_ms=2 * DAY,
+            rollup_retention_ms=30 * DAY,
+            maintenance_interval_s=0.2,
+        )
+        srv.start()
+        base = f"http://127.0.0.1:{srv.port}"
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and read_min_t(store) is None:
+                time.sleep(0.5)
+            horizon = read_min_t(store)
+            assert horizon is not None
+            # a W-aligned grid strictly below the horizon: archive-only
+            end = horizon - 4 * W
+            q = (
+                "/api/v1/query_range?query="
+                + urllib.parse.quote("sum by (i) (increase(c[2h]))")
+                + f"&start={t0 // 1000}&end={end // 1000}&step=7200"
+            )
+
+            def fetch() -> str:
+                with urllib.request.urlopen(base + q, timeout=300) as r:
+                    doc = json.loads(r.read())
+                assert doc["status"] == "success", doc
+                return json.dumps(doc["data"], sort_keys=True)
+
+            want = fetch()
+            assert json.loads(want)["result"], "baseline must be non-empty"
+
+            stop = threading.Event()
+            failures: list[str] = []
+
+            def reader(k: int) -> None:
+                while not stop.is_set():
+                    try:
+                        got = fetch()
+                        if got != want:
+                            failures.append(f"r{k}: archive moved")
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(f"r{k} raised {e!r}")
+
+            def write_at(ts_ms: int, val: float) -> None:
+                body = encode_write_request(
+                    [
+                        {
+                            "labels": {"__name__": "c", "i": "0"},
+                            "samples": [[ts_ms, val]],
+                        }
+                    ]
+                )
+                req = urllib.request.Request(
+                    base + "/write", data=body, method="POST"
+                )
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    assert r.status == 200
+
+            def writer() -> None:
+                k = 0
+                while not stop.is_set():
+                    try:
+                        # fresh in-bounds row (dirties the generation);
+                        # every 5th attempt also pokes a DOOMED time —
+                        # the write guard must drop it silently
+                        write_at(t1 + k * 1000, float(k))
+                        if k % 5 == 0:
+                            write_at(horizon - DAY, 99.0)
+                        k += 1
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(f"writer raised {e!r}")
+                        return
+
+            threads = [
+                threading.Thread(target=reader, args=(k,)) for k in range(4)
+            ] + [threading.Thread(target=writer)]
+            for th in threads:
+                th.start()
+            time.sleep(8)  # ≥ many maintenance passes at 0.2 s interval
+            stop.set()
+            for th in threads:
+                th.join(timeout=300)
+            assert not any(th.is_alive() for th in threads)
+            assert failures == []
+            # the doomed writes really were filtered
+            assert (
+                read_samples_table(spark, store)
+                .filter(f"t < {horizon}")
+                .count()
+                == 0
+            )
+        finally:
+            srv.stop()

@@ -403,6 +403,7 @@ class TimbalaServer:
         import time as _time
 
         from .streaming.compact import apply_retention
+        from .streaming.store import resolve_store
 
         if self.retention_ms is None:
             return []
@@ -413,12 +414,20 @@ class TimbalaServer:
             else None
         )
         with self._store_lock:
+            gen_before = resolve_store(self.store_path).gen
             dropped = apply_retention(
                 self.store_path,
                 now_ms - self.retention_ms,
                 rollup_min_t_ms=rollup_min,
             )
-        if dropped:
+            committed = resolve_store(self.store_path).gen != gen_before
+        # invalidate on ANY committed generation, not just raw drops: a
+        # pass can retire only rollup archive days (the rollup cutoff
+        # crosses a UTC day boundary at a different wall time than the
+        # raw cutoff) and the engine must move off the retired
+        # generation before GC grace runs out, not merely stay correct
+        # under pinning
+        if committed:
             self._invalidate_engine()
         return dropped
 
