@@ -104,6 +104,106 @@ class TestEventsPivotPlans:
         assert "rangepartitioning" not in plan
 
 
+@pytest.fixture(scope="module")
+def rolled_engine(spark):
+    """A compacted store with a materialized 1 h rollup and an engine
+    that routes to it (timbala_spark.rollup)."""
+    from timbala_spark.streaming.compact import compact_store
+    from timbala_spark.streaming.ingest import (
+        read_rollup_tables,
+        read_samples_table,
+        write_samples_batch,
+    )
+
+    W = 3_600_000
+    d0 = (BASE_MS // DAY_MS) * DAY_MS  # UTC-day-aligned (tiles W)
+    rows = [
+        (
+            {"__name__": "m", "job": "a"},
+            d0 + d * DAY_MS + i * 300_000,
+            float(d * 288 + i),
+        )
+        for d in range(5)
+        for i in range(288)
+    ]
+    df = spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
+    tmp = tempfile.mkdtemp(prefix="timbala_rollup_plans_")
+    write_samples_batch(prepare_samples(df), tmp)
+    compact_store(spark, tmp, rollup_ms=(W,))
+    rollups = read_rollup_tables(spark, tmp)
+    assert list(rollups) == [W]
+    yield Engine(spark, read_samples_table(spark, tmp), rollups=rollups), d0
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestRollupRoutedPlans:
+    """Plan gates for the exact rollup route (PERF §16): an answerable
+    shape must SCAN THE ROLLUP TABLE (not raw samples), keep
+    day-partition pruning and time pushdown on that scan, and read
+    only the payload columns the function needs."""
+
+    def _routed_plan(self, rolled_engine, q="sum_over_time(m[2h])"):
+        eng, d0 = rolled_engine
+        start, end = (d0 + DAY_MS) / 1000, (d0 + 4 * DAY_MS) / 1000
+        return _plan(eng.query_range(q, start, end, 7200))
+
+    def test_routed_query_scans_rollup_not_raw(self, rolled_engine):
+        plan = self._routed_plan(rolled_engine)
+        assert "rollup-3600000" in plan
+        # the raw narrow samples scan (series_id,t,v) must be absent —
+        # the series-dict scan carries name/labels instead
+        assert "struct<series_id:bigint,t:bigint,v:double>" not in plan
+
+    def test_rollup_scan_prunes_days_and_pushes_time(self, rolled_engine):
+        eng, d0 = rolled_engine
+        # one day of a five-day store: the rollup scan must keep
+        # partition pruning (derived day bounds) + t pushdown
+        start = (d0 + 4 * DAY_MS) / 1000
+        plan = _plan(
+            eng.query_range("sum_over_time(m[1h])", start, start + 7200, 3600)
+        )
+        pf = [
+            l
+            for l in plan.splitlines()
+            if "PartitionFilters" in l and "isnotnull(day" in l
+        ]
+        assert pf and all("20231118" in l for l in pf), pf
+        assert "GreaterThanOrEqual(t," in plan
+        assert "LessThanOrEqual(t," in plan
+
+    def test_rollup_scan_schema_pruned_to_needed_payload(
+        self, rolled_engine
+    ):
+        """sum_over_time needs cnt/sm (+ boundary twins); the other 15
+        payload columns must not be read off disk."""
+        plan = self._routed_plan(rolled_engine)
+        rs = next(
+            l
+            for l in plan.splitlines()
+            if "ReadSchema" in l and "cnt" in l
+        )
+        for col in ("sm:", "s_sm:", "cnt:", "s_cnt:"):
+            assert col in rs, rs
+        for col in ("corr", "chg", "rst", "mx:", "l_v", "l2_v", "sq:"):
+            assert col not in rs, rs
+
+    def test_routed_plan_stays_jvm_side(self, rolled_engine):
+        plan = self._routed_plan(rolled_engine)
+        assert "Python" not in plan
+        assert "rangepartitioning" not in plan
+        assert "collect_list" not in plan
+
+    def test_unanswerable_shape_falls_back_to_raw(self, rolled_engine):
+        eng, d0 = rolled_engine
+        start = (d0 + DAY_MS) / 1000
+        # 90 m range does not tile 1 h windows -> raw path
+        plan = _plan(
+            eng.query_range("sum_over_time(m[90m])", start, start + 7200, 3600)
+        )
+        assert "rollup-3600000" not in plan
+        assert "struct<series_id:bigint,t:bigint,v:double>" in plan
+
+
 class TestRateKernelPlan:
     def test_single_exchange_no_python(self, stored_engine):
         """r5 lag-aggregate rate kernel: ONE exchange
