@@ -193,6 +193,71 @@ class TestRollupRoutedPlans:
         assert "rangepartitioning" not in plan
         assert "collect_list" not in plan
 
+    def test_dirty_hybrid_prunes_live_raw_scan(self, spark):
+        """During a dirty window the routed frame is stored-archive ∪
+        on-the-fly rollup over live raw; the engine's day bounds must
+        prune BOTH scans — without the (series_id, day) window split
+        and the day dedup key, every routed query re-scans all live
+        raw days (the 100 TB regression this gate exists for)."""
+        from timbala_spark.streaming.compact import (
+            apply_retention,
+            compact_store,
+        )
+        from timbala_spark.streaming.ingest import (
+            read_rollup_tables,
+            read_samples_table,
+            write_samples_batch,
+        )
+
+        W = 3_600_000
+        d0 = (BASE_MS // DAY_MS) * DAY_MS
+        rows = [
+            (
+                {"__name__": "m", "job": "a"},
+                d0 + d * DAY_MS + i * 300_000,
+                float(d * 288 + i),
+            )
+            for d in range(5)
+            for i in range(288)
+        ]
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, t long, v double"
+        )
+        tmp = tempfile.mkdtemp(prefix="timbala_hybrid_plans_")
+        try:
+            write_samples_batch(prepare_samples(df), tmp)
+            compact_store(spark, tmp, rollup_ms=(W,))
+            apply_retention(tmp, d0 + 2 * DAY_MS, rollup_min_t_ms=d0)
+            late = spark.createDataFrame(
+                [({"__name__": "m", "job": "a"}, d0 + 4 * DAY_MS + 7, 1.0)],
+                "labels map<string,string>, t long, v double",
+            )
+            write_samples_batch(prepare_samples(late), tmp)  # dirty
+            ru = read_rollup_tables(spark, tmp)
+            assert ru, "archive must stay servable on a dirty generation"
+            eng = Engine(spark, read_samples_table(spark, tmp), rollups=ru)
+            plan = _plan(
+                eng.query_range(
+                    "sum_over_time(m[1h])",
+                    (d0 + DAY_MS + W) / 1000,
+                    (d0 + DAY_MS + 2 * W) / 1000,
+                    3600,
+                )
+            )
+            assert "rollup-3600000" in plan
+            pruned = [
+                l
+                for l in plan.splitlines()
+                if "PartitionFilters" in l
+                and ">= 20231115" in l
+                and "<= 20231115" in l
+            ]
+            # one line per pruned scan: the stored archive AND the
+            # live raw samples feeding the on-the-fly rollup
+            assert len(pruned) >= 2, plan
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_unanswerable_shape_falls_back_to_raw(self, rolled_engine):
         eng, d0 = rolled_engine
         start = (d0 + DAY_MS) / 1000

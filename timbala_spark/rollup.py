@@ -148,26 +148,59 @@ PAYLOAD_COLUMNS = (
 )
 
 
-def build_rollup_narrow(samples: DataFrame, resolution_ms: int) -> DataFrame:
+def build_rollup_narrow(
+    samples: DataFrame,
+    resolution_ms: int,
+    day_partitioned: bool = False,
+) -> DataFrame:
     """``build_rollup`` over a NARROW samples frame (``series_id``,
     ``t``, ``v`` — the split store's samples side, no name/labels):
     output is ``series_id``, ``t`` (window start), ``day`` + the
     payload columns. The read path joins the store's series dictionary
     to recover name/labels, exactly like ``ingest.read_samples_table``
-    — the rollup never duplicates the labels map on disk."""
-    return _build(samples, resolution_ms, identity=False)
+    — the rollup never duplicates the labels map on disk.
+
+    ``day_partitioned``: the input additionally carries the store's
+    physical ``day`` partition column and ``resolution_ms`` divides a
+    day. Then no window (and no in-window sample pair — ``pair_in``
+    already excludes any pair whose predecessor lies before the window)
+    ever crosses a day boundary, so the lag window can partition by
+    ``(series_id, day)`` and the output can carry ``day`` VERBATIM:
+    bit-identical results, but a filter on ``day`` now pushes below
+    the window function all the way into the parquet scan as a
+    partition filter. The dirty-generation hybrid read
+    (``ingest.read_rollup_tables``) needs this — without it, every
+    routed query during a dirty window re-scans ALL live raw days
+    regardless of its time range."""
+    return _build(
+        samples, resolution_ms, identity=False,
+        day_partitioned=day_partitioned,
+    )
 
 
-def _build(samples: DataFrame, resolution_ms: int, identity: bool) -> DataFrame:
+def _build(
+    samples: DataFrame,
+    resolution_ms: int,
+    identity: bool,
+    day_partitioned: bool = False,
+) -> DataFrame:
     w = int(resolution_ms)
     if w <= 0:
         raise ValueError("resolution_ms must be positive")
+    if day_partitioned:
+        if 86_400_000 % w:
+            raise ValueError(
+                "day_partitioned requires a resolution dividing a day"
+            )
+        if "day" not in samples.columns:
+            raise ValueError("day_partitioned requires a day column")
+    part = "series_id, day" if day_partitioned else "series_id"
     base = (
         samples.filter(F.col("v").isNotNull())
         .selectExpr(
             "*",
-            "lag(t) OVER (PARTITION BY series_id ORDER BY t) AS _pt",
-            "lag(v) OVER (PARTITION BY series_id ORDER BY t) AS _pv",
+            f"lag(t) OVER (PARTITION BY {part} ORDER BY t) AS _pt",
+            f"lag(v) OVER (PARTITION BY {part} ORDER BY t) AS _pv",
         )
         .selectExpr("*", f"CAST(t - pmod(t, {w}) AS BIGINT) AS _ws")
     )
@@ -218,13 +251,22 @@ def _build(samples: DataFrame, resolution_ms: int, identity: bool) -> DataFrame:
             " AS s_nan"
         ),
     ]
-    out = base.groupBy("series_id", "_ws").agg(*aggs)
+    keys = ["series_id", "_ws"] + (["day"] if day_partitioned else [])
+    out = base.groupBy(*keys).agg(*aggs)
     head = ["name", "labels"] if identity else []
+    # day_partitioned carries the grouping key verbatim (window day ==
+    # sample day when W divides a day) so it stays the scan's physical
+    # partition column for pushdown; otherwise derive it from _ws
+    day = (
+        "day"
+        if day_partitioned
+        else "date_format(timestamp_millis(_ws), 'yyyyMMdd') AS day"
+    )
     return out.selectExpr(
         *head,
         "series_id",
         "_ws AS t",
-        "date_format(timestamp_millis(_ws), 'yyyyMMdd') AS day",
+        day,
         *PAYLOAD_COLUMNS,
     )
 

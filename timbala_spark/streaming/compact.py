@@ -184,10 +184,17 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
         # same row-group pruning
         from ..rollup import build_rollup_narrow
 
+        # day-divisible resolutions build with the lag window split per
+        # (series_id, day) — identical output, bounded window partition
+        # sizes on long series, and the physical day column carries
+        # through (rollup.build_rollup_narrow day_partitioned)
+        divisible = DAY_MS % int(w) == 0
+        cols = ["series_id", "t", "v"] + (["day"] if divisible else [])
         (
             build_rollup_narrow(
-                spark.read.parquet(new_s).select("series_id", "t", "v"),
+                spark.read.parquet(new_s).select(*cols),
                 int(w),
+                day_partitioned=divisible,
             )
             .repartitionByRange(F.col("day"), F.col("series_id"))
             .sortWithinPartitions("series_id", "t")

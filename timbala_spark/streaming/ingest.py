@@ -420,20 +420,26 @@ def read_rollup_tables(
             stored = spark.read.parquet(rdir).filter(
                 f"t < {int(horizon)}"
             )
+            # day_partitioned keeps the PHYSICAL day partition column
+            # through the on-the-fly build (lag window per (series_id,
+            # day) — identical output since W divides a day), so the
+            # engine's day bounds prune the live raw scan instead of
+            # re-scanning every live day on each routed query; both
+            # union sides then carry the same parquet-inferred day type
+            # replica collapse with day ALSO in the dedup keys: day is
+            # a function of t, so the result is identical to
+            # dedup_replicas — but Catalyst refuses to push a predicate
+            # on a non-key column through a Deduplicate node, and the
+            # day key is what lets the engine's day bounds reach the
+            # raw scan below
             fresh = build_rollup_narrow(
-                dedup_replicas(
-                    spark.read.parquet(st.samples).select(
-                        "series_id", "t", "v"
-                    )
-                ),
+                spark.read.parquet(st.samples)
+                .select("series_id", "t", "v", "day")
+                .dropDuplicates(["series_id", "t", "day"]),
                 w,
+                day_partitioned=True,
             )
-            cols = [c for c in fresh.columns if c != "day"]
-            r = (
-                stored.select(*cols)
-                .unionByName(fresh.select(*cols))
-                .withColumn("day", utc_day_expr(F.col("t")))
-            )
+            r = stored.select(*fresh.columns).unionByName(fresh)
         else:
             r = spark.read.parquet(rdir)
         if d is None:
