@@ -313,3 +313,68 @@ class TestBuildRollup:
         assert (w0["s_cnt"], w0["s_sm"]) == (1, 1.0)  # boundary sample
         assert (w1["cnt"], w1["s_cnt"], w1["s_sm"]) == (1, 1, 8.0)
         assert w0["mn"] == 1.0 and w0["mx"] == 2.0 and w0["nan"] == 0
+
+    def test_day_partitioned_build_is_bit_identical(self, spark):
+        """The (series_id, day)-partitioned lag window (the pruning
+        mode the dirty hybrid read and compaction use) must produce
+        EXACTLY the plain build's rows for a day-divisible resolution:
+        randomized series crossing several UTC day boundaries, with
+        NaNs, stale markers, boundary-aligned samples, and counter
+        resets. Pairs whose predecessor lies in the previous day are
+        excluded by pair_in either way — this pins that argument."""
+        from timbala_spark.model import utc_day_expr
+        from timbala_spark.rollup import PAYLOAD_COLUMNS, build_rollup_narrow
+
+        day = 86_400_000
+        w = 3_600_000
+        d0 = (1_700_000_000_000 // day) * day
+        random.seed(13)
+        rows = []
+        for s in range(3):
+            t = d0 - 2 * w  # start before the first day boundary
+            v = 0.0
+            while t < d0 + 2 * day + 2 * w:
+                v = 0.0 if random.random() < 0.03 else v + random.random()
+                val = float("nan") if random.random() < 0.05 else v
+                if random.random() < 0.02:
+                    val = None  # stale marker
+                rows.append((s, int(t), val))
+                # hit exact day/window boundaries often
+                t += random.choice([1, w - 1, w, day - t % day or w, 137_000])
+        df = spark.createDataFrame(
+            rows, "series_id long, t long, v double"
+        ).withColumn("day", utc_day_expr(F.col("t")))
+        plain = build_rollup_narrow(df.select("series_id", "t", "v"), w)
+        fast = build_rollup_narrow(df, w, day_partitioned=True)
+
+        def canon(r):
+            out = {}
+            for row in r.collect():
+                key = (row["series_id"], row["t"], str(row["day"]))
+                out[key] = tuple(
+                    None
+                    if row[c] is None
+                    else ("nan" if isinstance(row[c], float)
+                          and math.isnan(row[c]) else row[c])
+                    for c in PAYLOAD_COLUMNS
+                )
+            return out
+        a, b = canon(plain), canon(fast)
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k] == b[k], (k, a[k], b[k])
+
+    def test_day_partitioned_validation(self, spark):
+        from timbala_spark.rollup import build_rollup_narrow
+
+        df = spark.createDataFrame(
+            [(1, 0, 1.0)], "series_id long, t long, v double"
+        )
+        with pytest.raises(ValueError, match="day column"):
+            build_rollup_narrow(df, 3_600_000, day_partitioned=True)
+        with pytest.raises(ValueError, match="dividing a day"):
+            build_rollup_narrow(
+                df.withColumn("day", F.lit("19700101")),
+                7_000_000,
+                day_partitioned=True,
+            )
