@@ -829,12 +829,33 @@ def q_sim_lsh_topk(spark, sf_dir):
 
 
 def q_text_fingerprint(spark, sf_dir):
-    """Winnowing fingerprint (md5 hash variant — oracle replays the
-    full shingle→window-min→distinct→sort→hash pipeline)."""
-    from timbala_spark.pipeline import with_fingerprint
+    """MERGED entry (50-entry cap), tagged union:
+
+    * ``fingerprint`` — winnowing fingerprint (md5 hash variant —
+      oracle replays the full shingle→window-min→distinct→sort→hash
+      pipeline);
+    * ``contam13`` — benchmark decontamination (GPT-3's 13-gram
+      collision rule): documents with ``doc_id % 17 == 0`` act as the
+      held-out eval set, the rest are the training corpus; ``v`` is
+      the count of distinct shared lowercased-token 13-grams
+      (``pipeline.text.flag_contaminated``, string-join variant — the
+      production path hashes grams to 64-bit before the broadcast)."""
+    from timbala_spark.pipeline import flag_contaminated, with_fingerprint
 
     docs = _tbl(spark, sf_dir, "documents")
-    return with_fingerprint(docs, hash_algo="md5").select("doc_id", "fingerprint")
+    fp = with_fingerprint(docs, hash_algo="md5").select(
+        F.lit("fingerprint").alias("kind"),
+        "doc_id",
+        F.col("fingerprint").alias("v"),
+    )
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    probe = docs.filter(F.col("doc_id") % 17 != 0)
+    contam = flag_contaminated(probe, bench, n=13, hash_grams=False).select(
+        F.lit("contam13").alias("kind"),
+        "doc_id",
+        F.col("n_contam_ngrams").alias("v"),
+    )
+    return fp.unionByName(contam)
 
 
 def q_promql_holt_winters(spark, sf_dir):
@@ -1954,9 +1975,33 @@ mins AS (
          END AS sigstr
   FROM hs
 )
-SELECT doc_id,
-       CASE WHEN n_sh > 0 THEN {_h64('sigstr')} END AS fingerprint
+SELECT 'fingerprint' AS kind, doc_id,
+       CASE WHEN n_sh > 0 THEN {_h64('sigstr')} END AS v
 FROM mins
+UNION ALL
+-- contam13: GPT-3 13-gram decontamination, doc_id % 17 = 0 as the
+-- held-out benchmark (mirrors pipeline.text.flag_contaminated with
+-- hash_grams=False)
+SELECT 'contam13' AS kind, d.doc_id, coalesce(h.n, 0) AS v
+FROM documents d LEFT JOIN (
+  WITH tok AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x != '') AS tk
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+    FROM tok, UNNEST(generate_series(1, len(tk) - 12)) AS u(i)
+    WHERE len(tk) >= 13
+  ),
+  bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0)
+  SELECT p.doc_id, count(DISTINCT p.g) AS n
+  FROM grams p JOIN bench USING (g)
+  WHERE p.doc_id % 17 <> 0
+  GROUP BY p.doc_id
+) h USING (doc_id)
+WHERE d.doc_id % 17 <> 0
 """
 
     # both tags (blocked / auto-routed-to-blocked at this corpus size)

@@ -62,6 +62,69 @@ class TestTextOps:
         fps = with_fingerprint(dup).select("fingerprint").collect()
         assert fps[0][0] == fps[1][0]
 
+    def test_decontamination_known_overlap(self, spark):
+        from timbala_spark.pipeline import flag_contaminated
+
+        words = [f"w{i}" for i in range(20)]
+        rows = [
+            (0, " ".join(words)),                 # shares 13-grams w/ bench
+            (1, " ".join(words[:12])),            # too short for any 13-gram
+            (2, " ".join(reversed(words))),       # same tokens, no 13-gram
+            (3, "  " + "  ".join(w.upper() for w in words[2:16]) + " "),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, " ".join(words[2:16]))], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["n_contam_ngrams"]
+            for r in flag_contaminated(docs, bench, n=13).collect()
+        }
+        # bench doc holds 14 tokens -> two 13-grams; doc 0 contains both,
+        # doc 3 is the same text up to case/whitespace (lowercased
+        # whitespace tokens -> both grams again)
+        assert got == {0: 2, 1: 0, 2: 0, 3: 2}
+
+    def test_decontamination_hashed_equals_string_path(
+        self, spark, documents
+    ):
+        from pyspark.sql import functions as F
+
+        from timbala_spark.pipeline import flag_contaminated
+
+        bench = documents.filter(F.col("doc_id") % 17 == 0)
+        probe = documents.filter(F.col("doc_id") % 17 != 0)
+
+        def canon(hash_grams):
+            out = flag_contaminated(
+                probe, bench, n=13, hash_grams=hash_grams
+            ).select("doc_id", "n_contam_ngrams")
+            return {r["doc_id"]: r["n_contam_ngrams"] for r in out.collect()}
+
+        hashed, strings = canon(True), canon(False)
+        assert hashed == strings
+        assert sum(1 for v in strings.values() if v > 0) > 0  # corpus dups
+
+    def test_decontamination_probe_stays_broadcast(self, spark, documents):
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from timbala_spark.pipeline import flag_contaminated
+
+        bench = documents.filter(F.col("doc_id") % 17 == 0)
+        probe = documents.filter(F.col("doc_id") % 17 != 0)
+        out = flag_contaminated(probe, bench, n=13)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        # the gram probe must be a broadcast hash join (map-only pass
+        # over the corpus), never a shuffled join of exploded grams
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+
 
 class TestDedup:
     def test_exact_dedup_finds_injected_dups(self, spark, documents):

@@ -16,6 +16,7 @@ from .similarity import (  # noqa: F401
     lsh_params_for,
 )
 from .text import (  # noqa: F401
+    flag_contaminated,
     with_fingerprint,
     with_language_id,
     with_quality_features,

@@ -142,3 +142,74 @@ def with_fingerprint(
     return df.withColumn(
         "fingerprint", F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long"))
     )
+
+
+def ngrams_expr(text: Column, n: int, lowercase: bool = True) -> Column:
+    """Lowercased whitespace-token ``n``-grams, space-joined — the
+    collision unit of benchmark decontamination (fewer than ``n``
+    tokens → empty array)."""
+    toks = tokens_expr(F.lower(text) if lowercase else text)
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token ``n``-gram with an evaluation/benchmark corpus — the 13-gram
+    collision rule of GPT-3 (Brown et al. 2020, appendix C) and PaLM.
+
+    100 TB design: the benchmark side reduces to a DISTINCT set of
+    n-gram keys (8-byte xxhash64 by default — a million-question eval
+    suite is tens of MB) and is broadcast, so the corpus side is one
+    map-only pass (tokenize → gram → hash → probe the broadcast hash
+    set); only MATCHED (id, gram) pairs — a vanishing fraction — enter
+    the shuffle that counts distinct collisions per document. Set
+    ``broadcast=False`` to let AQE plan a shuffled join for benchmark
+    sets too large to broadcast. ``hash_grams=False`` joins on the raw
+    gram strings (DuckDB-replayable, used by the oracle entry; the
+    hashed production path differs only on 64-bit collisions).
+
+    Returns ``docs`` plus ``n_contam_ngrams`` (distinct shared grams)
+    and ``contaminated``.
+    """
+    g = ngrams_expr(F.col(text_col), n)
+    if hash_grams:
+        g = F.transform(g, lambda s: F.xxhash64(s))
+    bench = benchmark.select(
+        F.explode(
+            ngrams_expr(F.col(text_col), n)
+            if not hash_grams
+            else F.transform(
+                ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("_g")
+    ).distinct()
+    if broadcast:
+        bench = F.broadcast(bench)
+    probe = docs.select(F.col(id_col), F.explode(g).alias("_g"))
+    hits = (
+        probe.join(bench, "_g")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_g").alias("n_contam_ngrams"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(
+            "n_contam_ngrams",
+            F.coalesce(F.col("n_contam_ngrams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_contam_ngrams") > 0)
+    )
