@@ -101,10 +101,28 @@ def _production_overrides():
         return simhash_pairs(docs, max_hamming=3, hash_algo="xxhash64")
 
     def fingerprint(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from timbala_spark.pipeline import flag_contaminated
+
         docs = load_table(spark, sf_dir, "documents")
-        return with_fingerprint(docs, hash_algo="xxhash64").select(
-            "doc_id", "fingerprint"
+        fp = with_fingerprint(docs, hash_algo="xxhash64").select(
+            F.lit("fingerprint").alias("kind"),
+            "doc_id",
+            F.col("fingerprint").alias("v"),
         )
+        # the contract union's contam13 branch at the production hash
+        # (hash_grams=True: broadcast 64-bit gram set, map-only probe)
+        contam = flag_contaminated(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0),
+            n=13,
+        ).select(
+            F.lit("contam13").alias("kind"),
+            "doc_id",
+            F.col("n_contam_ngrams").alias("v"),
+        )
+        return fp.unionByName(contam)
 
     return {
         "dedup_minhash_lsh": minhash,
