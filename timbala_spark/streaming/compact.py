@@ -66,8 +66,10 @@ from .store import (
     list_data_files,
     maintenance_lock,
     read_min_t,
+    read_settled,
     resolve_store,
     write_min_t,
+    write_settled,
 )
 
 
@@ -132,19 +134,64 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     if os.path.exists(gdir):  # crashed uncommitted attempt: discard
         shutil.rmtree(gdir)
     new_s, new_d = os.path.join(gdir, "samples"), os.path.join(gdir, "series")
+    src_gdir = os.path.dirname(src.samples)
     snap_s = list_data_files(src.samples)
     snap_d = list_data_files(src.series)
-    (
-        spark.read.parquet(src.samples)
-        .dropDuplicates(["series_id", "t"])
-        .withColumn("day", utc_day_expr(F.col("t")))
-        .repartitionByRange(F.col("day"), F.col("series_id"))
-        .sortWithinPartitions("series_id", "t")
-        .write.mode("overwrite")
-        .option("parquet.writer.version", "v2")
-        .partitionBy("day")
-        .parquet(new_s)
-    )
+    # incremental plan: the settled listing (store.read_settled) names
+    # the files a previous rewrite produced; everything else is an
+    # append, and a (series_id, t) duplicate pair always shares its
+    # day (equal t ⇒ equal day), so rewriting ONLY the day partitions
+    # appends touched — and hardlinking every settled file of every
+    # untouched day — is exactly equivalent to the full rewrite. This
+    # is the reference compactor's plan step (``tsdb/compact.go:
+    # 128-167`` — it merges head/small blocks, it never rewrites
+    # settled old blocks), and at 100 TB it is the difference between
+    # a maintenance pass costing O(appends' days) and O(store).
+    settled = read_settled(src_gdir)
+    touched: set[str] | None = None  # None → full rewrite
+    if settled is not None:
+        days = {_rel_day(f) for f in snap_s - settled}
+        if None not in days:  # un-day-partitioned file → full rewrite
+            touched = days
+    if touched is None:
+        (
+            spark.read.parquet(src.samples)
+            .dropDuplicates(["series_id", "t"])
+            .withColumn("day", utc_day_expr(F.col("t")))
+            .repartitionByRange(F.col("day"), F.col("series_id"))
+            .sortWithinPartitions("series_id", "t")
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v2")
+            .partitionBy("day")
+            .parquet(new_s)
+        )
+    else:
+        if touched:
+            (
+                spark.read.parquet(src.samples)
+                .filter(F.col("day").isin([int(d) for d in touched]))
+                .dropDuplicates(["series_id", "t"])
+                .repartitionByRange(F.col("day"), F.col("series_id"))
+                .sortWithinPartitions("series_id", "t")
+                .write.mode("overwrite")
+                .option("parquet.writer.version", "v2")
+                .partitionBy("day")
+                .parquet(new_s)
+            )
+        os.makedirs(new_s, exist_ok=True)
+        link_files(
+            src.samples,
+            {f for f in settled if _rel_day(f) not in touched},
+            new_s,
+        )
+    # the new generation's settled set: everything present BEFORE the
+    # straggler re-list below (stragglers stay outside the listing, so
+    # the next pass rewrites their days)
+    new_settled = list_data_files(new_s)
+    write_settled(gdir, new_settled)
+    # the series dictionary is always fully collapsed — it is the
+    # index flush (one row per series; small next to the samples even
+    # at the 40M-series bar, PERF §12)
     (
         spark.read.parquet(src.series)
         .dropDuplicates(["series_id"])
@@ -159,7 +206,6 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     # archived resolution so each committed rollup table always covers
     # the generation's full time extent (routing never sees a gap).
     horizon = read_min_t(path)
-    src_gdir = os.path.dirname(src.samples)
     archive: dict[int, set[str]] = {}
     if horizon is not None and os.path.isdir(src_gdir):
         hday = _day_str(horizon)
@@ -189,6 +235,44 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
         # sizes on long series, and the physical day column carries
         # through (rollup.build_rollup_narrow day_partitioned)
         divisible = DAY_MS % int(w) == 0
+        rdir_src = os.path.join(src_gdir, f"rollup-{int(w)}")
+        rdir_new = os.path.join(gdir, f"rollup-{int(w)}")
+        if touched is not None and divisible and os.path.isdir(rdir_src):
+            # incremental: a day-divisible window never crosses a day
+            # boundary, so untouched days' rollup rows are still exact
+            # (their raw is byte-identical) — hardlink them (the
+            # archive days ride this same link: they are below the
+            # write horizon, hence untouchable) and rebuild only the
+            # touched days from the already-compacted new samples
+            if touched:
+                (
+                    build_rollup_narrow(
+                        spark.read.parquet(new_s)
+                        .filter(
+                            F.col("day").isin([int(d) for d in touched])
+                        )
+                        .select("series_id", "t", "v", "day"),
+                        int(w),
+                        day_partitioned=True,
+                    )
+                    .repartitionByRange(F.col("day"), F.col("series_id"))
+                    .sortWithinPartitions("series_id", "t")
+                    .write.mode("overwrite")
+                    .option("parquet.writer.version", "v2")
+                    .partitionBy("day")
+                    .parquet(rdir_new)
+                )
+            os.makedirs(rdir_new, exist_ok=True)
+            link_files(
+                rdir_src,
+                {
+                    f
+                    for f in list_data_files(rdir_src)
+                    if _rel_day(f) not in touched
+                },
+                rdir_new,
+            )
+            continue
         cols = ["series_id", "t", "v"] + (["day"] if divisible else [])
         (
             build_rollup_narrow(
@@ -201,17 +285,14 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
             .write.mode("overwrite")
             .option("parquet.writer.version", "v2")
             .partitionBy("day")
-            .parquet(os.path.join(gdir, f"rollup-{int(w)}"))
+            .parquet(rdir_new)
         )
-    for w, files in archive.items():
-        # no collision with the rebuilt part: raw holds nothing below
-        # the horizon (retention dropped it, the write guard keeps it
-        # out), so the rebuild wrote only day >= horizon partitions
-        link_files(
-            os.path.join(src_gdir, f"rollup-{w}"),
-            files,
-            os.path.join(gdir, f"rollup-{w}"),
-        )
+        if w in archive:
+            # no collision with the rebuilt part: raw holds nothing
+            # below the horizon (retention dropped it, the write guard
+            # keeps it out), so the rebuild wrote only day >= horizon
+            # partitions
+            link_files(rdir_src, archive[w], rdir_new)
     if _after_rewrite is not None:
         _after_rewrite(src)
     # straggler carry-over: appends that landed after the snapshot are
@@ -384,6 +465,15 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
         if rel.split(os.sep, 1)[0] not in doomed
     ]
     link_files(src.samples, keep_rel, os.path.join(gdir, "samples"))
+    # retention unsettles nothing: carry the settled listing minus the
+    # dropped days so the next compaction stays incremental
+    settled = read_settled(src_gdir)
+    if settled is not None:
+        os.makedirs(gdir, exist_ok=True)
+        write_settled(
+            gdir,
+            {f for f in settled if f.split(os.sep, 1)[0] not in doomed},
+        )
     link_files(
         src.series, list_data_files(src.series), os.path.join(gdir, "series")
     )

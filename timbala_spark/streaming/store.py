@@ -319,6 +319,44 @@ def gc_store(
     return deleted
 
 
+#: per-generation settled-files listing — see :func:`read_settled`
+SETTLED_NAME = "_settled"
+
+
+def read_settled(gdir: str) -> set[str] | None:
+    """The generation's SETTLED samples files (paths relative to its
+    ``samples/`` dir), or ``None`` when the generation has no listing
+    (legacy / never-compacted store → the next compaction falls back
+    to a full rewrite and starts the listing).
+
+    Invariant: within any one day partition, the settled files jointly
+    hold no ``(series_id, t)`` duplicates and are ``(series_id, t)``-
+    sorted — they are the product of a compaction rewrite of WHOLE
+    days, and every append since lands as a file *outside* the listing.
+    ``compact_store`` uses the complement (current files − settled) to
+    rewrite only the day partitions appends actually touched — the
+    incremental-compaction analog of the reference's head-block flush
+    (``tsdb/compact.go:128-167`` plans over changed blocks only; it
+    never rewrites settled old blocks either)."""
+    try:
+        with open(os.path.join(gdir, SETTLED_NAME)) as f:
+            return {line.rstrip("\n") for line in f if line.strip()}
+    except FileNotFoundError:
+        return None
+
+
+def write_settled(gdir: str, files) -> None:
+    """Atomically write the generation's settled listing (same-dir
+    tmp + rename, like the manifest)."""
+    tmp = os.path.join(gdir, f".{SETTLED_NAME}.tmp")
+    with open(tmp, "w") as f:
+        for rel in sorted(files):
+            f.write(rel + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(gdir, SETTLED_NAME))
+
+
 def read_min_t(path: str) -> int | None:
     """The store's retention horizon (ms), or None if retention never
     dropped anything. Samples strictly below it have been deleted;
@@ -363,6 +401,8 @@ __all__ = [
     "list_data_files",
     "read_min_t",
     "write_min_t",
+    "read_settled",
+    "write_settled",
     "link_files",
     "retired_generations",
     "gc_store",
