@@ -85,6 +85,19 @@ class PromAPI:
     #: widening quantum in seconds (None = auto: extent/4 clamped to
     #: [60 s, 1 h], rounded up to a step multiple)
     range_cache_quantum_s: float | None = None
+    #: driver-boundedness guard for the metadata endpoints
+    #: (label_values / series): they are the ONLY collects whose size
+    #: is data-cardinality-bound rather than grid-bound, and at the
+    #: reference's 40 M-active-series bar an unmatched ``/series`` (or
+    #: ``label_values("instance")``) would materialize millions of
+    #: rows on the driver. The reference streams from a local index so
+    #: it has no such cliff (``api.go:252-341``); the Spark analog
+    #: caps the collect with ``limit(N+1)`` (TakeOrderedAndProject /
+    #: CollectLimit — bounded executor→driver transfer) and answers a
+    #: clear execution error past it. ``None`` restores the unbounded
+    #: reference contract. A 1 M default is already a >50 MB JSON
+    #: response — past any dashboard's use.
+    meta_limit: int | None = 1_000_000
 
     def __post_init__(self) -> None:
         import itertools
@@ -460,15 +473,24 @@ class PromAPI:
             return self._error(
                 ERR_BAD_DATA, f"invalid label name: {json.dumps(name)}"
             )
-        vals = (
+        df = (
             self.engine.samples.select(
                 label_get(F.col("labels"), name).alias("_v")
             )
             .filter(F.col("_v").isNotNull())
             .distinct()
             .orderBy("_v")
-            .collect()
         )
+        if self.meta_limit is not None:
+            vals = df.limit(self.meta_limit + 1).collect()
+            if len(vals) > self.meta_limit:
+                return self._error(
+                    ERR_EXEC,
+                    f"label values for {name!r} exceed the configured "
+                    f"limit of {self.meta_limit} distinct values",
+                )
+        else:
+            vals = df.collect()
         return self._success([r["_v"] for r in vals])
 
     # -- GET /api/v1/series (api.go:279-341) --------------------------
@@ -504,12 +526,22 @@ class PromAPI:
                 .dropDuplicates(["_sig"])
                 .select("labels")
             )
-            for r in deduped.collect():
+            if self.meta_limit is not None:
+                rows = deduped.limit(self.meta_limit + 1).collect()
+            else:
+                rows = deduped.collect()
+            for r in rows:
                 labels = dict(r["labels"])
                 key = tuple(sorted(labels.items()))
                 if key not in seen:
                     seen.add(key)
                     out.append(labels)
+            if self.meta_limit is not None and len(out) > self.meta_limit:
+                return self._error(
+                    ERR_EXEC,
+                    "series result exceeds the configured limit of "
+                    f"{self.meta_limit} series; narrow match[]",
+                )
         out.sort(key=lambda d: sorted(d.items()))
         return self._success(out)
 

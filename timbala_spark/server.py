@@ -124,6 +124,7 @@ class TimbalaServer:
         rollup_resolutions_ms: tuple[int, ...] = (),
         retention_ms: int | None = None,
         rollup_retention_ms: int | None = None,
+        meta_limit: int | None = 1_000_000,
     ) -> None:
         """``maintenance_interval_s`` starts a background maintenance
         loop with :meth:`start` — the analog of the reference's
@@ -194,7 +195,13 @@ class TimbalaServer:
         self._rules_stop = threading.Event()
         self._rules_thread: threading.Thread | None = None
         self.max_body_bytes = max_body_bytes
-        self._api_kw = {"max_concurrent": max_concurrent, "timeout_s": timeout_s}
+        self._api_kw = {
+            "max_concurrent": max_concurrent,
+            "timeout_s": timeout_s,
+            # driver-boundedness guard for /api/v1/label/:name/values
+            # and /api/v1/series (see PromAPI.meta_limit)
+            "meta_limit": meta_limit,
+        }
         self._lookback_ms = lookback_ms
         self._lock = threading.Lock()
         #: serializes store MUTATIONS (writes vs maintenance) — the
