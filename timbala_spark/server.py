@@ -398,6 +398,20 @@ class TimbalaServer:
             )
         self._invalidate_engine()
 
+    def snapshot(self, dst: str, lock_timeout_s: float = 30.0) -> int:
+        """Hardlink a consistent copy of the store into ``dst`` — the
+        ``DB.Snapshot`` analog (``tsdb/db.go:607-630``; see
+        ``streaming.store.snapshot_store``). Returns files linked.
+        Waits up to ``lock_timeout_s`` for an in-flight maintenance
+        pass (the snapshot and the compactor share the store's
+        cross-process maintenance lock, the reference's ``db.cmtx``
+        discipline)."""
+        from .streaming.store import snapshot_store
+
+        return snapshot_store(
+            self.store_path, dst, lock_timeout_s=lock_timeout_s
+        )
+
     def retain(self) -> list[str]:
         """One retention pass against the configured windows: drop raw
         days older than ``retention_ms``, keep exact rollup days down

@@ -357,6 +357,77 @@ def write_settled(gdir: str, files) -> None:
     os.rename(tmp, os.path.join(gdir, SETTLED_NAME))
 
 
+def snapshot_store(path: str, dst: str, lock_timeout_s: float = 0.0) -> int:
+    """Hardlink a consistent, self-contained copy of the store's
+    current generation into ``dst`` — the analog of the reference's
+    ``DB.Snapshot`` (``vendor/github.com/prometheus/tsdb/db.go:607-630``
+    hardlinks every block's files into the target under the compaction
+    mutex; ``block.go:464`` per-block). Returns the number of files
+    linked.
+
+    Like the reference (which holds ``db.cmtx`` for the whole pass),
+    the snapshot holds :func:`maintenance_lock`, so no compaction/
+    retention/GC can retire or delete the generation mid-copy;
+    concurrent *appends* are safe without the lock by the same
+    argument queries rely on (a file listing is a snapshot and files
+    are only ever added), the lock just pins WHICH side of an ongoing
+    batch the snapshot lands on less arbitrarily. Hardlinks are
+    metadata-only — snapshotting a 100 TB store costs O(files), not
+    O(bytes), and the linked inodes survive GC of the source (the
+    object-store translation is a manifest copy listing the same
+    immutable keys).
+
+    ``dst`` becomes a store of the SAME layout as the source — a
+    manifest-committed source yields a manifest-committed snapshot
+    (same generation number; rollup servability requires a committed
+    generation, ``ingest.read_rollup_tables``), a never-compacted
+    legacy source yields a flat legacy snapshot. Either way the
+    snapshot is immediately readable via ``read_samples_table``,
+    compactable, and fully independent. Carried alongside the data:
+
+    * the ``_dirty`` marker — a snapshot of a dirty store stays
+      marked, so its reads keep the replica-collapse until ITS first
+      compaction (semantics travel with the data);
+    * the ``_settled`` listing — the snapshot's first compaction stays
+      incremental;
+    * ``rollup-*`` tables and the ``_min_t`` write horizon — archived
+      rollup tiers below the horizon remain servable and immutable.
+    """
+    real_dst = os.path.realpath(dst)
+    real_src = os.path.realpath(path)
+    if real_dst == real_src or real_dst.startswith(real_src + os.sep):
+        raise ValueError("cannot snapshot into the store's own directory")
+    if os.path.isdir(real_dst) and any(
+        not e.startswith(".") for e in os.listdir(real_dst)
+    ):
+        raise ValueError(f"snapshot target {dst!r} is not empty")
+    n = 0
+    with maintenance_lock(path, lock_timeout_s):
+        st = resolve_store(path)
+        gdir = os.path.dirname(st.samples)  # generation dir (or root)
+        dst_gdir = (
+            real_dst
+            if st.gen == 0
+            else os.path.join(real_dst, gen_dirname(st.gen))
+        )
+        os.makedirs(dst_gdir, exist_ok=True)
+        for entry in sorted(os.listdir(gdir)):
+            full = os.path.join(gdir, entry)
+            if os.path.isdir(full) and (
+                entry in ("samples", "series") or entry.startswith("rollup-")
+            ):
+                rel = list_data_files(full)
+                n += link_files(full, rel, os.path.join(dst_gdir, entry))
+            elif entry in ("_dirty", SETTLED_NAME) and os.path.isfile(full):
+                shutil.copy2(full, os.path.join(dst_gdir, entry))
+        if st.gen > 0:
+            commit_manifest(real_dst, st.gen)
+        horizon = read_min_t(path)
+        if horizon is not None:
+            write_min_t(real_dst, horizon)
+    return n
+
+
 def read_min_t(path: str) -> int | None:
     """The store's retention horizon (ms), or None if retention never
     dropped anything. Samples strictly below it have been deleted;
@@ -406,4 +477,5 @@ __all__ = [
     "link_files",
     "retired_generations",
     "gc_store",
+    "snapshot_store",
 ]
