@@ -51,8 +51,11 @@ from timbala_spark import Engine, prepare_samples
 MIN = 60_000
 
 
-@pytest.fixture(scope="module")
-def engine(spark):
+def fixture_rows():
+    """The fuzz corpus: gauges with negatives and a NaN stripe,
+    counters with resets, a cumulative histogram, a gappy sparse
+    series. Shared with the store-roundtrip fuzz
+    (test_metamorphic_store.py)."""
     rows = []
     # gauge m{i,j}: negatives, a NaN stripe on one series
     for i_idx, i in enumerate(["a", "b", "c"]):
@@ -93,8 +96,13 @@ def engine(spark):
     # sparse series with gaps longer than the 5m lookback
     for k in [0, 1, 2, 9, 10, 22, 23, 24, 40]:
         rows.append(({"__name__": "sparse"}, k * MIN, float(k) * 1.25))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
     df = spark.createDataFrame(
-        rows, "labels map<string,string>, t long, v double"
+        fixture_rows(), "labels map<string,string>, t long, v double"
     )
     return Engine(spark, prepare_samples(df))
 
