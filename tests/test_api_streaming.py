@@ -293,6 +293,26 @@ class TestStatefulStreaming:
 
 
 class TestStoreMaintenance:
+    def test_server_gc_grace_scales_with_query_timeout(self, spark):
+        """The grace-vs-timeout invariant must hold for ANY configured
+        timeout, not just the default the GC_GRACE_S constant was
+        sized for: a reader pins its generation for one query's
+        lifetime, so grace > timeout is what guarantees no pinned
+        reader ever loses its files (tsdb/db.go:292-330 refcounts)."""
+        import tempfile as _tf
+
+        from timbala_spark.server import TimbalaServer
+        from timbala_spark.streaming.store import GC_GRACE_S
+
+        store = _tf.mkdtemp(prefix="timbala_grace_")
+        try:
+            default = TimbalaServer(spark, store)
+            assert default._gc_grace_s() == GC_GRACE_S  # 150 > 120*1.25=150
+            slow = TimbalaServer(spark, store, timeout_s=600.0)
+            assert slow._gc_grace_s() == 750.0
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
     def test_compact_and_retention(self, spark):
         """Multi-batch appends → many small files; compaction merges
         them, dedups cross-batch re-sends and the series dict;

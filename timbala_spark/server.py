@@ -394,9 +394,23 @@ class TimbalaServer:
             compact_store(
                 self.spark,
                 self.store_path,
+                gc_grace_s=self._gc_grace_s(),
                 rollup_ms=self.rollup_resolutions_ms,
             )
         self._invalidate_engine()
+
+    def _gc_grace_s(self) -> float:
+        """GC grace must exceed THIS server's query timeout, not the
+        default the constant was sized for (``store.GC_GRACE_S`` is
+        150 s > the default 120 s timeout): a reader pins its
+        generation for at most one query's lifetime, so a server
+        configured with ``timeout_s=300`` needs a proportionally
+        longer grace or a slow reader spanning two maintenance
+        commits could lose its files — exactly the refcounted-reader
+        guarantee the reference keeps (``tsdb/db.go:292-330``)."""
+        from .streaming.store import GC_GRACE_S
+
+        return max(GC_GRACE_S, self._api_kw["timeout_s"] * 1.25)
 
     def snapshot(self, dst: str, lock_timeout_s: float = 30.0) -> int:
         """Hardlink a consistent copy of the store into ``dst`` — the
@@ -439,6 +453,7 @@ class TimbalaServer:
             dropped = apply_retention(
                 self.store_path,
                 now_ms - self.retention_ms,
+                gc_grace_s=self._gc_grace_s(),
                 rollup_min_t_ms=rollup_min,
             )
             committed = resolve_store(self.store_path).gen != gen_before
