@@ -185,7 +185,8 @@ class Gen:
             kind = r.randrange(3)
             inner = self.vector(depth - 1)
             if kind == 0:
-                return f"topk({r.choice([1, 2, 3])}, {inner})"
+                op = r.choice(["topk", "bottomk"])
+                return f"{op}({r.choice([1, 2, 3])}, {inner})"
             if kind == 1:
                 phi = r.choice(["0", "0.25", "0.9", "1"])
                 return f"quantile{r.choice(['', ' by (i)'])} ({phi}, {inner})"
@@ -208,12 +209,14 @@ class Gen:
                 return f"predict_linear({self.matrix()}, {r.choice([60, 600])})"
             if kind == 1:
                 return f"holt_winters({self.matrix()}, 0.5, 0.1)"
-            phi = r.choice(["0.1", "0.5", "0.95"])
+            phi = r.choice(["0", "0.1", "0.5", "0.95", "1"])
             return f"quantile_over_time({phi}, {self.matrix()})"
-        if roll == 5:  # elementwise
+        if roll == 5:  # elementwise (incl. date fns on sample VALUES —
+            # value-dependent, so shift-invariant under P2)
             fn = r.choice(
                 ["abs", "ceil", "floor", "exp", "ln", "log2", "log10",
-                 "sqrt", "sort", "sort_desc"]
+                 "sqrt", "sort", "sort_desc", "days_in_month",
+                 "day_of_week", "month", "year", "minute"]
             )
             if fn in ("exp",):  # keep magnitudes sane
                 return f"exp(clamp_max({self.vector(depth - 1)}, 20))"
@@ -226,7 +229,7 @@ class Gen:
             if kind == 1:
                 return f"clamp_max({inner}, {self.scalar(depth - 1)})"
             if kind == 2:
-                return f"round({inner}, {r.choice(['1', '0.5', '10'])})"
+                return f"round({inner}, {r.choice(['1', '0.5', '10', '0.001'])})"
             if kind == 3:
                 return f'label_replace({inner}, "k", "$1-r", "i", "(.+)")'
             return f'label_join({inner}, "k", "-", "i", "j")'
