@@ -121,6 +121,11 @@ class Gen:
         self.rng = random.Random(seed)
         self.extra = extra_offset_s
         self.clock = False
+        #: True when the expression selects AMONG tied values
+        #: (topk/bottomk): at an exact k-boundary tie either series is
+        #: a valid answer (the reference tie-breaks in Go map order),
+        #: so cross-plan comparisons must not assume label identity
+        self.unstable = False
 
     # -- leaves --------------------------------------------------------
     def selector(self) -> str:
@@ -186,6 +191,7 @@ class Gen:
             inner = self.vector(depth - 1)
             if kind == 0:
                 op = r.choice(["topk", "bottomk"])
+                self.unstable = True
                 return f"{op}({r.choice([1, 2, 3])}, {inner})"
             if kind == 1:
                 phi = r.choice(["0", "0.25", "0.9", "1"])
@@ -278,6 +284,12 @@ class Gen:
 def gen_expr(seed: int, extra_offset_s: int = 0) -> tuple[str, bool]:
     g = Gen(seed, extra_offset_s)
     return g.vector(3), g.clock
+
+
+def gen_expr_full(seed: int, extra_offset_s: int = 0):
+    """(promql, clock, unstable) — see Gen's attribute docs."""
+    g = Gen(seed, extra_offset_s)
+    return g.vector(3), g.clock, g.unstable
 
 
 def canon(rows, shift_ms: int = 0):
