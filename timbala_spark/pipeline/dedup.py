@@ -606,12 +606,41 @@ def embedding_near_dup_pairs(
             # candidates — with T independent tables a true pair only
             # needs ONE non-degenerate collision, and survivors are
             # verified exactly, so the cap is recall-only
-            hot = (
-                banded.groupBy("_tbl", "_bkt")
-                .count()
-                .filter(F.col("count") > max_bucket_rows)
-                .select("_tbl", "_bkt")
+            import logging
+
+            cells = tracked_persist(
+                banded.groupBy("_tbl", "_bkt").count(),
+                release_previous=False,
             )
+            n_cells = cells.count()
+            hot = cells.filter(F.col("count") > max_bucket_rows).select(
+                "_tbl", "_bkt"
+            )
+            n_hot = hot.count()
+            if n_hot:
+                # the fired-cap report (VERDICT r6 #3 recall contract):
+                # the cap silently costing a FEW degenerate buckets is
+                # the design; the cap wiping out most cells means the
+                # (planes, tables) shape cannot separate this corpus —
+                # at 2^planes buckets per table, N rows put N/2^planes
+                # in every bucket, and once that exceeds the cap recall
+                # collapses toward zero. That deserves a WARNING, not a
+                # debug line.
+                lg = logging.getLogger(__name__)
+                pct = 100.0 * n_hot / max(1, n_cells)
+                msg = (
+                    "embedding_near_dup lsh: %d of %d (table,bucket) "
+                    "cells exceed max_bucket_rows=%d (%.0f%%) and "
+                    "generate no candidates. Recall-only, but if most "
+                    "cells are capped the corpus is not separable at "
+                    "this (n_planes=%d, n_tables=%d) — run exact_dedup "
+                    "first, raise n_planes, or use mode='auto'."
+                )
+                args = (n_hot, n_cells, max_bucket_rows, pct, n_planes, n_tables)
+                if 2 * n_hot >= n_cells:
+                    lg.warning(msg, *args)
+                else:
+                    lg.info(msg, *args)
             banded = banded.join(
                 F.broadcast(hot), ["_tbl", "_bkt"], "left_anti"
             )
