@@ -123,6 +123,23 @@ def ngram_jaccard_pairs(
         if hot.isEmpty():
             max_postings = None
         else:
+            import logging
+
+            # fired-cap report, same contract as the LSH bucket cap:
+            # a few boilerplate shingles are the design; most shingles
+            # over-cap means the corpus is duplicate-dominated and the
+            # remedy is exact_dedup first (near_dup_pipeline's order)
+            n_hot = hot.count()
+            lg = logging.getLogger(__name__)
+            lg.info(
+                "ngram_jaccard: %d shingles exceed max_postings=%d and "
+                "generate no candidates (recall-only: survivors verify "
+                "with exact Jaccard over the full shingle sets). If "
+                "recall matters on a duplicate-heavy corpus, run "
+                "exact_dedup first.",
+                n_hot,
+                max_postings,
+            )
             posting = posting.join(F.broadcast(hot), "_s", "left_anti")
     a = posting.select(F.col("_id").alias("id_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), "_s")
