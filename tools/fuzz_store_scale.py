@@ -30,7 +30,9 @@ sys.path.insert(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"),
 )
 
-N_MIN = 1_440 * 42  # minutes of data (42 days)
+N_MIN = int(os.environ.get("FUZZ_MIN", 1_440 * 42))  # minutes of data
+# (default 42 days ≈ 1M rows; FUZZ_MIN=604800 → 420 days ≈ 10M rows,
+# which also stresses the day-partition count)
 T0 = 1_700_000_000_000 - (1_700_000_000_000 % 86_400_000)
 
 
@@ -147,7 +149,7 @@ def main(n_seeds: int) -> int:
         for seed in range(n_seeds):
             expr, _clock = tm.gen_expr(seed)
             rng = random.Random(seed * 52361 + 9)
-            day = rng.randrange(1, 41)
+            day = rng.randrange(1, max(2, N_MIN // 1_440 - 1))
             t = T0 / 1000 + day * 86_400 + rng.randrange(3_600, 80_000)
 
             def run(eng):
