@@ -327,6 +327,29 @@ def assert_rows_match(a, b, ctx):
 SEEDS = list(range(24))
 
 
+class TestHarnessSensitivity:
+    """The comparators must actually catch divergences — a fuzz family
+    is only as strong as its assert."""
+
+    def test_label_and_time_mismatches_fail(self):
+        a = [((("i", "a"),), 1000, "1.0")]
+        with pytest.raises(AssertionError):
+            assert_rows_match(a, [((("i", "b"),), 1000, "1.0")], "lbl")
+        with pytest.raises(AssertionError):
+            assert_rows_match(a, [((("i", "a"),), 2000, "1.0")], "t")
+        with pytest.raises(AssertionError):
+            assert_rows_match(a, [], "len")
+
+    def test_value_tolerance_is_tight(self):
+        a = [((), 0, "1.0")]
+        assert_rows_match(a, [((), 0, repr(1.0 + 4e-10))], "ok")
+        with pytest.raises(AssertionError):
+            assert_rows_match(a, [((), 0, "1.001")], "far")
+        with pytest.raises(AssertionError):
+            assert_rows_match(a, [((), 0, "NaN")], "nan-vs-num")
+        assert_rows_match([((), 0, "NaN")], [((), 0, "NaN")], "nan-eq")
+
+
 class TestMetamorphic:
     @pytest.mark.parametrize("seed", SEEDS)
     def test_per_step_independence(self, engine, seed):
