@@ -576,31 +576,90 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_text_token_count(spark, sf_dir):
-    """MERGED entry (50-entry cap): whitespace token count + the
-    GPT-2-shaped regex pre-tokenizer count (words / numbers / single
-    punctuation) per document — both map-only column expressions."""
-    from timbala_spark.pipeline import with_token_count
-    from timbala_spark.pipeline.text import bpe_ish_tokens_expr
+def q_curation_ops(spark, sf_dir):
+    """Tagged union (50-entry cap): the four corpus-curation operators
+    a 100 TB training-data pipeline runs between dedup and training —
+    all pure DataFrame expressions (pipeline/sample.py, text.scrub_pii):
+
+    * ``sample`` — deterministic stratified hash-gate sampling (md5
+      gate variant so the oracle replays membership AND the gate value
+      bit-for-bit; production uses xxhash64). Map-only, monotone under
+      corpus growth.
+    * ``cap`` — per-source cap (row_number windows only over over-cap
+      groups; under-cap groups bypass the sort via a broadcast
+      counts join — Zipfian-domain optimization).
+    * ``pack`` — token-budget shard packing via a distributed prefix
+      sum (range partition + local window + O(partitions) offset
+      join), never a single global-order window.
+    * ``pii`` — email/IPv4/ID-run scrub, chained regexp_replace in the
+      Java∩RE2 dialect; the oracle replays the scrubbed text itself.
+    """
+    from timbala_spark.pipeline import (
+        cap_per_group,
+        pack_greedy,
+        scrub_pii,
+        stratified_sample,
+    )
+    from timbala_spark.pipeline.sample import sample_gate_expr
 
     docs = _tbl(spark, sf_dir, "documents")
-    return with_token_count(docs).select(
+    nul_l = F.lit(None).cast("long")
+    nul_s = F.lit(None).cast("string")
+
+    samp = stratified_sample(
+        docs,
+        {"en": 0.5, "de": 1.0, "zh": 0.25},
         "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.size(bpe_ish_tokens_expr(F.col("text")))
-        .cast("long")
-        .alias("n_bpe_tokens"),
+        strata_col="lang",
+        seed=5,
+        hash_algo="md5",
+    ).select(
+        F.lit("sample").alias("op"),
+        "doc_id",
+        F.col("lang").alias("grp"),
+        sample_gate_expr(F.col("doc_id"), seed=5, hash_algo="md5").alias("n"),
     )
+    cap = cap_per_group(docs, "source", 10, "doc_id").select(
+        F.lit("cap").alias("op"),
+        "doc_id",
+        F.col("source").alias("grp"),
+        nul_l.alias("n"),
+    )
+    toks = docs.withColumn(
+        "n_tokens", F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    )
+    pack = pack_greedy(
+        toks, budget=1000, token_col="n_tokens", order_col="doc_id"
+    ).select(
+        F.lit("pack").alias("op"),
+        "doc_id",
+        F.concat(F.lit("shard"), F.col("shard_id")).alias("grp"),
+        F.col("token_offset").alias("n"),
+    )
+    pii = scrub_pii(docs).select(
+        F.lit("pii").alias("op"),
+        "doc_id",
+        F.col("text_scrubbed").alias("grp"),
+        F.col("n_pii_total").alias("n"),
+    )
+    return samp.unionByName(cap).unionByName(pack).unionByName(pii)
 
 
 def q_text_quality(spark, sf_dir):
+    """MERGED entry (50-entry cap): the quality features PLUS the
+    GPT-2-shaped regex pre-tokenizer count (absorbed from the former
+    text_token_count entry when its slot went to curation_ops)."""
     from timbala_spark.pipeline import with_quality_features
+    from timbala_spark.pipeline.text import bpe_ish_tokens_expr
 
     docs = _tbl(spark, sf_dir, "documents")
     out = with_quality_features(docs)
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size(bpe_ish_tokens_expr(F.col("text")))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.round("mean_token_len", 6).alias("mean_token_len"),
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
@@ -1167,7 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_blocked": q_dedup_embedding_blocked,
         "dedup_embedding_clusters": q_dedup_embedding_clusters,
         "multimodal_decode": q_multimodal_decode,
-        "text_token_count": q_text_token_count,
+        "curation_ops": q_curation_ops,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1791,11 +1850,46 @@ FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
 WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
 """
 
-    sql["text_token_count"] = r"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tokens,
-       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens
+    from timbala_spark.pipeline.sample import SAMPLE_DENOM
+    from timbala_spark.pipeline.text import PII_RULES
+
+    _gate = (
+        f"CAST('0x' || substr(md5(doc_id || '#s5'), 1, 8) AS BIGINT)"
+        f" % {SAMPLE_DENOM}"
+    )
+    _pii_steps, _src = [], "text"
+    for _name, _pat, _token in PII_RULES:
+        _pii_steps.append((_src, _pat, _token))
+        _src = f"regexp_replace({_src}, '{_pat}', '{_token}', 'g')"
+    _pii_counts = " + ".join(
+        f"len(regexp_extract_all({s}, '{p}'))" for s, p, _ in _pii_steps
+    )
+    sql["curation_ops"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS nt
+  FROM documents
+), packed AS (
+  SELECT doc_id,
+         COALESCE(SUM(nt) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM toks
+)
+SELECT 'sample' AS op, doc_id, lang AS grp, {_gate} AS n
 FROM documents
+WHERE (lang = 'de')
+   OR (lang = 'en' AND {_gate} < {SAMPLE_DENOM // 2})
+   OR (lang = 'zh' AND {_gate} < {SAMPLE_DENOM // 4})
+UNION ALL
+SELECT 'cap', doc_id, source, NULL
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+UNION ALL
+SELECT 'pack', doc_id, 'shard' || (off // 1000), off FROM packed
+UNION ALL
+SELECT 'pii', doc_id, {_src}, {_pii_counts} FROM documents
 """
 
     en_sw = ", ".join(f"'{w}'" for w in ("the", "a", "and", "is", "of", "to", "in", "it"))
@@ -1807,6 +1901,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(tk) AS n_tokens,
+       len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS n_bpe_tokens,
        ROUND(CASE WHEN len(tk) > 0
              THEN (length(text) - (len(tk) - 1)) * 1.0 / len(tk)
              ELSE 0 END, 6) AS mean_token_len,

@@ -1,0 +1,173 @@
+"""Curation operators: deterministic sampling, per-group caps,
+token-budget packing, PII scrubbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timbala_spark.pipeline import (
+    cap_per_group,
+    pack_greedy,
+    scrub_pii,
+    stratified_sample,
+)
+from timbala_spark.pipeline.sample import SAMPLE_DENOM, sample_gate_expr
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"word{i} " * (i % 17 + 1), ["en", "de", "fr"][i % 3], f"src{i % 5}")
+        for i in range(600)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+# ---------------------------------------------------------------- sampling
+def test_stratified_sample_deterministic_and_monotone(spark, docs):
+    a = stratified_sample(docs, 0.3, "doc_id", seed=7)
+    b = stratified_sample(docs, 0.3, "doc_id", seed=7)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < 600
+    # monotone: a larger fraction strictly contains the smaller sample
+    big = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, 0.6, "doc_id", seed=7).select("doc_id").collect()
+    )
+    assert set(ids_a) <= set(big)
+    # different seed ⇒ different membership (overwhelmingly likely)
+    other = sorted(
+        r.doc_id
+        for r in stratified_sample(docs, 0.3, "doc_id", seed=8).select("doc_id").collect()
+    )
+    assert other != ids_a
+
+
+def test_stratified_sample_rate_is_roughly_right(spark, docs):
+    n = stratified_sample(docs, 0.5, "doc_id", seed=1).count()
+    assert 0.35 * 600 < n < 0.65 * 600
+
+
+def test_per_stratum_fractions(spark, docs):
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, "doc_id", strata_col="lang", seed=3
+    )
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}  # de sampled at 0, fr missing from the map → dropped
+    assert out.count() == docs.filter("lang = 'en'").count()
+
+
+def test_md5_gate_matches_duckdb(spark, docs):
+    import duckdb
+
+    gate = sample_gate_expr(F.col("doc_id"), seed=5, hash_algo="md5")
+    got = {
+        r.doc_id: r.g
+        for r in docs.select("doc_id", gate.alias("g")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""SELECT i, CAST('0x' || substr(md5(i || '#s5'), 1, 8) AS BIGINT)
+                 % {SAMPLE_DENOM} FROM range(600) t(i)"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------------- caps
+def test_cap_per_group_matches_plain_window(spark, docs):
+    fast = cap_per_group(docs, "source", 50, "doc_id")
+    plain = cap_per_group(docs, "source", 50, "doc_id", optimize_small_groups=False)
+    assert sorted(r.doc_id for r in fast.collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
+    # every group capped at 50, and the kept rows are the SMALLEST ids
+    per = {r.source: r.n for r in fast.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 50 for n in per.values())
+    kept = sorted(r.doc_id for r in fast.filter("source = 'src0'").collect())
+    assert kept == sorted(i for i in range(600) if i % 5 == 0)[:50]
+
+
+def test_cap_per_group_small_groups_pass_through(spark, docs):
+    out = cap_per_group(docs, "source", 1000, "doc_id")
+    assert out.count() == 600
+
+
+# ---------------------------------------------------------------- packing
+def test_pack_greedy_matches_serial_prefix_sum(spark, docs):
+    toks = docs.withColumn("n_tokens", F.size(F.split("text", r"\s+")) - 1)
+    out = pack_greedy(toks, budget=100, token_col="n_tokens", order_col="doc_id", n_partitions=7)
+    got = {
+        r.doc_id: (r.token_offset, r.shard_id)
+        for r in out.select("doc_id", "token_offset", "shard_id").collect()
+    }
+    rows = sorted(
+        (r.doc_id, r.n_tokens) for r in toks.select("doc_id", "n_tokens").collect()
+    )
+    acc = 0
+    for doc_id, n in rows:
+        assert got[doc_id] == (acc, acc // 100), doc_id
+        acc += n
+    # shards are contiguous 0..max
+    shards = sorted({s for _, s in got.values()})
+    assert shards == list(range(shards[-1] + 1))
+
+
+def test_pack_greedy_partition_count_invariance(spark, docs):
+    toks = docs.withColumn("n_tokens", F.lit(10))
+    a = pack_greedy(toks, 64, "n_tokens", "doc_id", n_partitions=3)
+    b = pack_greedy(toks, 64, "n_tokens", "doc_id", n_partitions=13)
+    assert sorted(map(tuple, a.select("doc_id", "shard_id", "token_offset").collect())) == sorted(
+        map(tuple, b.select("doc_id", "shard_id", "token_offset").collect())
+    )
+
+
+# -------------------------------------------------------------------- PII
+def test_scrub_pii(spark):
+    rows = [
+        (0, "contact me at alice.smith+x@example.co.uk or bob@test.io thanks"),
+        (1, "server 192.168.0.1 answered; card 12345678901234 is stored"),
+        (2, "clean text with short 123 and 1.2.3 nothing to scrub"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert out[0].text_scrubbed == "contact me at <EMAIL> or <EMAIL> thanks"
+    assert out[0].n_pii_email == 2 and out[0].n_pii_total == 2
+    assert out[1].text_scrubbed == "server <IP> answered; card <ID> is stored"
+    assert (out[1].n_pii_ipv4, out[1].n_pii_idnum) == (1, 1)
+    assert out[2].text_scrubbed == rows[2][1] and out[2].n_pii_total == 0
+    assert out[3].text_scrubbed == "" and out[3].n_pii_total == 0
+
+
+def test_scrub_pii_matches_duckdb(spark):
+    """The scrub is DuckDB-replayable: same rules, same order."""
+    import duckdb
+
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "a@b.com then 10.0.0.255 then 99999999",
+                "x@y.zz.aa 1.1.1.1 777 7777777 mixed@multi.dot.tld",
+                "no pii here",
+                "edge 999.999.999.999 still ipv4-shaped",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_scrubbed for r in scrub_pii(df).collect()
+    }
+    duckdb.sql("CREATE OR REPLACE TABLE t AS SELECT * FROM (VALUES "
+               + ",".join(f"({i}, '{t}')" for i, t in rows)
+               + ") v(doc_id, text)")
+    want = dict(
+        duckdb.sql(
+            r"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{7,}\b', '<ID>', 'g') FROM t"""
+        ).fetchall()
+    )
+    assert got == want

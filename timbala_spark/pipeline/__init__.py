@@ -15,8 +15,14 @@ from .similarity import (  # noqa: F401
     lsh_cosine_topk,
     lsh_params_for,
 )
+from .sample import (  # noqa: F401
+    cap_per_group,
+    pack_greedy,
+    stratified_sample,
+)
 from .text import (  # noqa: F401
     flag_contaminated,
+    scrub_pii,
     with_fingerprint,
     with_language_id,
     with_quality_features,

@@ -213,3 +213,51 @@ def flag_contaminated(
         )
         .withColumn("contaminated", F.col("n_contam_ngrams") > 0)
     )
+
+
+#: PII scrub rules, applied IN ORDER (emails first so their digit/dot
+#: runs can't be half-eaten by the later rules).  Every pattern is in
+#: the common Java-regex ∩ RE2 subset (no lookaround, no backrefs), so
+#: a DuckDB oracle replays the scrub bit-for-bit with
+#: ``regexp_replace(..., 'g')`` / ``regexp_extract_all``.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{7,}\b", "<ID>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, long ID-like
+    digit runs) and count redactions per rule.
+
+    Adds ``out_col`` (scrubbed text), one ``n_pii_<rule>`` count per
+    rule (matches seen at that rule's turn, i.e. after earlier rules
+    already rewrote the text — the counts sum to total redactions),
+    and ``n_pii_total``.
+
+    Scale: a single map-only projection of chained ``regexp_replace``
+    calls — whole-stage codegen, no Python, no shuffle; linear in
+    corpus bytes, which is the only acceptable cost for a pass that
+    must touch all 100 TB.
+    """
+    cur = F.col(text_col)
+    counts: list[tuple[str, Column]] = []
+    for name, pat, token in PII_RULES:
+        counts.append(
+            (
+                f"n_pii_{name}",
+                F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).cast(
+                    "long"
+                ),
+            )
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    out = df.withColumn(out_col, cur)
+    total = F.lit(0).cast("long")
+    for cname, cexpr in counts:
+        out = out.withColumn(cname, cexpr)
+        total = total + F.col(cname)
+    return out.withColumn("n_pii_total", total)
