@@ -297,3 +297,60 @@ class TestRateKernelPlan:
         # the extrapolation runs as plain column projection, not as an
         # interpreted lambda fold over collected arrays
         assert "collect_list" not in plan
+
+
+class TestCurationPlans:
+    """Plan gates for pipeline/sample.py (PERF §20): the scale claims
+    are structural plan properties, so pin them in CI."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [(i, f"w{i} " * 5, ["en", "de"][i % 2], f"s{i % 4}") for i in range(200)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def test_sample_is_map_only(self, docs):
+        """The hash-gate sample must be scan→filter: no Exchange, no
+        sort, no Python."""
+        from timbala_spark.pipeline import stratified_sample
+
+        plan = _plan(stratified_sample(docs, 0.25, "doc_id", seed=1))
+        for bad in ("Exchange", "Sort (", "EvalPython", "InPandas"):
+            assert bad not in plan, f"{bad} in sample plan:\n{plan}"
+
+    def test_cap_under_cap_groups_skip_the_sort(self, docs):
+        """With every group under the cap, the kept-rows side must be a
+        join against the (empty) over-cap list — no row_number sort over
+        the corpus. The window exists only on the over-cap slice."""
+        from timbala_spark.pipeline import cap_per_group
+
+        out = cap_per_group(docs, "source", 1000, "doc_id")
+        plan = _plan(out)
+        # the pass-through branch is a broadcast anti join; the window
+        # branch sorts only rows that survived the over-cap semi join
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        import re
+
+        nodes = re.findall(r"\(\d+\) Window\b", plan)
+        assert len(nodes) == 1, plan  # only the over-cap slice
+
+    def test_pack_uses_range_partitioning_not_global_window(self, docs):
+        """Packing must shuffle by range and window per-partition —
+        never a single global-order window (one task at 100 TB)."""
+        from timbala_spark.pipeline import pack_greedy
+
+        toks = docs.withColumn("n_tokens", F.lit(3))
+        out = pack_greedy(toks, 50, "n_tokens", "doc_id", n_partitions=4)
+        plan = _plan(out)
+        assert "rangepartitioning" in plan.lower()
+        # the cumulative window partitions by __pid (partition-local)
+        win = [l for l in plan.splitlines() if "Window" in l and "__pid" in l]
+        assert win or "__pid" in plan
+
+    def test_pii_scrub_is_map_only(self, docs):
+        from timbala_spark.pipeline import scrub_pii
+
+        plan = _plan(scrub_pii(docs))
+        for bad in ("Exchange", "Sort (", "EvalPython", "InPandas"):
+            assert bad not in plan, f"{bad} in scrub plan:\n{plan}"
