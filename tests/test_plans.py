@@ -319,13 +319,25 @@ class TestCurationPlans:
         for bad in ("Exchange", "Sort (", "EvalPython", "InPandas"):
             assert bad not in plan, f"{bad} in sample plan:\n{plan}"
 
-    def test_cap_under_cap_groups_skip_the_sort(self, docs):
-        """With every group under the cap, the kept-rows side must be a
-        join against the (empty) over-cap list — no row_number sort over
-        the corpus. The window exists only on the over-cap slice."""
+    def test_cap_default_gets_group_limit_pruning(self, docs):
+        """The default single-window cap must get WindowGroupLimit —
+        the map-side top-k prune that bounds the shuffle to cap×groups
+        (the reason it beats the broadcast bypass, PERF §20)."""
         from timbala_spark.pipeline import cap_per_group
 
-        out = cap_per_group(docs, "source", 1000, "doc_id")
+        plan = _plan(cap_per_group(docs, "source", 3, "doc_id"))
+        assert "WindowGroupLimit" in plan, plan
+
+    def test_cap_bypass_variant_skips_the_sort_for_under_cap_groups(self, docs):
+        """With every group under the cap, the opt-in bypass's
+        kept-rows side must be a join against the (empty) over-cap
+        list — no row_number sort over the corpus. The window exists
+        only on the over-cap slice."""
+        from timbala_spark.pipeline import cap_per_group
+
+        out = cap_per_group(
+            docs, "source", 1000, "doc_id", optimize_small_groups=True
+        )
         plan = _plan(out)
         # the pass-through branch is a broadcast anti join; the window
         # branch sorts only rows that survived the over-cap semi join
@@ -335,18 +347,30 @@ class TestCurationPlans:
         nodes = re.findall(r"\(\d+\) Window\b", plan)
         assert len(nodes) == 1, plan  # only the over-cap slice
 
-    def test_pack_uses_range_partitioning_not_global_window(self, docs):
-        """Packing must shuffle by range and window per-partition —
-        never a single global-order window (one task at 100 TB)."""
+    def test_pack_shuffles_corpus_exactly_once_and_not_globally(self, docs):
+        """Packing must move the corpus through exactly ONE exchange —
+        hash by the quantile bucket, never a single global-order window
+        (one task at 100 TB) and never a second re-cluster shuffle
+        (the spark_partition_id trap, PERF §20)."""
+        import re
+
         from timbala_spark.pipeline import pack_greedy
 
         toks = docs.withColumn("n_tokens", F.lit(3))
         out = pack_greedy(toks, 50, "n_tokens", "doc_id", n_partitions=4)
         plan = _plan(out)
-        assert "rangepartitioning" in plan.lower()
-        # the cumulative window partitions by __pid (partition-local)
-        win = [l for l in plan.splitlines() if "Window" in l and "__pid" in l]
-        assert win or "__pid" in plan
+        assert "__bkt" in plan
+        assert "rangepartitioning" not in plan.lower()
+        # corpus-side exchanges: every Exchange that is not the
+        # broadcast of the tiny offsets table
+        corpus_ex = [
+            l
+            for l in plan.splitlines()
+            if re.search(r"\(\d+\) Exchange", l)
+        ]
+        assert len(corpus_ex) == 1, plan
+        for bad in ("EvalPython", "InPandas"):
+            assert bad not in plan, plan
 
     def test_pii_scrub_is_map_only(self, docs):
         from timbala_spark.pipeline import scrub_pii

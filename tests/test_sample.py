@@ -76,8 +76,8 @@ def test_md5_gate_matches_duckdb(spark, docs):
 
 # ------------------------------------------------------------------- caps
 def test_cap_per_group_matches_plain_window(spark, docs):
-    fast = cap_per_group(docs, "source", 50, "doc_id")
-    plain = cap_per_group(docs, "source", 50, "doc_id", optimize_small_groups=False)
+    fast = cap_per_group(docs, "source", 50, "doc_id", optimize_small_groups=True)
+    plain = cap_per_group(docs, "source", 50, "doc_id")
     assert sorted(r.doc_id for r in fast.collect()) == sorted(
         r.doc_id for r in plain.collect()
     )

@@ -96,21 +96,27 @@ def cap_per_group(
     group_col: str,
     max_rows: int,
     order_col: str,
-    optimize_small_groups: bool = True,
+    optimize_small_groups: bool = False,
 ) -> DataFrame:
     """Keep at most ``max_rows`` rows per group, chosen by ascending
     ``order_col`` (deterministic — ties are impossible when order_col
     is a key; pass a key).
 
-    Scale: the naive plan is one row_number window = a full shuffle +
-    per-group sort of the corpus.  Under a Zipfian group distribution
-    (web domains) almost every group is already under the cap, so with
-    ``optimize_small_groups`` the operator first aggregates counts,
-    broadcast-joins the over-cap group list, and runs the window ONLY
-    over the over-cap slice; under-cap groups pass through scan→filter
-    with no sort.  The counts aggregate is map-side-combined and tiny
-    next to the data.  Results are identical either way (asserted in
-    tests).
+    Scale: the default is the single ``row_number`` window — NOT the
+    obvious loser it used to be: Spark inserts ``WindowGroupLimit``
+    below the exchange for ``row_number() <= k`` filters, so each map
+    task forwards at most ``max_rows`` rows per group and the shuffle
+    is bounded by cap×groups, not corpus size.  Measured on a 5M-doc /
+    20k-Zipfian-domain corpus (PERF §20): one pass, 1.4 s.
+
+    ``optimize_small_groups=True`` keeps the broadcast-bypass variant
+    (counts aggregate → window only over the over-cap slice; under-cap
+    groups pass scan→filter with no sort).  Measured 2.7× SLOWER on
+    the same corpus — its three extra corpus scans cost more than the
+    group-limited shuffle saves — so it is opt-in, useful only when an
+    over-cap group list is already known (e.g. from a catalog) and the
+    window input can be pre-filtered without the counts pass.  Results
+    are identical either way (asserted in tests).
     """
     if max_rows < 1:
         raise ValueError("max_rows must be >= 1")
@@ -153,44 +159,67 @@ def pack_greedy(
     prefix sum of ``token_col``).
 
     Scale: a global ``ORDER BY`` window would serialize into ONE task.
-    Instead: range-partition by ``order_col``, take each partition's
-    token subtotal (one tiny O(partitions) aggregate), turn subtotals
-    into per-partition offsets on the driver (bounded: one row per
-    partition), broadcast-join the offsets back, and finish with a
-    partition-LOCAL cumulative window.  Every stage is parallel; the
-    only serial data is the O(partitions) offset table.
+    Instead, the classic two-phase prefix sum with the bucket id
+    derived FROM THE DATA (approxQuantile split points → a pure
+    expression), not from ``spark_partition_id()``:
+
+    * phase 1 — a map-side-combined aggregate of per-bucket token
+      subtotals (no corpus shuffle: O(buckets) rows move), turned into
+      exclusive bucket offsets on the driver and broadcast back;
+    * phase 2 — ONE corpus shuffle: the cumulative window partitioned
+      by the bucket expression.
+
+    A ``spark_partition_id()`` bucket (the first implementation) is
+    cheaper to assign but forces ``repartitionByRange`` + a persist
+    (the id is only stable while the shuffled frame is pinned) + a
+    SECOND corpus shuffle when the window re-clusters by the id —
+    measured 5× slower at 5M docs (PERF §20).  The quantile-split
+    bucket is a deterministic function of the row, so the plan is
+    scan → agg (small) ⨝ scan → one exchange → local sort, and nothing
+    needs pinning.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
-    from .util import tracked_persist
+    # Split points: n-quantiles of order_col (Greenwald–Khanna — one
+    # pass, deterministic, no RNG).  Bucket = #splits strictly below
+    # the row's order value; equal order values land in one bucket.
+    probs = [i / n_partitions for i in range(1, n_partitions)]
+    splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    x = F.col(order_col).cast("double")
 
-    # Persist the partition assignment: the subtotal aggregate and the
-    # final pass must see the SAME row→partition mapping (range
-    # boundaries come from a sampling pass; pinning the shuffled frame
-    # guarantees both jobs read one materialization).  tracked_persist
-    # bounds the block-manager lifetime to the live query (util.py).
-    ranged = tracked_persist(
-        df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
-    )
+    def _bucket_tree(lo: int, hi: int):
+        # Leftmost split >= x within splits[lo:hi); answer in [lo, hi].
+        # A WHEN binary-search tree: O(log splits) codegen'd
+        # comparisons per row.  The flat alternative —
+        # size(filter(splits_array, s -> s < x)) — is an INTERPRETED
+        # higher-order function, O(splits) per row: measured 21 s vs
+        # 1 s on the 5M×255-split subtotal aggregate (PERF §20, the
+        # §9 HOF-trap list strikes again).
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            F.lit(splits[mid]) >= x, _bucket_tree(lo, mid)
+        ).otherwise(_bucket_tree(mid + 1, hi))
+
+    bucket = _bucket_tree(0, len(splits)) if splits else F.lit(0)
+    with_b = df.withColumn("__bkt", bucket)
+
     subtotals = (
-        ranged.groupBy("__pid")
+        with_b.groupBy("__bkt")
         .agg(F.sum(F.col(token_col).cast("long")).alias("__sub"))
-        .orderBy("__pid")
-        .collect()  # bounded: one row per partition
+        .orderBy("__bkt")
+        .collect()  # bounded: one row per bucket
     )
     offsets, acc = [], 0
     for r in subtotals:
-        offsets.append((r["__pid"], acc))
+        offsets.append((r["__bkt"], acc))
         acc += r["__sub"] or 0
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "__pid int, __off long"
-    )
-    local = Window.partitionBy("__pid").orderBy(F.col(order_col).asc())
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__bkt int, __off long")
+    local = Window.partitionBy("__bkt").orderBy(F.col(order_col).asc())
     cum_excl = F.coalesce(
         F.sum(F.col(token_col).cast("long")).over(
             local.rowsBetween(Window.unboundedPreceding, -1)
@@ -198,13 +227,13 @@ def pack_greedy(
         F.lit(0),
     )
     return (
-        ranged.withColumn("__local_off", cum_excl)
-        .join(F.broadcast(off_df), "__pid")
+        with_b.withColumn("__local_off", cum_excl)
+        .join(F.broadcast(off_df), "__bkt")
         .withColumn(
             "token_offset", (F.col("__off") + F.col("__local_off")).cast("long")
         )
         .withColumn(
             "shard_id", F.floor(F.col("token_offset") / F.lit(int(budget)))
         )
-        .drop("__pid", "__local_off", "__off")
+        .drop("__bkt", "__local_off", "__off")
     )

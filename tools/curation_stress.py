@@ -1,0 +1,117 @@
+"""Scale stress for the curation operators (pipeline/sample.py +
+text.scrub_pii): synthesize a Zipfian-domain corpus far bigger than the
+test data, time each operator, and verify the structural claims hold
+(cap bypass beats the plain window; packing stays flat as partitions
+grow; sampling/PII stay map-only walls).
+
+Usage: STRESS_DOCS=5000000 python tools/curation_stress.py
+Timing discipline: everything runs in ONE session, interleaved where a
+comparison is made (PERF.md §10).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("STRESS_DOCS", "5000000"))
+    from pyspark.sql import SparkSession, functions as F
+
+    from timbala_spark.pipeline import (
+        cap_per_group,
+        pack_greedy,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("curation-stress")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Zipf-ish domains: a handful of heavy hitters hold most rows
+    # (domain k gets ~ n/k^1.1 rows via inverse-CDF on a power law),
+    # text ~200 chars with occasional PII-shaped spans.
+    df = (
+        spark.range(n_docs)
+        .withColumn("r", F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0)
+        .withColumn(
+            "source",
+            F.concat(
+                F.lit("dom"),
+                F.floor(F.pow(F.lit(20000.0), F.col("r"))).cast("long"),
+            ),
+        )
+        .withColumn("lang", F.element_at(F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]), (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(5)) + 1).cast("int")))
+        .withColumn(
+            "text",
+            F.concat(
+                F.repeat(F.lit("lorem ipsum dolor sit amet "), 7),
+                F.when(
+                    F.pmod("id", F.lit(50)) == 0,
+                    F.concat(F.lit(" user"), F.col("id"), F.lit("@example.com and 10.1.2.3 and 123456789 ")),
+                ).otherwise(F.lit(" plain tail ")),
+            ),
+        )
+        .withColumn("n_tokens", F.lit(29) + F.when(F.pmod("id", F.lit(50)) == 0, F.lit(4)).otherwise(F.lit(2)))
+        .select(F.col("id").alias("doc_id"), "text", "lang", "source", "n_tokens")
+    )
+    df = df.persist()
+    n = df.count()
+    n_dom = df.select("source").distinct().count()
+    top = df.groupBy("source").count().orderBy(F.desc("count")).limit(3).collect()
+    print(f"corpus: {n:,} docs, {n_dom:,} domains, top3 {[(r.source, r['count']) for r in top]}", flush=True)
+
+    def t(label, fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        print(f"{label}: {best:.2f}s  ({out})", flush=True)
+        return best
+
+    # 1) sampling: map-only wall
+    t("sample 10% stratified", lambda: stratified_sample(
+        df, {"en": 0.1, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1},
+        "doc_id", strata_col="lang", seed=3).count())
+
+    # 2) caps: bypass vs plain window, interleaved
+    cap = 2000
+    walls = {"fast": [], "plain": []}
+    for _ in range(2):
+        for mode, opt in (("fast", True), ("plain", False)):
+            t0 = time.time()
+            c = cap_per_group(df, "source", cap, "doc_id", optimize_small_groups=opt).count()
+            walls[mode].append(time.time() - t0)
+    fast, plain = min(walls["fast"]), min(walls["plain"])
+    print(f"cap {cap}/domain kept={c:,}: bypass {fast:.2f}s vs plain window {plain:.2f}s ({plain/fast:.2f}x)", flush=True)
+
+    # 3) packing: distributed prefix sum at two partition counts
+    for np_ in (32, 256):
+        t(f"pack budget=4096 n_partitions={np_}", lambda np_=np_: pack_greedy(
+            df, 4096, "n_tokens", "doc_id", n_partitions=np_
+        ).agg(F.max("shard_id")).collect()[0][0])
+
+    # 4) PII scrub: map-only wall + hit totals
+    t("pii scrub", lambda: scrub_pii(df).agg(
+        F.sum("n_pii_total")).collect()[0][0], reps=2)
+
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
