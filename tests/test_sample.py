@@ -171,3 +171,44 @@ def test_scrub_pii_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -------------------------------------------------------- full composition
+def test_curate_corpus_end_to_end(spark):
+    from timbala_spark.pipeline.curate import curate_corpus
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta epsilon zeta eta theta word%d ok" % (i % 7), "en", "s%d" % (i % 2)))
+    rows += [
+        (100, rows[0][1], "en", "s0"),                       # exact dup of doc 0
+        (101, "short", "en", "s0"),                          # fails min_tokens
+        (102, "reach me a@b.com " + "tok " * 9, "en", "s1"), # PII, survives
+        (103, "the quiz question text is exactly this one two three four five six seven eight nine ten eleven twelve thirteen", "en", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    bench = spark.createDataFrame(
+        [(0, "the quiz question text is exactly this one two three four five six seven eight nine ten eleven twelve thirteen")],
+        "qid long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        benchmark=bench,
+        min_tokens=6,
+        cap_group_col="source",
+        cap_max_rows=50,
+        shard_budget=64,
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert 100 not in ids          # exact duplicate removed
+    assert 101 not in ids          # quality gate
+    assert 103 not in ids          # decontaminated (13-gram collision)
+    assert 102 in ids              # survives, scrubbed
+    row102 = next(r for r in out if r.doc_id == 102)
+    assert row102.text_scrubbed.startswith("reach me <EMAIL>")
+    # packing columns exist and form a valid exclusive prefix sum
+    got = sorted((r.doc_id, r.token_offset, r.n_tokens, r.shard_id) for r in out)
+    acc = 0
+    for _id, off, nt, shard in got:
+        assert off == acc and shard == acc // 64
+        acc += nt

@@ -62,3 +62,86 @@ def near_dup_pipeline(
             (F.col("_id") == F.col("component")).cast("long").alias("is_canonical"),
         )
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_threshold: float = 0.5,
+    min_tokens: int = 5,
+    max_mean_token_len: float = 40.0,
+    sample_fraction=None,
+    strata_col: str | None = None,
+    cap_group_col: str | None = None,
+    cap_max_rows: int | None = None,
+    shard_budget: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """The whole training-data curation flow as ONE lineage — the
+    composition a 100 TB corpus actually runs before training:
+
+    1. near-dup canonicalization (:func:`near_dup_pipeline`: exact
+       digest dedup → n-gram Jaccard pairs → connected components) —
+       keep one canonical document per duplicate cluster;
+    2. benchmark decontamination (optional: 13-gram collision rule,
+       ``text.flag_contaminated`` — broadcast distinct gram set,
+       map-only probe);
+    3. PII scrubbing (``text.scrub_pii`` — training text is the
+       SCRUBBED text from here on);
+    4. quality gate (cheap heuristics on the scrubbed text: minimum
+       token count, mean-token-length ceiling — the junk/boilerplate
+       filters);
+    5. deterministic (stratified) sampling (optional — hash gate,
+       reproducible and monotone under corpus growth);
+    6. per-domain caps (optional — row_number + WindowGroupLimit);
+    7. token-budget shard packing (optional — two-phase prefix sum;
+       adds ``shard_id``/``token_offset`` for the training writer).
+
+    Stage ORDER is the cost argument: dedup first caps every later
+    stage at distinct-document volume (PERF §6d); scrub before the
+    quality gate so metrics see what training sees; sampling/caps
+    before packing so shards are final.  Every stage is an existing
+    audited operator; this function only fixes the composition.
+
+    Returns the curated frame: original columns + ``text_scrubbed``,
+    ``n_tokens``, ``canonical_id``, and the optional layout columns.
+    """
+    from .sample import cap_per_group, pack_greedy, stratified_sample
+    from .text import flag_contaminated, scrub_pii, tokens_expr
+
+    cur = near_dup_pipeline(
+        docs, id_col=id_col, text_col=text_col, threshold=dedup_threshold
+    )
+    out = (
+        docs.join(cur, id_col)
+        .filter(F.col("is_canonical") == 1)
+        .drop("is_canonical")
+    )
+    if benchmark is not None:
+        out = flag_contaminated(
+            out, benchmark, text_col=text_col, id_col=id_col
+        ).filter(~F.col("contaminated")).drop("contaminated", "n_contam_ngrams")
+    out = scrub_pii(out, text_col=text_col)
+    out = out.withColumn(
+        "n_tokens", F.size(tokens_expr(F.col("text_scrubbed")))
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (
+            F.when(
+                F.col("n_tokens") > 0,
+                F.length("text_scrubbed") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0))
+            <= max_mean_token_len
+        )
+    )
+    if sample_fraction is not None:
+        out = stratified_sample(
+            out, sample_fraction, id_col, strata_col=strata_col, seed=seed
+        )
+    if cap_group_col is not None and cap_max_rows is not None:
+        out = cap_per_group(out, cap_group_col, cap_max_rows, id_col)
+    if shard_budget is not None:
+        out = pack_greedy(out, shard_budget, "n_tokens", id_col)
+    return out
