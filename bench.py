@@ -71,6 +71,7 @@ HEADLINE = [
     "multimodal_decode",
     "text_quality",
     "text_fingerprint",
+    "curation_ops",
 ]
 
 
@@ -124,10 +125,50 @@ def _production_overrides():
         )
         return fp.unionByName(contam)
 
+    def curation(spark, sf_dir):
+        # contract union at the production sample gate (xxhash64; the
+        # md5 gate exists only for oracle replay) — sample/cap/pack/pii
+        from timbala_spark.pipeline import (
+            cap_per_group,
+            pack_greedy,
+            scrub_pii,
+            stratified_sample,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        nul_l = F.lit(None).cast("long")
+        samp = stratified_sample(
+            docs,
+            {"en": 0.5, "de": 1.0, "zh": 0.25},
+            "doc_id",
+            strata_col="lang",
+            seed=5,
+        ).select(F.lit("sample").alias("op"), "doc_id", F.col("lang").alias("grp"), nul_l.alias("n"))
+        cap = cap_per_group(docs, "source", 10, "doc_id").select(
+            F.lit("cap").alias("op"), "doc_id", F.col("source").alias("grp"), nul_l.alias("n")
+        )
+        toks = docs.withColumn(
+            "n_tokens", F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+        )
+        pack = pack_greedy(toks, budget=1000, token_col="n_tokens", order_col="doc_id").select(
+            F.lit("pack").alias("op"),
+            "doc_id",
+            F.concat(F.lit("shard"), F.col("shard_id")).alias("grp"),
+            F.col("token_offset").alias("n"),
+        )
+        pii = scrub_pii(docs).select(
+            F.lit("pii").alias("op"),
+            "doc_id",
+            F.col("text_scrubbed").alias("grp"),
+            F.col("n_pii_total").alias("n"),
+        )
+        return samp.unionByName(cap).unionByName(pack).unionByName(pii)
+
     return {
         "dedup_minhash_lsh": minhash,
         "dedup_simhash": simhash,
         "text_fingerprint": fingerprint,
+        "curation_ops": curation,
     }
 
 

@@ -212,3 +212,26 @@ def test_curate_corpus_end_to_end(spark):
     for _id, off, nt, shard in got:
         assert off == acc and shard == acc // 64
         acc += nt
+
+
+def test_pack_greedy_randomized_property(spark):
+    """Seeded randomized sweep: any (token distribution, budget,
+    bucket count) must reproduce the serial exclusive prefix sum —
+    including zero-token rows, heavy skew, and more buckets than rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    for trial in range(6):
+        n = int(rng.randint(1, 400))
+        toks = rng.choice([0, 1, 3, 50, 700], size=n, p=[0.2, 0.3, 0.3, 0.15, 0.05])
+        budget = int(rng.choice([1, 17, 256, 10_000]))
+        nparts = int(rng.choice([1, 2, 5, 64]))
+        df = spark.createDataFrame(
+            [(int(i), int(t)) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+        )
+        out = pack_greedy(df, budget, "n_tokens", "doc_id", n_partitions=nparts)
+        got = {r.doc_id: (r.token_offset, r.shard_id) for r in out.collect()}
+        acc = 0
+        for i, t in enumerate(toks):
+            assert got[i] == (acc, acc // budget), (trial, n, budget, nparts, i)
+            acc += int(t)
