@@ -603,9 +603,6 @@ def q_curation_ops(spark, sf_dir):
     from timbala_spark.pipeline.sample import sample_gate_expr
 
     docs = _tbl(spark, sf_dir, "documents")
-    nul_l = F.lit(None).cast("long")
-    nul_s = F.lit(None).cast("string")
-
     samp = stratified_sample(
         docs,
         {"en": 0.5, "de": 1.0, "zh": 0.25},
@@ -619,11 +616,14 @@ def q_curation_ops(spark, sf_dir):
         F.col("lang").alias("grp"),
         sample_gate_expr(F.col("doc_id"), seed=5, hash_algo="md5").alias("n"),
     )
+    # n = -1 sentinel, not NULL: a nullable bigint degrades to float64
+    # in both comparators' pandas frames; keeping the column integral
+    # keeps the value hash representation-independent
     cap = cap_per_group(docs, "source", 10, "doc_id").select(
         F.lit("cap").alias("op"),
         "doc_id",
         F.col("source").alias("grp"),
-        nul_l.alias("n"),
+        F.lit(-1).cast("long").alias("n"),
     )
     toks = docs.withColumn(
         "n_tokens", F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
@@ -1881,13 +1881,14 @@ WHERE (lang = 'de')
    OR (lang = 'en' AND {_gate} < {SAMPLE_DENOM // 2})
    OR (lang = 'zh' AND {_gate} < {SAMPLE_DENOM // 4})
 UNION ALL
-SELECT 'cap', doc_id, source, NULL
+SELECT 'cap', doc_id, source, -1
 FROM (SELECT doc_id, source,
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM documents)
 WHERE rn <= 10
 UNION ALL
-SELECT 'pack', doc_id, 'shard' || (off // 1000), off FROM packed
+SELECT 'pack', doc_id, 'shard' || CAST(off // 1000 AS BIGINT), CAST(off AS BIGINT)
+FROM packed
 UNION ALL
 SELECT 'pii', doc_id, {_src}, {_pii_counts} FROM documents
 """

@@ -235,3 +235,38 @@ def test_pack_greedy_randomized_property(spark):
         for i, t in enumerate(toks):
             assert got[i] == (acc, acc // budget), (trial, n, budget, nparts, i)
             acc += int(t)
+
+
+def test_pack_greedy_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out = pack_greedy(df, 100, "n_tokens", "doc_id")
+    assert out.count() == 0
+    assert {"doc_id", "n_tokens", "shard_id", "token_offset"} <= set(out.columns)
+
+
+def test_scrub_pii_counts_off(spark):
+    df = spark.createDataFrame([(0, "hit a@b.co and 12345678")], "doc_id long, text string")
+    out = scrub_pii(df, counts=False)
+    assert out.columns == ["doc_id", "text", "text_scrubbed"]
+    assert out.collect()[0].text_scrubbed == "hit <EMAIL> and <ID>"
+
+
+def test_scrub_pii_streaming_composes(spark, tmp_path):
+    """The scrub is a stateless projection, so it must be directly
+    usable on a Structured Streaming frame (no extra plumbing)."""
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([(0, "mail a@b.co now"), (1, "plain")], "doc_id long, text string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r.doc_id: r for r in spark.sql("select * from pii_stream_test").collect()}
+    assert rows[0].text_scrubbed == "mail <EMAIL> now" and rows[0].n_pii_total == 1
+    assert rows[1].n_pii_total == 0
