@@ -11,7 +11,8 @@ hunting between rounds:
 Families: expr (per-step + offset-shift, tools/metamorphic_sweep.py's
 logic), store (physical-source invariance), rollup (routed == raw),
 frontend (cache transparency), compact (interleaving invariance),
-regex (dialect translation). Exit code 1 on any failure.
+regex (dialect translation), curation (sampling composability, cap
+invariants, packing shift/append stability). Exit code 1 on any failure.
 """
 
 from __future__ import annotations
@@ -245,6 +246,25 @@ def sweep_regex(spark, a, b) -> int:
     return len(bad)
 
 
+def sweep_curation(spark, a, b) -> int:
+    import test_curation_metamorphic as tcm
+
+    fails = 0
+    for seed in range(a, b):
+        for prop in (
+            tcm.test_sample_union_composability_and_monotonicity,
+            tcm.test_sample_stratum_isolation,
+            tcm.test_cap_invariants,
+            tcm.test_pack_prepend_shift_and_append_stability,
+        ):
+            try:
+                prop(spark, seed)
+            except AssertionError as e:
+                print(f"FAIL curation {prop.__name__} seed={seed}: {str(e)[:200]}")
+                fails += 1
+    return fails
+
+
 FAMILIES = {
     # family: (sweep fn, default seed range)
     "expr": (sweep_expr, (0, 120 * SCALE)),
@@ -253,6 +273,7 @@ FAMILIES = {
     "frontend": (sweep_frontend, (0, 40 * SCALE)),
     "compact": (sweep_compact, (0, 12 * SCALE)),
     "regex": (sweep_regex, (0, 30 * SCALE)),
+    "curation": (sweep_curation, (0, 25 * SCALE)),
 }
 
 
