@@ -11,14 +11,14 @@ corpus additionally needs reproducible subsetting before training):
   under repartitioning — the properties `sample()`'s per-partition RNG
   does not give you.  Map-only at any scale.
 * :func:`cap_per_group` — keep at most N rows per group (per-domain
-  caps in web-corpus curation).  Small groups (the vast majority under
-  a Zipfian domain distribution) bypass the sort entirely via a
-  broadcast counts join; only heavy hitters pay the per-group
-  row_number window.
+  caps in web-corpus curation).  One row_number window whose shuffle
+  Spark bounds to cap×groups via ``WindowGroupLimit`` (the measured
+  winner — PERF §20); a broadcast small-group bypass stays opt-in.
 * :func:`pack_greedy` — assign documents to fixed token-budget shards
   in a deterministic global order.  Implemented as a distributed
-  prefix sum (range partition → partition-local window → O(partitions)
-  offset join), NOT a single global window, so it scales past one task.
+  prefix sum (quantile-split buckets → O(buckets) subtotal aggregate →
+  broadcast offsets → ONE bucket-partitioned cumulative window), NOT a
+  single global window, so it scales past one task.
 
 All operators are pure DataFrame expressions (no Python UDFs).
 """
@@ -156,7 +156,10 @@ def pack_greedy(
     single pass).
 
     Adds ``shard_id`` (bigint) and ``token_offset`` (bigint, exclusive
-    prefix sum of ``token_col``).
+    prefix sum of ``token_col``).  ``order_col`` must be a NON-NULL
+    NUMERIC key (ids, timestamps): quantile splits need a numeric
+    column, uniqueness makes the prefix sum well-defined, and a NULL
+    would break the bucket ordering invariant.
 
     Scale: a global ``ORDER BY`` window would serialize into ONE task.
     Instead, the classic two-phase prefix sum with the bucket id
