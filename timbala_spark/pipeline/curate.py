@@ -143,5 +143,15 @@ def curate_corpus(
     if cap_group_col is not None and cap_max_rows is not None:
         out = cap_per_group(out, cap_group_col, cap_max_rows, id_col)
     if shard_budget is not None:
+        # Pin the curated frame first: packing's quantile and subtotal
+        # phases are extra ACTIONS, and each would otherwise re-drive
+        # the whole dedup/scrub lineage (AQE re-plans per action, so
+        # shuffle-stage reuse cannot be relied on — measured 3× the
+        # end-to-end wall at 5M docs without this persist, PERF §20).
+        # release_previous=False: the dedup stages' own tracked
+        # persists may still back this lineage.
+        from .util import tracked_persist
+
+        out = tracked_persist(out, release_previous=False)
         out = pack_greedy(out, shard_budget, "n_tokens", id_col)
     return out

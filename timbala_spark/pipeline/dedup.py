@@ -106,29 +106,36 @@ def ngram_jaccard_pairs(
         # so shingling runs once (see minhash_lsh_pairs note)
     )
     sh = tracked_persist(sh)
-    posting = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_postings is not None:
+        # Candidate generation runs on 64-bit shingle HASHES, not the
+        # shingle strings: the inverted index is the operator's only
+        # corpus-sized shuffle, and an n=7 word shingle is ~100+ bytes
+        # while its xxhash64 is 8 — measured 357 s → 81 s on a 5M-doc
+        # all-unique corpus (PERF §20b). Exactness is unaffected: equal
+        # strings hash equal (no candidate is ever lost), a collision
+        # only ADDS a spurious candidate, and every candidate is
+        # verified below with exact Jaccard over the full STRING
+        # shingle sets. The hash is computed after a local explode so
+        # it stays in codegen (hashing inside array transform() would
+        # run interpreted — the §9 HOF trap).
+        posting = sh.select("_id", F.explode("_sh").alias("_str")).select(
+            "_id", F.xxhash64("_str").alias("_s")
+        )
         hot = (
             posting.groupBy("_s")
             .count()
             .filter(F.col("count") > max_postings)
             .select("_s")
         )
-        # adaptive: on a corpus with NO hot shingles (the common case
-        # after exact dedup) the capped candidate set IS the full one
-        # and every inverted-index count is exact — skip the exclusion
-        # join and the array-verify join entirely and take the pure
-        # count path below. One cheap aggregation over the persisted
-        # shingle stage decides; the capped path needs `hot` anyway.
-        if hot.isEmpty():
-            max_postings = None
-        else:
+        # fired-cap report, same contract as the LSH bucket cap:
+        # a few boilerplate shingles are the design; most shingles
+        # over-cap means the corpus is duplicate-dominated and the
+        # remedy is exact_dedup first (near_dup_pipeline's order).
+        # (Cap detection on hashes: a collision can only merge two
+        # shingles' counts — recall-only, like the cap itself.)
+        if not hot.isEmpty():
             import logging
 
-            # fired-cap report, same contract as the LSH bucket cap:
-            # a few boilerplate shingles are the design; most shingles
-            # over-cap means the corpus is duplicate-dominated and the
-            # remedy is exact_dedup first (near_dup_pipeline's order)
             n_hot = hot.count()
             lg = logging.getLogger(__name__)
             lg.info(
@@ -141,6 +148,11 @@ def ngram_jaccard_pairs(
                 max_postings,
             )
             posting = posting.join(F.broadcast(hot), "_s", "left_anti")
+    else:
+        # explicit opt-out: pure inverted-index counts over the raw
+        # shingle strings (exact, no verify join — for known-clean
+        # corpora; pays the string-keyed shuffle)
+        posting = sh.select("_id", F.explode("_sh").alias("_s"))
     a = posting.select(F.col("_id").alias("id_a"), "_s")
     b = posting.select(F.col("_id").alias("id_b"), "_s")
     if max_postings is not None:

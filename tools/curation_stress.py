@@ -110,6 +110,34 @@ def main() -> None:
     t("pii scrub", lambda: scrub_pii(df).agg(
         F.sum("n_pii_total")).collect()[0][0], reps=2)
 
+    # 5) the full composition (skippable for the 100M run: near-dup
+    # over identical synthetic texts degenerates to one giant cluster)
+    if os.environ.get("STRESS_E2E", "1") == "1" and n_docs <= 20_000_000:
+        from timbala_spark.pipeline.curate import curate_corpus
+
+        # realistic dedup shape: distinct 20-token docs (hash-derived),
+        # 2% exact duplicates of a neighbor — NOT the shared-prefix
+        # text above, which would make every pair a near-duplicate
+        base = F.when(F.pmod("doc_id", F.lit(50)) == 0, F.col("doc_id") - 1).otherwise(
+            F.col("doc_id")
+        )
+        uniq_text = F.concat_ws(
+            " ", *[F.concat(F.lit("w"), F.hex(F.xxhash64(base, F.lit(i)))) for i in range(20)]
+        )
+        corpus = df.withColumn("text", uniq_text)
+
+        def e2e():
+            out = curate_corpus(
+                corpus,
+                sample_fraction=0.5,
+                cap_group_col="source",
+                cap_max_rows=2000,
+                shard_budget=4096,
+            )
+            return out.agg(F.max("shard_id"), F.count(F.lit(1))).collect()[0]
+
+        t("curate_corpus end-to-end", e2e, reps=1)
+
     print("done", flush=True)
 
 
