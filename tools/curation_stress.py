@@ -84,36 +84,50 @@ def main() -> None:
         print(f"{label}: {best:.2f}s  ({out})", flush=True)
         return best
 
+    only_e2e = os.environ.get("STRESS_E2E_ONLY") == "1"
+
     # 1) sampling: map-only wall
-    t("sample 10% stratified", lambda: stratified_sample(
-        df, {"en": 0.1, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1},
-        "doc_id", strata_col="lang", seed=3).count())
+    if not only_e2e:
+        t("sample 10% stratified", lambda: stratified_sample(
+            df, {"en": 0.1, "de": 0.1, "fr": 0.1, "es": 0.1, "zh": 0.1},
+            "doc_id", strata_col="lang", seed=3).count())
 
-    # 2) caps: bypass vs plain window, interleaved
-    cap = 2000
-    walls = {"fast": [], "plain": []}
-    for _ in range(2):
-        for mode, opt in (("fast", True), ("plain", False)):
-            t0 = time.time()
-            c = cap_per_group(df, "source", cap, "doc_id", optimize_small_groups=opt).count()
-            walls[mode].append(time.time() - t0)
-    fast, plain = min(walls["fast"]), min(walls["plain"])
-    print(f"cap {cap}/domain kept={c:,}: bypass {fast:.2f}s vs plain window {plain:.2f}s ({plain/fast:.2f}x)", flush=True)
+    if not only_e2e:
+        # 2) caps: bypass vs plain window, interleaved
+        cap = 2000
+        walls = {"fast": [], "plain": []}
+        for _ in range(2):
+            for mode, opt in (("fast", True), ("plain", False)):
+                t0 = time.time()
+                c = cap_per_group(df, "source", cap, "doc_id", optimize_small_groups=opt).count()
+                walls[mode].append(time.time() - t0)
+        fast, plain = min(walls["fast"]), min(walls["plain"])
+        print(f"cap {cap}/domain kept={c:,}: bypass {fast:.2f}s vs plain window {plain:.2f}s ({plain/fast:.2f}x)", flush=True)
 
-    # 3) packing: distributed prefix sum at two partition counts
-    for np_ in (32, 256):
-        t(f"pack budget=4096 n_partitions={np_}", lambda np_=np_: pack_greedy(
-            df, 4096, "n_tokens", "doc_id", n_partitions=np_
-        ).agg(F.max("shard_id")).collect()[0][0])
+        # 3) packing: distributed prefix sum at two partition counts
+        for np_ in (32, 256):
+            t(f"pack budget=4096 n_partitions={np_}", lambda np_=np_: pack_greedy(
+                df, 4096, "n_tokens", "doc_id", n_partitions=np_
+            ).agg(F.max("shard_id")).collect()[0][0])
 
-    # 4) PII scrub: map-only wall + hit totals
-    t("pii scrub", lambda: scrub_pii(df).agg(
-        F.sum("n_pii_total")).collect()[0][0], reps=2)
+        # 4) PII scrub: map-only wall + hit totals
+        t("pii scrub", lambda: scrub_pii(df).agg(
+            F.sum("n_pii_total")).collect()[0][0], reps=2)
 
     # 5) the full composition (skippable for the 100M run: near-dup
     # over identical synthetic texts degenerates to one giant cluster)
     if os.environ.get("STRESS_E2E", "1") == "1" and n_docs <= 20_000_000:
         from timbala_spark.pipeline.curate import curate_corpus
+
+        # the e2e stage at >=20M needs local shuffle scratch the earlier
+        # stages' accumulated shuffle files would otherwise exhaust
+        # (measured: ENOSPC at 20M in a full session) — drop them
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        df = df.persist()
+        df.count()
 
         # realistic dedup shape: distinct 20-token docs (hash-derived),
         # 2% exact duplicates of a neighbor — NOT the shared-prefix
