@@ -34,6 +34,7 @@ def near_dup_pipeline(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 7,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Returns one row per input row: (``id_col``, canonical_id,
     is_canonical ∈ {0,1})."""
@@ -49,7 +50,12 @@ def near_dup_pipeline(
         .select(F.col("_id").alias(id_col), F.col("_text").alias(text_col))
     )
     pairs = ngram_jaccard_pairs(
-        survivors, id_col=id_col, text_col=text_col, threshold=threshold, n=n
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        n=n,
+        persist_shingles=persist_shingles,
     )
     comp = connected_components(
         survivors.select(id_col), pairs, node_col=id_col
@@ -79,6 +85,7 @@ def curate_corpus(
     shard_budget: int | None = None,
     seed: int = 0,
     keep_original_text: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """The whole training-data curation flow as ONE lineage — the
     composition a 100 TB corpus actually runs before training:
@@ -115,7 +122,11 @@ def curate_corpus(
     from .text import flag_contaminated, scrub_pii, tokens_expr
 
     cur = near_dup_pipeline(
-        docs, id_col=id_col, text_col=text_col, threshold=dedup_threshold
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=dedup_threshold,
+        persist_shingles=persist_shingles,
     )
     out = (
         docs.join(cur, id_col)

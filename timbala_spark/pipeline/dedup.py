@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.2,
     max_postings: int | None = 256,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair of
     documents sharing at least one shingle.
@@ -94,6 +95,15 @@ def ngram_jaccard_pairs(
     first (as ``near_dup_pipeline`` does) so identical copies don't
     inflate posting lists. ``None`` opts out (pure inverted-index
     count, no verify join: cheaper when the corpus is known clean).
+
+    ``persist_shingles=False`` recomputes the shingle arrays from the
+    text on every consumer instead of pinning them: the arrays are
+    ~|shingles|×shingle_len bytes of high-entropy strings the columnar
+    cache cannot compress, so past ~10M docs on one machine the
+    persist spill becomes the operator's dominant scratch term
+    (PERF §20c) — recomputation trades a few extra local shingling
+    passes for that entire footprint.  Results are identical (the
+    expression is deterministic).
     """
     sh = (
         ensure_parallelism(df)
@@ -105,7 +115,8 @@ def ngram_jaccard_pairs(
         # feeds the posting explode (twice) + two size joins — persist
         # so shingling runs once (see minhash_lsh_pairs note)
     )
-    sh = tracked_persist(sh)
+    if persist_shingles:
+        sh = tracked_persist(sh)
     if max_postings is not None:
         # Candidate generation runs on 64-bit shingle HASHES, not the
         # shingle strings: the inverted index is the operator's only

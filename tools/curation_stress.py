@@ -143,6 +143,9 @@ def main() -> None:
         def e2e():
             out = curate_corpus(
                 corpus,
+                # past ~10M docs on one box, pinning the shingle arrays
+                # costs more scratch than recomputation costs CPU
+                persist_shingles=n_docs < 10_000_000,
                 sample_fraction=0.5,
                 cap_group_col="source",
                 cap_max_rows=2000,
