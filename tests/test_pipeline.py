@@ -151,6 +151,38 @@ class TestDedup:
         assert {(0, 1000), (1, 1001), (2, 1002)} <= got
         assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in pairs if r["id_b"] >= 1000 and r["id_a"] == r["id_b"] - 1000)
 
+    def test_ngram_jaccard_auto_shingle_mode(
+        self, spark, documents, monkeypatch
+    ):
+        """persist_shingles=None auto-selects from the estimated array
+        bytes (PERF §20c): a tiny budget forces recompute mode, a huge
+        one forces persist, and the pair results are identical either
+        way."""
+        from timbala_spark.pipeline.dedup import (
+            _resolve_persist_shingles,
+            ngram_jaccard_pairs,
+        )
+
+        dup = documents.limit(20).union(
+            documents.limit(3).withColumn("doc_id", F.col("doc_id") + 1000)
+        )
+        monkeypatch.setenv("TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES", "1")
+        assert _resolve_persist_shingles(dup, "text", 5) is False
+        lo = sorted(
+            map(tuple, ngram_jaccard_pairs(dup, threshold=0.99).collect())
+        )
+        monkeypatch.setenv(
+            "TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES", str(1 << 40)
+        )
+        assert _resolve_persist_shingles(dup, "text", 5) is True
+        hi = sorted(
+            map(tuple, ngram_jaccard_pairs(dup, threshold=0.99).collect())
+        )
+        assert lo == hi
+        assert {(0, 1000), (1, 1001), (2, 1002)} <= {
+            (a, b) for a, b, _ in lo
+        }
+
     def test_minhash_lsh_finds_exact_dups(self, spark, documents):
         from timbala_spark.pipeline import minhash_lsh_pairs
 

@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import connected_components, ngram_jaccard_pairs
+from .dedup import (
+    _resolve_persist_shingles,
+    connected_components,
+    ngram_jaccard_pairs,
+)
 
 
 def near_dup_pipeline(
@@ -34,10 +38,18 @@ def near_dup_pipeline(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 7,
-    persist_shingles: bool = True,
+    persist_shingles: bool | None = None,
 ) -> DataFrame:
     """Returns one row per input row: (``id_col``, canonical_id,
-    is_canonical ∈ {0,1})."""
+    is_canonical ∈ {0,1}).
+
+    ``persist_shingles=None`` (default) auto-selects persist-vs-
+    recompute for the shingle arrays (PERF §20c).  The estimate runs
+    on the RAW ``docs`` frame — a map-only upper bound (survivors ⊆
+    docs) — so the extra action never re-drives the digest-dedup
+    lineage."""
+    if persist_shingles is None:
+        persist_shingles = _resolve_persist_shingles(docs, text_col, n)
     dig = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).withColumn("_digest", F.sha2(F.col("_text"), 256))
@@ -85,7 +97,7 @@ def curate_corpus(
     shard_budget: int | None = None,
     seed: int = 0,
     keep_original_text: bool = False,
-    persist_shingles: bool = True,
+    persist_shingles: bool | None = None,
 ) -> DataFrame:
     """The whole training-data curation flow as ONE lineage — the
     composition a 100 TB corpus actually runs before training:
@@ -112,6 +124,10 @@ def curate_corpus(
     quality gate so metrics see what training sees; sampling/caps
     before packing so shards are final.  Every stage is an existing
     audited operator; this function only fixes the composition.
+    ``persist_shingles=None`` auto-picks the dedup stage's
+    persist-vs-recompute mode from the corpus size (PERF §20c) so the
+    composition survives a single box at 20M docs without the caller
+    knowing the scratch math.
 
     Returns the curated frame: original columns (minus the raw text
     unless ``keep_original_text`` — the scrubbed text is what trains,

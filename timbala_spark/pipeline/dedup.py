@@ -66,6 +66,55 @@ def word_shingles_expr(text: Column, n: int) -> Column:
     )
 
 
+#: Estimated shingle-array bytes above which auto mode stops persisting
+#: the arrays (override via TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES).
+#: Sized at ~20% of a typical single-box /tmp scratch allotment: the
+#: persisted arrays are only ONE of the operator's scratch terms (the
+#: posting shuffle and join-back spills share the same volume), and
+#: hash-derived shingles compress at ~1:1 in the columnar cache.
+SHINGLE_PERSIST_BUDGET_BYTES = 16 << 30
+
+
+def _resolve_persist_shingles(
+    df: DataFrame, text_col: str, n: int
+) -> bool:
+    """Auto-pick persist-vs-recompute for the shingle arrays
+    (PERF §20c): estimate the array footprint from one map-only pass
+    over the text and persist only when it fits the scratch budget.
+
+    Estimate: every token appears in up to ``n`` shingles, so the
+    array bytes are ~``n × total_text_bytes`` plus ~30% element
+    overhead. Above the budget the persisted stage ENOSPCs a single
+    box long before the recomputation CPU matters (measured: 20M docs
+    × 14 shingles × ~135 B ≈ 38 GB of uncompressible cache); below
+    it, pinning saves 2–3 shingling passes (the r5 §7 measurement).
+    """
+    import logging
+    import os
+
+    budget = int(
+        os.environ.get(
+            "TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES",
+            SHINGLE_PERSIST_BUDGET_BYTES,
+        )
+    )
+    total = (
+        df.agg(F.sum(F.length(F.col(text_col)))).collect()[0][0] or 0
+    )
+    est = int(1.3 * n * total)
+    persist = est <= budget
+    logging.getLogger(__name__).info(
+        "ngram_jaccard auto shingle mode: est array bytes %.1f GB "
+        "(text %.1f GB x n=%d x 1.3) vs budget %.1f GB -> %s",
+        est / 2**30,
+        total / 2**30,
+        n,
+        budget / 2**30,
+        "persist" if persist else "recompute",
+    )
+    return persist
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -73,7 +122,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.2,
     max_postings: int | None = 256,
-    persist_shingles: bool = True,
+    persist_shingles: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair of
     documents sharing at least one shingle.
@@ -103,8 +152,14 @@ def ngram_jaccard_pairs(
     persist spill becomes the operator's dominant scratch term
     (PERF §20c) — recomputation trades a few extra local shingling
     passes for that entire footprint.  Results are identical (the
-    expression is deterministic).
+    expression is deterministic).  The default ``None`` auto-selects:
+    one map-only ``sum(length(text))`` pass estimates the array bytes
+    and persists only under :data:`SHINGLE_PERSIST_BUDGET_BYTES`
+    (callers that already know the corpus size pass an explicit bool
+    and skip the estimating pass).
     """
+    if persist_shingles is None:
+        persist_shingles = _resolve_persist_shingles(df, text_col, n)
     sh = (
         ensure_parallelism(df)
         .select(

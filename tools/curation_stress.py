@@ -140,20 +140,50 @@ def main() -> None:
         )
         corpus = df.withColumn("text", uniq_text)
 
-        def e2e():
+        def e2e(persist_shingles=None):
+            # persist_shingles=None: the library auto-selects from the
+            # corpus size (PERF §20c) — the stress validates that pick
             out = curate_corpus(
                 corpus,
-                # past ~10M docs on one box, pinning the shingle arrays
-                # costs more scratch than recomputation costs CPU
-                persist_shingles=n_docs < 10_000_000,
+                persist_shingles=persist_shingles,
                 sample_fraction=0.5,
                 cap_group_col="source",
                 cap_max_rows=2000,
                 shard_budget=4096,
             )
-            return out.agg(F.max("shard_id"), F.count(F.lit(1))).collect()[0]
+            return out.agg(
+                F.max("shard_id"),
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("doc_id", "text_scrubbed", "n_tokens", "shard_id", "token_offset")),
+            ).collect()[0]
 
-        t("curate_corpus end-to-end", e2e, reps=1)
+        t("curate_corpus end-to-end (auto shingle mode)", e2e, reps=1)
+
+        if os.environ.get("STRESS_COMPARE_MODES") == "1":
+            # byte-identity check: persist vs recompute must agree on
+            # rows, max shard, and the full-output value hash
+            spark.catalog.clearCache()
+            gc.collect()
+            df = df.persist()
+            df.count()
+            r_persist = None
+
+            def run_mode(ps):
+                spark.catalog.clearCache()
+                gc.collect()
+                df.persist().count()
+                return e2e(persist_shingles=ps)
+
+            r_persist = run_mode(True)
+            r_recompute = run_mode(False)
+            same = tuple(r_persist) == tuple(r_recompute)
+            print(
+                f"mode-identity: persist={tuple(r_persist)} "
+                f"recompute={tuple(r_recompute)} identical={same}",
+                flush=True,
+            )
+            if not same:
+                sys.exit(2)
 
     print("done", flush=True)
 
