@@ -125,8 +125,26 @@ latest AS (
 
 
 def q_promql_selector(spark, sf_dir):
+    """Tagged union (r8): the raw instant selector at t_max plus the
+    SAME selector on an hour-aligned timestamp, which the engine
+    serves from the 1 h rollup (timbala_spark.rollup SELECTOR class —
+    boundary ``s_*`` term or latest window's ``l_*``, staleness via
+    the stored marker columns; bit-identical, no float combine). The
+    oracle computes BOTH branches from raw samples."""
     eng, t = _engine(spark, sf_dir)
-    return _user_v(eng.query("click", t / 1000))
+    raw = _user_v(eng.query("click", t / 1000))
+    reng, _ = _rollup_engine(spark, sf_dir)
+    from timbala_spark.rollup import SELECTOR, pick_rollup
+
+    t_al = t - (t % ROLLUP_MS)
+    # loud guard: the aligned branch must actually ROUTE (a silent
+    # fallback would pass the oracle while proving nothing)
+    assert (
+        pick_rollup(reng.rollups, LOOKBACK_MS, 0, t_al, 0, 1, SELECTOR)
+        == ROLLUP_MS
+    )
+    routed = _user_v(reng.query("click", t_al / 1000))
+    return _tagged_union(("raw", raw), ("rollup", routed))
 
 
 def _stored_engine(spark: SparkSession, sf_dir: str) -> tuple[Engine, int]:
@@ -585,9 +603,11 @@ def q_curation_ops(spark, sf_dir):
       gate variant so the oracle replays membership AND the gate value
       bit-for-bit; production uses xxhash64). Map-only, monotone under
       corpus growth.
-    * ``cap`` — per-source cap (row_number windows only over over-cap
-      groups; under-cap groups bypass the sort via a broadcast
-      counts join — Zipfian-domain optimization).
+    * ``cap`` — per-source cap via the DEFAULT single row_number
+      window riding Spark's WindowGroupLimit pushdown (shuffle bounded
+      by cap×groups).  The broadcast small-group bypass exists
+      (``optimize_small_groups=True``) but measured 2.5× slower at
+      5M–100M docs (PERF §20a), so this entry pins the default path.
     * ``pack`` — token-budget shard packing via a distributed prefix
       sum (range partition + local window + O(partitions) offset
       join), never a single global-order window.
@@ -1246,11 +1266,23 @@ def oracle_sql() -> dict[str, str]:
     rate_range = 4 * HOUR
     sql = {}
 
-    sql["promql_selector"] = _PRELUDE + """
-SELECT user, ROUND(v, 6) AS v FROM latest WHERE name = 'click'
+    sql["promql_selector"] = _PRELUDE + f"""
+, tal AS (SELECT tend - (tend % {ROLLUP_MS}) AS ta FROM tmax),
+latest_al AS (
+  SELECT name, user, arg_max(v, t) AS v
+  FROM samples, tal
+  WHERE t >= ta - {lb} AND t <= ta
+  GROUP BY name, user
+)
+SELECT 'raw' AS fn, user, ROUND(v, 6) AS v FROM latest WHERE name = 'click'
+UNION ALL
+SELECT 'rollup' AS fn, user, ROUND(v, 6) AS v
+FROM latest_al WHERE name = 'click'
 """
 
-    sql["promql_selector_stored"] = sql["promql_selector"]
+    sql["promql_selector_stored"] = _PRELUDE + """
+SELECT user, ROUND(v, 6) AS v FROM latest WHERE name = 'click'
+"""
 
     sql["promql_sum_by"] = _PRELUDE + """
 SELECT user, ROUND(SUM(v), 6) AS v FROM latest GROUP BY user

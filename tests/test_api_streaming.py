@@ -100,26 +100,28 @@ class TestAPI:
 
     def test_meta_limit_bounds_driver_collects(self, api):
         """At the 40M-series bar the meta endpoints are the only
-        data-cardinality-bound collects; past ``meta_limit`` they must
-        answer a clear execution error (limit(N+1) keeps the
+        data-cardinality-bound collects; past ``meta_limit`` they
+        answer a TRUNCATED success with a ``warnings`` entry (the
+        later-Prometheus limit contract; limit(N+1) keeps the
         executor→driver transfer bounded), and ``None`` restores the
         reference's unbounded contract."""
         capped = PromAPI(api.engine, meta_limit=2)
         out = capped.label_values("foo")  # 2 values == limit: fine
         assert out == {"status": "success", "data": ["bar", "boo"]}
         out = capped.label_values("__name__")  # 2 == limit: fine
-        assert out["status"] == "success"
+        assert out["status"] == "success" and "warnings" not in out
         tight = PromAPI(api.engine, meta_limit=1)
         out = tight.label_values("foo")
-        assert out["status"] == "error" and out["errorType"] == "execution"
-        assert "limit of 1" in out["error"]
+        assert out["status"] == "success"
+        assert out["data"] == ["bar"]  # truncated, deterministic order
+        assert any("truncated" in w for w in out["warnings"])
         # series: 3 distinct series > limit 2 — including across
         # multiple match[] selectors
         out = capped.series(["test_metric1", "test_metric2"], 0, 600)
-        assert out["status"] == "error" and out["errorType"] == "execution"
-        assert "narrow match[]" in out["error"]
+        assert out["status"] == "success" and len(out["data"]) == 2
+        assert any("narrow match[]" in w for w in out["warnings"])
         out = capped.series(['test_metric1{foo="bar"}'], 0, 600)
-        assert out["status"] == "success"
+        assert out["status"] == "success" and "warnings" not in out
         unbounded = PromAPI(api.engine, meta_limit=None)
         assert len(unbounded.series(["test_metric1", "test_metric2"], 0, 600)["data"]) == 3
 

@@ -72,9 +72,21 @@ def _late_rows(day=2, n=5):
     return rows
 
 
+def _file_id(path):
+    """Carry-identity of a data file: inode on the POSIX backend
+    (hardlink carry), size on a copy backend (object store — the rel
+    NAME surviving into the new generation already proves the carry,
+    since a Spark rewrite always emits fresh part-file names; size
+    pins the bytes)."""
+    from timbala_spark.streaming.backend import get_backend
+
+    st = os.stat(path)
+    return st.st_ino if get_backend().links_are_free else st.st_size
+
+
 def _inode_map(samples_dir):
     return {
-        rel: os.stat(os.path.join(samples_dir, rel)).st_ino
+        rel: _file_id(os.path.join(samples_dir, rel))
         for rel in list_data_files(samples_dir)
     }
 
@@ -150,7 +162,7 @@ class TestIncrementalCompact:
         src = resolve_store(store)
         rdir = os.path.join(os.path.dirname(src.samples), f"rollup-{W}")
         old = {
-            rel: os.stat(os.path.join(rdir, rel)).st_ino
+            rel: _file_id(os.path.join(rdir, rel))
             for rel in list_data_files(rdir)
         }
         write_samples_batch(_mk(spark, _late_rows(day=0)), store)
@@ -163,7 +175,7 @@ class TestIncrementalCompact:
             D0 / 1000, tz=datetime.timezone.utc
         ).strftime("%Y%m%d")
         for rel in list_data_files(rdir2):
-            ino = os.stat(os.path.join(rdir2, rel)).st_ino
+            ino = _file_id(os.path.join(rdir2, rel))
             if rel.split(os.sep, 1)[0] == f"day={d0str}":
                 assert rel not in old, rel
             else:

@@ -1,0 +1,227 @@
+"""The maintenance protocol on the object-store backend: no flock, no
+hardlink, no reliance on rename atomicity — conditional PUTs, an
+expiring lease, and server-side key copies
+(:class:`timbala_spark.streaming.backend.FakeObjectStoreBackend`).
+
+Two layers of evidence:
+
+* this module — protocol behaviors exercised directly under the fake
+  backend, with ``os.link`` and ``fcntl.flock`` patched to FAIL LOUDLY
+  (proof the protocol code path never touches the POSIX primitives);
+* the orchestrator (``tools/fuzz_all.py``) re-runs the EXISTING
+  maintenance suites (incremental compaction, snapshots, compact fuzz,
+  retention tiers) in a ``TIMBALA_STORE_BACKEND=objectstore`` process,
+  unchanged — the VERDICT r8 #2 contract.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from timbala_spark import prepare_samples
+from timbala_spark.streaming import read_samples_table
+from timbala_spark.streaming.backend import (
+    ANY_CONTENT,
+    CASConflictError,
+    FakeObjectStoreBackend,
+    LockHeldError,
+    set_backend,
+)
+from timbala_spark.streaming.compact import apply_retention, compact_store
+from timbala_spark.streaming.ingest import write_samples_batch
+from timbala_spark.streaming.store import (
+    ConcurrentCommitError,
+    MaintenanceLockHeldError,
+    commit_manifest,
+    gc_store,
+    maintenance_lock,
+    resolve_store,
+    snapshot_store,
+)
+
+T0 = 1_700_000_000_000
+
+
+@pytest.fixture(autouse=True)
+def object_store_backend(monkeypatch):
+    """Swap in the fake object store and booby-trap the POSIX
+    primitives: any protocol code path still calling ``os.link`` or
+    ``fcntl.flock`` fails the test immediately."""
+    import fcntl
+
+    be = FakeObjectStoreBackend()
+    set_backend(be)
+
+    def _no_link(*a, **k):
+        raise AssertionError("protocol used os.link under objectstore")
+
+    def _no_flock(*a, **k):
+        raise AssertionError("protocol used fcntl.flock under objectstore")
+
+    monkeypatch.setattr(os, "link", _no_link)
+    monkeypatch.setattr(fcntl, "flock", _no_flock)
+    yield be
+    set_backend(None)
+
+
+def _mk(spark, rows):
+    return prepare_samples(
+        spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
+    )
+
+
+def _rows(n=40, tag="a", t0=T0):
+    return [
+        ({"__name__": "m", "i": str(i % 4), "t": tag}, t0 + i * 60_000, float(i))
+        for i in range(n)
+    ]
+
+
+def _canon(df):
+    return sorted(
+        (tuple(sorted(r["labels"].items())), r["t"], r["v"]) for r in df.collect()
+    )
+
+
+class TestObjectStoreProtocol:
+    def test_compact_append_incremental_cycle(
+        self, spark, object_store_backend
+    ):
+        """ingest → compact → append → incremental compact → values
+        identical; carries happen via server-side copies (counter
+        advances), never hardlinks."""
+        store = tempfile.mkdtemp(prefix="timbala_objstore_")
+        try:
+            write_samples_batch(_mk(spark, _rows()), store)
+            compact_store(spark, store)
+            assert resolve_store(store).gen == 1
+            # second batch on a far-apart day: the incremental pass
+            # must carry day-1's settled files by KEY COPY
+            write_samples_batch(
+                _mk(spark, _rows(10, tag="b", t0=T0 + 5 * 86_400_000)), store
+            )
+            want = _canon(read_samples_table(spark, store))
+            before_copies = object_store_backend.copies
+            compact_store(spark, store)
+            assert resolve_store(store).gen == 2
+            assert object_store_backend.copies > before_copies
+            assert _canon(read_samples_table(spark, store)) == want
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    def test_snapshot_independent_without_hardlinks(
+        self, spark, object_store_backend
+    ):
+        store = tempfile.mkdtemp(prefix="timbala_objsnap_")
+        dst = os.path.join(tempfile.mkdtemp(prefix="timbala_objsnap_d_"), "s")
+        try:
+            write_samples_batch(_mk(spark, _rows()), store)
+            compact_store(spark, store)
+            want = _canon(read_samples_table(spark, store))
+            n = snapshot_store(store, dst)
+            assert n > 0
+            shutil.rmtree(store)  # copies, not links — still readable
+            assert _canon(read_samples_table(spark, dst)) == want
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+            shutil.rmtree(os.path.dirname(dst), ignore_errors=True)
+
+    def test_manifest_cas_is_conditional_put(self, tmp_path):
+        store = str(tmp_path / "s")
+        os.makedirs(store)
+        commit_manifest(store, 1)
+        commit_manifest(store, 2, expect_gen=1)
+        with pytest.raises(ConcurrentCommitError):
+            commit_manifest(store, 3, expect_gen=1)  # stale committer
+        assert resolve_store(store).gen == 2
+        # the CAS survives a liar that bypasses resolve_store: racing
+        # content change between read and PUT is caught by the
+        # conditional PUT itself
+        from timbala_spark.streaming.store import _manifest_bytes
+
+        be = FakeObjectStoreBackend()
+        with pytest.raises(CASConflictError):
+            be.put_small_cas(
+                os.path.join(store, "MANIFEST"),
+                _manifest_bytes(9),
+                _manifest_bytes(7),  # wrong expectation
+            )
+
+    def test_lease_lock_excludes_and_expires(self, tmp_path):
+        store = str(tmp_path / "s")
+        os.makedirs(store)
+        holder = FakeObjectStoreBackend()
+        other = FakeObjectStoreBackend()
+        with holder.lock(store):
+            with pytest.raises(LockHeldError):
+                with other.lock(store, timeout_s=0.05):
+                    pass
+        # released: immediately acquirable
+        with other.lock(store, timeout_s=0.05):
+            pass
+        # a CRASHED holder (lease left behind) blocks only until
+        # expiry, then the lease is stolen by CAS — exactly-one winner
+        crashed = FakeObjectStoreBackend()
+        crashed.lease_s = 0.2
+        ctx = crashed.lock(store)
+        ctx.__enter__()  # never exited — simulated crash
+        import time
+
+        time.sleep(0.3)
+        with other.lock(store, timeout_s=1.0):
+            pass  # stole the expired lease
+
+    def test_maintenance_lock_uses_lease(self, tmp_path, object_store_backend):
+        """store.maintenance_lock routes to the lease (flock is
+        booby-trapped by the fixture, so reaching here proves it)."""
+        store = str(tmp_path / "s")
+        with maintenance_lock(store):
+            with pytest.raises(MaintenanceLockHeldError):
+                with maintenance_lock(store, timeout_s=0.05):
+                    pass
+
+    def test_gc_grace_stamps_via_backend_mtime(self, spark):
+        store = tempfile.mkdtemp(prefix="timbala_objgc_")
+        try:
+            write_samples_batch(_mk(spark, _rows()), store)
+            compact_store(spark, store, gc_keep=0, gc_grace_s=3600)
+            compact_store(spark, store, gc_keep=0, gc_grace_s=3600)
+            # gen-1 retired but inside grace: stamped, kept
+            assert os.path.isdir(os.path.join(store, "gen-000001"))
+            assert gc_store(store, keep=0, grace_s=3600) == []
+            # grace elapsed (0): second pass deletes it
+            deleted = gc_store(store, keep=0, grace_s=0.0)
+            assert "gen-000001" in deleted
+            assert not os.path.isdir(os.path.join(store, "gen-000001"))
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    def test_retention_carry_by_copy(self, spark, object_store_backend):
+        store = tempfile.mkdtemp(prefix="timbala_objret_")
+        try:
+            rows = _rows(20) + _rows(20, tag="b", t0=T0 + 10 * 86_400_000)
+            write_samples_batch(_mk(spark, rows), store)
+            compact_store(spark, store)
+            before = object_store_backend.copies
+            dropped = apply_retention(store, T0 + 5 * 86_400_000)
+            assert dropped  # the old day went away
+            assert object_store_backend.copies > before  # survivors copied
+            got = _canon(read_samples_table(spark, store))
+            assert got == sorted(
+                (tuple(sorted(lab.items())), t, v)
+                for lab, t, v in rows
+                if t >= T0 + 10 * 86_400_000
+            )
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+
+    def test_put_small_any_content(self, tmp_path):
+        be = FakeObjectStoreBackend()
+        p = str(tmp_path / "obj")
+        be.put_small_cas(p, b"v1", ANY_CONTENT)
+        be.put_small_cas(p, b"v2", b"v1")
+        assert be.read_small(p) == b"v2"
+        with pytest.raises(CASConflictError):
+            be.put_small_cas(p, b"v3", None)  # exists: create fails

@@ -129,9 +129,10 @@ def rolled_engine(spark):
     df = spark.createDataFrame(rows, "labels map<string,string>, t long, v double")
     tmp = tempfile.mkdtemp(prefix="timbala_rollup_plans_")
     write_samples_batch(prepare_samples(df), tmp)
-    compact_store(spark, tmp, rollup_ms=(W,))
+    # 5m table: the instant-selector route needs W <= lookback (r8)
+    compact_store(spark, tmp, rollup_ms=(W, 300_000))
     rollups = read_rollup_tables(spark, tmp)
-    assert list(rollups) == [W]
+    assert sorted(rollups) == [300_000, W]
     yield Engine(spark, read_samples_table(spark, tmp), rollups=rollups), d0
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -192,6 +193,33 @@ class TestRollupRoutedPlans:
         assert "Python" not in plan
         assert "rangepartitioning" not in plan
         assert "collect_list" not in plan
+
+    def test_routed_selector_scans_rollup_not_raw(self, rolled_engine):
+        """r8: an aligned instant selector (the dashboard class) must
+        serve from the 5m rollup — no raw samples scan, plan JVM-side,
+        ONE aggregate exchange like the range route."""
+        eng, d0 = rolled_engine
+        start = (d0 + DAY_MS) / 1000
+        plan = _plan(eng.query_range("m", start, start + 4 * 3600, 300))
+        assert "rollup-300000" in plan
+        assert "struct<series_id:bigint,t:bigint,v:double>" not in plan
+        assert "Python" not in plan
+        # marker columns read, heavy pair payload not
+        rs = next(
+            l
+            for l in plan.splitlines()
+            if "ReadSchema" in l and "l_t" in l
+        )
+        for col in ("l_t:", "l_v:", "st_l:", "s_st:", "s_cnt:", "s_sm:"):
+            assert col in rs, rs
+        for col in ("corr", "chg", "rst", "sq:", "l2_v"):
+            assert col not in rs, rs
+
+    def test_unaligned_selector_falls_back_to_raw(self, rolled_engine):
+        eng, d0 = rolled_engine
+        start = (d0 + DAY_MS + 17_000) / 1000  # off the 5m boundary
+        plan = _plan(eng.query_range("m", start, start + 3600, 300))
+        assert "rollup-" not in plan
 
     def test_dirty_hybrid_prunes_live_raw_scan(self, spark):
         """During a dirty window the routed frame is stored-archive ∪
@@ -261,11 +289,11 @@ class TestRollupRoutedPlans:
     def test_unanswerable_shape_falls_back_to_raw(self, rolled_engine):
         eng, d0 = rolled_engine
         start = (d0 + DAY_MS) / 1000
-        # 90 m range does not tile 1 h windows -> raw path
+        # 7 m tiles neither the 1 h nor the 5 m table -> raw path
         plan = _plan(
-            eng.query_range("sum_over_time(m[90m])", start, start + 7200, 3600)
+            eng.query_range("sum_over_time(m[7m])", start, start + 7200, 3600)
         )
-        assert "rollup-3600000" not in plan
+        assert "rollup-" not in plan
         assert "struct<series_id:bigint,t:bigint,v:double>" in plan
 
 

@@ -26,7 +26,12 @@ import pytest
 
 from timbala_spark.engine import Engine
 from timbala_spark.model import prepare_samples
-from timbala_spark.rollup import ROUTABLE, build_rollup, pick_rollup
+from timbala_spark.rollup import (
+    ROUTABLE,
+    SELECTOR,
+    build_rollup,
+    pick_rollup,
+)
 
 W = 300_000  # 5m base rollup
 W2 = 900_000  # 15m coarse rollup (3x)
@@ -37,12 +42,21 @@ SPAN = 6 * 3_600_000
 def _mk_samples(spark):
     random.seed(1031)
     rows = []
-    # gauges with NaN stripes and window-boundary-aligned points
+    # gauges with NaN stripes, STALENESS MARKERS (NULL v — the r8
+    # selector routing must kill a series whose most recent lookback
+    # point is a marker), and window-boundary-aligned points
     for s in range(3):
         t = T0
         while t < T0 + SPAN:
-            v = float("nan") if random.random() < 0.05 else random.uniform(-9, 90)
-            rows.append(({"__name__": "m", "i": str(s)}, int(t), float(v)))
+            r = random.random()
+            v = (
+                None
+                if r < 0.04
+                else float("nan")
+                if r < 0.09
+                else float(random.uniform(-9, 90))
+            )
+            rows.append(({"__name__": "m", "i": str(s)}, int(t), v))
             t += random.choice([15_000, 45_000, 150_000, 300_000])
     # counters with resets (exercise the pair family's corr sum)
     for s in range(2):
@@ -130,13 +144,18 @@ def gen_shape(seed: int):
     metric = r.choice(["m", "m", "c", "sp"])
     dense = metric != "sp"
     fn = r.choice(sorted(ROUTABLE))
-    k = r.choice([1, 2, 3, 6])
-    rng_ms = k * W
     off_w = r.choice([0, 0, 1, 2])
     off_ms = off_w * W
-    rng_s = f"{rng_ms // 60000}m"
     off = f" offset {off_ms // 60000}m" if off_ms else ""
-    inner = f"{fn}({metric}[{rng_s}]{off})"
+    if fn == SELECTOR:
+        # bare instant selector: routes on the 5m lookback (== W)
+        rng_ms = 300_000
+        inner = f"{metric}{off}"
+    else:
+        k = r.choice([1, 2, 3, 6])
+        rng_ms = k * W
+        rng_s = f"{rng_ms // 60000}m"
+        inner = f"{fn}({metric}[{rng_s}]{off})"
     wrap = r.randrange(6)
     labels_stable = wrap != 2  # topk tie-breaks are label-unstable
     if wrap == 1:
@@ -151,7 +170,13 @@ def gen_shape(seed: int):
         q = f"({inner}) {r.choice(['+', '*', '-'])} {r.choice(['2', '0.5'])}"
     elif wrap == 5:
         fn2 = r.choice(sorted(ROUTABLE))
-        q = f"({inner}) + ({fn2}({metric}[{rng_s}]{off}))"
+        rng2 = f"{rng_ms // 60000}m"
+        second = (
+            f"{metric}{off}"
+            if fn2 == SELECTOR
+            else f"{fn2}({metric}[{rng2}]{off})"
+        )
+        q = f"({inner}) + ({second})"
     else:
         q = inner
     # grid: start on a window boundary in raw time, W-multiple step

@@ -173,6 +173,43 @@ def test_scrub_pii_matches_duckdb(spark):
     assert got == want
 
 
+def test_scrub_pii_fused_counts_match_per_turn_semantics(spark):
+    """The fused literal-delta counts (one regex traversal per rule)
+    equal the contract semantics — matches of each rule's pattern on
+    that rule's PRE-IMAGE (what ``regexp_extract_all`` would count) —
+    including adversarial inputs: pre-existing replacement tokens,
+    spans adjacent to token fragments, and token-creating rewrites."""
+    import re
+
+    from timbala_spark.pipeline.text import PII_RULES
+
+    texts = [
+        "plain <EMAIL> already here and a real a@b.com",
+        "<IP> then 10.1.2.3 then <IP> again",
+        "<ID>1234567<ID> and 7654321",
+        "<EMA a@b.co IL> joins around the span",
+        "<x@y.zEMAIL> overlap bait",
+        "a@b.c<EMAIL> trailing literal",
+        "nested 1.2.3.4.5.6.7.8 runs 123456789012345",
+        "<EMAIL><EMAIL> doubled, no match",
+        "",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    for i, t in enumerate(texts):
+        cur = t
+        for name, pat, token in PII_RULES:
+            want = len(re.findall(pat, cur))
+            assert got[i][f"n_pii_{name}"] == want, (i, name, cur)
+            cur = re.sub(pat, token, cur)
+        assert got[i].text_scrubbed == cur
+        assert got[i].n_pii_total == sum(
+            got[i][f"n_pii_{n}"] for n, _, _ in PII_RULES
+        )
+
+
 # -------------------------------------------------------- full composition
 def test_curate_corpus_end_to_end(spark):
     from timbala_spark.pipeline.curate import curate_corpus

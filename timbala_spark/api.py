@@ -93,9 +93,12 @@ class PromAPI:
     #: rows on the driver. The reference streams from a local index so
     #: it has no such cliff (``api.go:252-341``); the Spark analog
     #: caps the collect with ``limit(N+1)`` (TakeOrderedAndProject /
-    #: CollectLimit — bounded executor→driver transfer) and answers a
-    #: clear execution error past it. ``None`` restores the unbounded
-    #: reference contract. A 1 M default is already a >50 MB JSON
+    #: CollectLimit — bounded executor→driver transfer) and past the
+    #: cap answers a TRUNCATED success carrying a ``warnings`` entry —
+    #: the later-Prometheus ``limit=`` contract, and strictly more
+    #: compatible with consumers of the reference's unbounded API than
+    #: a hard error. ``None`` restores the unbounded reference
+    #: contract exactly. A 1 M default is already a >50 MB JSON
     #: response — past any dashboard's use.
     meta_limit: int | None = 1_000_000
 
@@ -484,10 +487,12 @@ class PromAPI:
         if self.meta_limit is not None:
             vals = df.limit(self.meta_limit + 1).collect()
             if len(vals) > self.meta_limit:
-                return self._error(
-                    ERR_EXEC,
-                    f"label values for {name!r} exceed the configured "
-                    f"limit of {self.meta_limit} distinct values",
+                return self._success(
+                    [r["_v"] for r in vals[: self.meta_limit]],
+                    warnings=[
+                        "results truncated due to limit "
+                        f"({self.meta_limit} distinct values)"
+                    ],
                 )
         else:
             vals = df.collect()
@@ -537,18 +542,29 @@ class PromAPI:
                     seen.add(key)
                     out.append(labels)
             if self.meta_limit is not None and len(out) > self.meta_limit:
-                return self._error(
-                    ERR_EXEC,
-                    "series result exceeds the configured limit of "
-                    f"{self.meta_limit} series; narrow match[]",
+                # truncate + warn (the later-Prometheus limit contract)
+                # and stop probing further selectors: every collect so
+                # far was limit(N+1)-bounded, and the answer can only
+                # stay truncated
+                out = out[: self.meta_limit]
+                out.sort(key=lambda d: sorted(d.items()))
+                return self._success(
+                    out,
+                    warnings=[
+                        "results truncated due to limit "
+                        f"({self.meta_limit} series); narrow match[]"
+                    ],
                 )
         out.sort(key=lambda d: sorted(d.items()))
         return self._success(out)
 
     # -- envelope -----------------------------------------------------
     @staticmethod
-    def _success(data) -> dict:
-        return {"status": "success", "data": data}
+    def _success(data, warnings: list[str] | None = None) -> dict:
+        doc = {"status": "success", "data": data}
+        if warnings:
+            doc["warnings"] = warnings
+        return doc
 
     @staticmethod
     def _error(typ: str, message: str) -> dict:

@@ -654,7 +654,33 @@ def _explode_grid(
 
 def compile_vector_selector(vs: VectorSelector, ctx: EvalContext) -> VectorValue:
     """Instant vector selector: most recent sample per series in the
-    lookback window at each step (``engine.go:766-806``)."""
+    INCLUSIVE lookback window ``[step_t - lookback, step_t]``
+    (``engine.go:766-806``; ``:792`` rejects ``t < refTime -
+    LookbackDelta``, so the left bound is inclusive in the vendored
+    1.x engine — modern Prometheus later made it exclusive).
+
+    When a registered rollup's windows tile the lookback
+    (``rollup.pick_rollup`` with the ``SELECTOR`` sentinel) the answer
+    is served from the W×-smaller rollup table — bit-identical, no
+    float combine at all (:func:`_rollup_selector`); this is the most
+    common dashboard class (instant selector + aggregation), so at the
+    100 TB bar it is the read-path win that matters most."""
+    if ctx.rollups:
+        from .rollup import SELECTOR, pick_rollup
+
+        w = pick_rollup(
+            ctx.rollups,
+            ctx.lookback,
+            vs.offset_ms,
+            ctx.start,
+            ctx.step,
+            ctx.n_steps,
+            SELECTOR,
+        )
+        # pre-r8 rollup tables lack the marker columns — refuse rather
+        # than mis-handle staleness
+        if w is not None and "st_l" in ctx.rollups[w].columns:
+            return VectorValue(_rollup_selector(vs, ctx, w))
     lo = ctx.start - ctx.lookback - vs.offset_ms
     hi = ctx.end - vs.offset_ms
     base = _base_scan(ctx, vs.name, vs.matchers, lo, hi)
@@ -672,6 +698,67 @@ def compile_vector_selector(vs: VectorSelector, ctx: EvalContext) -> VectorValue
         )
     )
     return VectorValue(out)
+
+
+def _rollup_selector(vs: VectorSelector, ctx: EvalContext, w: int) -> DataFrame:
+    """Serve an instant selector from the rollup of resolution ``w``.
+
+    Decomposition (``timbala_spark.rollup`` module docstring, selector
+    class): with ``W | lookback``, ``W | (step_t - offset)`` the
+    inclusive window ``[T-L, T]`` is the interior windows
+    ``[T-L, ·) … [T-W, ·)`` — whose most recent retained sample is the
+    latest present window's ``l_t``/``l_v`` — plus the boundary
+    ``{T}``, which is the ``s_*`` sub-aggregate of the window starting
+    AT ``T`` (at most one sample by canonical ``(series_id, t)``
+    uniqueness, so ``s_sm`` IS its value, NaN included). Staleness:
+    the raw path kills a series whose most recent in-window point is a
+    marker; the rollup stores each window's last marker time
+    (``st_l``) and marker-at-start flag (``s_st``), so the routed
+    filter compares the max sample candidate against the max marker
+    candidate — bit-identical, not approximate.
+
+    Plan shape: rollup scan (matcher/time/day pushdown via the shared
+    ``_base_scan``) → grid explode → ONE hash aggregate — the raw
+    selector's plan over a W×-smaller table."""
+    import copy
+
+    lo = ctx.start - ctx.lookback - vs.offset_ms
+    hi = ctx.end - vs.offset_ms
+    rctx = copy.copy(ctx)
+    rctx.samples = ctx.rollups[w]
+    base = _base_scan(rctx, vs.name, vs.matchers, lo, hi)
+    g = _explode_grid(ctx, base, vs.offset_ms, ctx.lookback)
+    off = int(vs.offset_ms)
+    b = "(step_t = ts)"
+    g = g.selectExpr(
+        "*",
+        # shifted time of the window's best sample candidate / marker
+        # candidate for this step; NULL → no candidate (max/max_by
+        # ignore NULL keys)
+        f"CASE WHEN {b} THEN (CASE WHEN s_cnt >= 1 THEN ts END)"
+        f" ELSE CAST(l_t + {off} AS BIGINT) END AS _cand_t",
+        f"CASE WHEN {b} THEN s_sm ELSE l_v END AS _cand_v",
+        f"CASE WHEN {b} THEN (CASE WHEN s_st = 1 THEN ts END)"
+        f" ELSE CAST(st_l + {off} AS BIGINT) END AS _mark_t",
+    )
+    return (
+        g.groupBy("series_id", "step_t")
+        .agg(
+            F.expr("max_by(labels, ts) AS labels"),
+            F.expr("max(_cand_t) AS _s_t"),
+            F.expr("max_by(_cand_v, _cand_t) AS _s_v"),
+            F.expr("max(_mark_t) AS _m_t"),
+        )
+        # a marker and a sample can never share a time (canonical
+        # uniqueness), so strictly-greater is exact
+        .filter("_s_t IS NOT NULL AND (_m_t IS NULL OR _m_t < _s_t)")
+        .selectExpr(
+            "step_t",
+            "labels",
+            "_s_v AS v",
+            f"CAST(_s_t - {off} AS BIGINT) AS sample_t",
+        )
+    )
 
 
 def _matrix_grouped(ms: MatrixSelector, ctx: EvalContext) -> DataFrame:

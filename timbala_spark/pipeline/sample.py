@@ -179,7 +179,18 @@ def pack_greedy(
     measured 5× slower at 5M docs (PERF §20).  The quantile-split
     bucket is a deterministic function of the row, so the plan is
     scan → agg (small) ⨝ scan → one exchange → local sort, and nothing
-    needs pinning.
+    needs pinning — PROVIDED the input LINEAGE is deterministic: the
+    quantile, subtotal, and final jobs are three separate actions over
+    ``df``, so an upstream that returns different rows per action
+    (``rand()`` without a seed, a changing source, an unpersisted
+    nondeterministic sample) breaks the bucket↔offset correspondence.
+    ``curate_corpus`` pins its curated frame before packing for
+    exactly this reason; standalone callers with nondeterministic
+    upstreams must persist first.  The offset join is a LEFT join
+    guarded by ``raise_error``: a bucket that appears at the final
+    action but was absent from the subtotal pass (the signature of a
+    nondeterministic upstream) fails loudly instead of silently
+    dropping rows.
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
@@ -231,7 +242,22 @@ def pack_greedy(
     )
     return (
         with_b.withColumn("__local_off", cum_excl)
-        .join(F.broadcast(off_df), "__bkt")
+        .join(F.broadcast(off_df), "__bkt", "left")
+        .withColumn(
+            "__off",
+            F.when(
+                F.col("__off").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pack_greedy: bucket appeared after the subtotal "
+                            "pass (nondeterministic input lineage?) __bkt="
+                        ),
+                        F.col("__bkt").cast("string"),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("__off")),
+        )
         .withColumn(
             "token_offset", (F.col("__off") + F.col("__local_off")).cast("long")
         )

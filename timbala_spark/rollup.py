@@ -92,7 +92,20 @@ ROUTABLE_PAIR = frozenset(
     {"rate", "increase", "delta", "resets", "changes", "irate", "idelta"}
 )
 
-ROUTABLE = ROUTABLE_OVER_TIME | ROUTABLE_PAIR
+#: sentinel "function" name for the instant-selector/lookback class
+#: (r8): the most recent point in the inclusive window ``[T-L, T]``
+#: (``engine.go:788-799`` — ``t < refTime - LookbackDelta`` is the
+#: REJECT condition, so the left bound is inclusive, same as the range
+#: argument; NB this is the vendored 1.x semantics — modern Prometheus
+#: later made the bound exclusive). The decomposition: the answer is
+#: the boundary sample at exactly T (the ``s_*`` columns of the window
+#: starting AT T) if present, else the ``l_*`` columns of the latest
+#: present interior window — bit-identical, no float combine at all.
+#: Staleness needs ``st_l``/``s_st``: a marker later than the latest
+#: sample kills the series.
+SELECTOR = "__selector__"
+
+ROUTABLE = ROUTABLE_OVER_TIME | ROUTABLE_PAIR | {SELECTOR}
 
 
 def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
@@ -131,20 +144,27 @@ def build_rollup(samples: DataFrame, resolution_ms: int) -> DataFrame:
       ``(series_id, t)`` uniqueness), hence no within-boundary pairs,
       and its value for cross-window pairing IS ``s_sm``.
 
-    Stale markers (NULL ``v``) are dropped first — range vectors never
-    see them (``engine.go:869``), so neither may rollups. The pair
-    columns add one per-series time sort to the build (the same lag
-    window the raw rate kernel runs per QUERY, ``_matrix_lagged``);
-    the build stays one shuffle + one hash aggregation.
+    Stale markers (NULL ``v``) are EXCLUDED from every sample-side
+    aggregate — range vectors never see them (``engine.go:869``), so
+    neither may the range-function payload — but their POSITIONS are
+    kept (``st_l``/``s_st``), because the instant selector DOES see
+    them (a marker that is the most recent point in the lookback kills
+    the series, ``engine.go:797-799``) and the r8 selector router needs
+    them. The pair columns add one per-series time sort to the build
+    (the same lag window the raw rate kernel runs per QUERY,
+    ``_matrix_lagged``); the build stays one shuffle + one hash
+    aggregation.
     """
     return _build(samples, resolution_ms, identity=True)
 
 
-#: the rollup payload columns, in schema order
+#: the rollup payload columns, in schema order (st_l/s_st: staleness-
+#: marker positions, r8 — absent in pre-r8 tables, and the selector
+#: router refuses to route from a table without them)
 PAYLOAD_COLUMNS = (
     "cnt", "sm", "sq", "mn", "mx", "nan",
     "f_t", "f_v", "l_t", "l_v", "l2_t", "l2_v", "corr", "rst", "chg",
-    "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan",
+    "s_cnt", "s_sm", "s_sq", "s_mn", "s_mx", "s_nan", "st_l", "s_st",
 )
 
 
@@ -195,22 +215,35 @@ def _build(
         if "day" not in samples.columns:
             raise ValueError("day_partitioned requires a day column")
     part = "series_id, day" if day_partitioned else "series_id"
+    # stale markers (NULL v) are KEPT as rows (r8): the instant-
+    # selector router needs each window's marker positions (st_l /
+    # s_st below). Every sample-side aggregate is restricted to
+    # retained rows, and the consecutive-pair lag skips markers
+    # (IGNORE NULLS), so all pre-r8 payload columns are value-
+    # identical to the old drop-markers-first build; the only new
+    # rows are marker-ONLY windows (cnt = 0), which every range-
+    # function consumer already filters (`_cnt > 0` / `e_cnt > 0`).
     base = (
-        samples.filter(F.col("v").isNotNull())
-        .selectExpr(
+        samples.selectExpr(
             "*",
-            f"lag(t) OVER (PARTITION BY {part} ORDER BY t) AS _pt",
-            f"lag(v) OVER (PARTITION BY {part} ORDER BY t) AS _pv",
+            "lag(CASE WHEN v IS NOT NULL THEN t END) IGNORE NULLS"
+            f" OVER (PARTITION BY {part} ORDER BY t) AS _pt",
+            "lag(CASE WHEN v IS NOT NULL THEN v END) IGNORE NULLS"
+            f" OVER (PARTITION BY {part} ORDER BY t) AS _pv",
         )
         .selectExpr("*", f"CAST(t - pmod(t, {w}) AS BIGINT) AS _ws")
     )
-    # both ends of the pair are in this window iff the predecessor is
-    # (windows tile time and _pt < t)
-    pair_in = "(_pt IS NOT NULL AND _pt >= _ws)"
+    # both ends of the pair are in this window iff the current row is
+    # retained and its retained predecessor is in-window (windows tile
+    # time and _pt < t)
+    pair_in = "(v IS NOT NULL AND _pt IS NOT NULL AND _pt >= _ws)"
     is_reset = f"{pair_in} AND NOT isnan(_pv) AND NOT isnan(v) AND v < _pv"
     is_change = (
         f"{pair_in} AND v != _pv AND NOT (isnan(v) AND isnan(_pv))"
     )
+    # ordering key restricted to retained rows: max_by/min_by ignore
+    # NULL keys, so trailing markers can never hijack l_v/l2_*
+    rt = "(CASE WHEN v IS NOT NULL THEN t END)"
     aggs = []
     if identity:
         aggs += [
@@ -218,26 +251,29 @@ def _build(
             F.expr("max_by(labels, t) AS labels"),
         ]
     aggs += [
-        F.expr("count(1) AS cnt"),
+        F.expr("count(v) AS cnt"),
         F.expr("sum(v) AS sm"),
         F.expr("sum(v * v) AS sq"),
         F.expr("min(CASE WHEN NOT isnan(v) THEN v END) AS mn"),
         F.expr("max(CASE WHEN NOT isnan(v) THEN v END) AS mx"),
         F.expr("max(CAST(isnan(v) AS INT)) AS nan"),
-        F.expr("min(t) AS f_t"),
-        F.expr("min_by(v, t) AS f_v"),
-        F.expr("max(t) AS l_t"),
-        F.expr("max_by(v, t) AS l_v"),
-        # the LAST row's in-window predecessor (NULL when the window's
-        # last sample is also its first) — max_by keeps the value from
-        # the max-t row even when that value is NULL, which is exactly
-        # the wanted semantics
-        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pt END, t) AS l2_t"),
-        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pv END, t) AS l2_v"),
+        F.expr(f"min({rt}) AS f_t"),
+        F.expr(f"min_by(v, {rt}) AS f_v"),
+        F.expr(f"max({rt}) AS l_t"),
+        F.expr(f"max_by(v, {rt}) AS l_v"),
+        # the LAST retained row's in-window predecessor (NULL when the
+        # window's last sample is also its first) — max_by keeps the
+        # value from the max-key row even when that value is NULL,
+        # which is exactly the wanted semantics
+        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pt END, {rt}) AS l2_t"),
+        F.expr(f"max_by(CASE WHEN {pair_in} THEN _pv END, {rt}) AS l2_v"),
         F.expr(f"sum(CASE WHEN {is_reset} THEN _pv ELSE 0.0D END) AS corr"),
         F.expr(f"sum(CASE WHEN {is_reset} THEN 1.0D ELSE 0.0D END) AS rst"),
         F.expr(f"sum(CASE WHEN {is_change} THEN 1.0D ELSE 0.0D END) AS chg"),
-        F.expr("sum(CASE WHEN t = _ws THEN 1 ELSE 0 END) AS s_cnt"),
+        F.expr(
+            "sum(CASE WHEN t = _ws AND v IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS s_cnt"
+        ),
         F.expr("sum(CASE WHEN t = _ws THEN v END) AS s_sm"),
         F.expr("sum(CASE WHEN t = _ws THEN v * v END) AS s_sq"),
         F.expr(
@@ -249,6 +285,15 @@ def _build(
         F.expr(
             "max(CASE WHEN t = _ws THEN CAST(isnan(v) AS INT) ELSE 0 END)"
             " AS s_nan"
+        ),
+        # staleness-marker positions (r8, instant-selector routing):
+        # last marker time in the window, and a marker-at-window-start
+        # flag (the boundary term — a marker at exactly the evaluation
+        # time kills the series, engine.go:797-799 IsStaleNaN)
+        F.expr("max(CASE WHEN v IS NULL THEN t END) AS st_l"),
+        F.expr(
+            "max(CASE WHEN t = _ws AND v IS NULL THEN 1 ELSE 0 END)"
+            " AS s_st"
         ),
     ]
     keys = ["series_id", "_ws"] + (["day"] if day_partitioned else [])

@@ -1,0 +1,377 @@
+"""Storage-backend seam for the store maintenance protocol.
+
+The protocol in :mod:`store`/:mod:`compact` (generation commit, GC,
+incremental compaction, snapshots) needs exactly four primitives
+beyond plain file reads/listings, and POSIX filesystems and object
+stores provide them through different mechanisms:
+
+====================  ========================  =======================
+primitive             POSIX                     object store
+====================  ========================  =======================
+atomic small-object   same-directory tmp file   single-key PUT (always
+publish (manifest,    + ``os.rename``           atomic per key)
+``_settled``, marks)
+conditional publish   read-compare-rename,      conditional PUT
+(commit CAS)          exact only under flock    (``If-Match`` on the
+                                                manifest ETag — the
+                                                Delta S3 commit /
+                                                Iceberg catalog-swap
+                                                primitive)
+share an immutable    hardlink (inode survives  server-side COPY of the
+data file into a new  GC of the source dir      key (metadata-priced on
+generation            entry)                    most stores), or a
+                                                manifest that lists the
+                                                old keys
+maintenance mutex     ``flock`` (kernel drops   expiring LEASE object
+                      it with the process)      created with
+                                                ``If-None-Match``;
+                                                stealable after expiry
+====================  ========================  =======================
+
+Everything else the protocol does — reading small objects, listing
+data files, deleting retired generations (a prefix delete) — is
+already object-store-legal and stays on plain ``os`` calls.
+
+The reference's analog of all of this is single-node: ``db.mtx`` plus
+refcounted open blocks (``vendor/github.com/prometheus/tsdb/
+db.go:292-330``) and block hardlinks for snapshots (``db.go:607-630``).
+At the 100 TB deployment target the store IS an object store, so the
+protocol must not *assume* flock/hardlink/rename — it asks the active
+backend.
+
+Backend selection: :func:`get_backend` returns the process-wide
+default (:class:`PosixBackend` unless the ``TIMBALA_STORE_BACKEND``
+env var says ``objectstore``); tests and embedders can swap it with
+:func:`set_backend`. :class:`FakeObjectStoreBackend` emulates the
+object-store contract on a local directory — conditional PUTs and
+lease acquisition are made atomic across processes with an O_EXCL
+spin lock (standing in for the store's native per-key atomicity), and
+"server-side copy" is a local byte copy with a counter so tests can
+price the no-hardlink cost model.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import shutil
+import time
+
+__all__ = [
+    "StorageBackend",
+    "PosixBackend",
+    "FakeObjectStoreBackend",
+    "CASConflictError",
+    "LockHeldError",
+    "get_backend",
+    "set_backend",
+    "ANY_CONTENT",
+]
+
+#: sentinel for put_small_cas: publish unconditionally
+ANY_CONTENT = object()
+
+
+class CASConflictError(RuntimeError):
+    """Conditional publish failed: the object's current content is not
+    what the committer expected (another committer won)."""
+
+
+class LockHeldError(RuntimeError):
+    """The maintenance mutex is held by another owner."""
+
+
+class StorageBackend:
+    """Interface — see the module docstring's primitive table."""
+
+    name = "abstract"
+    #: True when shared files are O(1) metadata links (hardlinks);
+    #: False when they cost a per-key server-side copy (PERF §18/§19:
+    #: the incremental-compaction/retention cost model charges
+    #: O(carried files) copies instead of O(1) links on such stores).
+    links_are_free = False
+
+    def lock(self, root: str, timeout_s: float = 0.0):
+        """Context manager holding the store's maintenance mutex.
+        Raises :class:`LockHeldError` when another holder persists
+        past ``timeout_s``."""
+        raise NotImplementedError
+
+    def put_small(self, path: str, data: bytes) -> None:
+        """Atomically publish a small object (readers see old or new
+        bytes, never a torn write)."""
+        raise NotImplementedError
+
+    def put_small_cas(self, path: str, data: bytes, expect) -> None:
+        """Conditional publish. ``expect``: the exact current bytes
+        (``If-Match``), ``None`` for must-not-exist
+        (``If-None-Match``), or :data:`ANY_CONTENT` for unconditional.
+        Raises :class:`CASConflictError` on mismatch."""
+        raise NotImplementedError
+
+    def read_small(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def share_file(self, src: str, dst: str) -> None:
+        """Make the immutable data file at ``src`` available at
+        ``dst`` (hardlink or server-side copy; never a mutable
+        alias)."""
+        raise NotImplementedError
+
+    def touch_stamp(self, path: str) -> None:
+        """Create a zero-byte marker object (idempotent)."""
+        self.put_small(path, b"")
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time of an object (object stores expose this
+        as key metadata)."""
+        return os.stat(path).st_mtime
+
+    def delete(self, path: str) -> None:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+
+    def delete_tree(self, path: str) -> None:
+        """Delete every object under a prefix (a batch key delete on
+        an object store)."""
+        shutil.rmtree(path, ignore_errors=True)
+
+
+class PosixBackend(StorageBackend):
+    """flock + hardlink + same-directory-rename — the r7 behavior,
+    byte for byte."""
+
+    name = "posix"
+    links_are_free = True
+
+    @contextlib.contextmanager
+    def lock(self, root: str, timeout_s: float = 0.0):
+        import fcntl
+
+        from .store import MAINTENANCE_LOCK_NAME
+
+        os.makedirs(root, exist_ok=True)
+        fd = os.open(
+            os.path.join(root, MAINTENANCE_LOCK_NAME),
+            os.O_RDWR | os.O_CREAT,
+            0o644,
+        )
+        try:
+            deadline = time.monotonic() + timeout_s
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise LockHeldError(
+                            f"maintenance lock on {root!r} held by "
+                            "another process"
+                        ) from None
+                    time.sleep(0.05)
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
+    def put_small(self, path: str, data: bytes) -> None:
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, f".{base}.tmp.{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    def put_small_cas(self, path: str, data: bytes, expect) -> None:
+        # read-compare-rename: exact under the flock every maintenance
+        # pass holds; on flock-less shares it narrows last-writer-wins
+        # to a vanishing window (r7 semantics, unchanged)
+        if expect is not ANY_CONTENT:
+            cur: bytes | None
+            try:
+                cur = self.read_small(path)
+            except FileNotFoundError:
+                cur = None
+            if cur != expect:
+                raise CASConflictError(
+                    f"{path!r}: expected "
+                    f"{expect!r}, found {cur!r}"
+                )
+        self.put_small(path, data)
+
+    def share_file(self, src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / FS without hardlinks
+            shutil.copy2(src, dst)
+
+
+class FakeObjectStoreBackend(StorageBackend):
+    """Object-store semantics emulated on a local directory.
+
+    No flock, no hardlink, no reliance on multi-key atomicity:
+
+    * conditional PUT — emulated exactly (content compare-and-swap
+      made atomic across processes by an ``O_EXCL`` spin lock per key,
+      standing in for the store's native per-key atomicity);
+    * maintenance mutex — an expiring LEASE object acquired by
+      conditional-create, stolen only after expiry (the DynamoDB/
+      conditional-PUT lock pattern Delta's S3 commit service uses);
+      crash recovery = lease expiry, NOT kernel cleanup;
+    * ``share_file`` — a byte copy standing in for server-side key
+      COPY; ``copies`` counts them so stress/tests can price the
+      no-hardlink cost model (O(carried files) per maintenance pass).
+    """
+
+    name = "objectstore"
+    links_are_free = False
+
+    #: lease lifetime; a maintenance pass must renew (re-enter) or
+    #: finish within it. Generous for tests; a production object-store
+    #: backend would renew the lease on a heartbeat.
+    lease_s = 300.0
+
+    def __init__(self) -> None:
+        self.copies = 0
+        self._token = f"{os.getpid()}-{id(self)}"
+
+    # -- per-key atomicity emulation ----------------------------------
+    @contextlib.contextmanager
+    def _key_mutex(self, path: str, patience_s: float = 10.0):
+        """O_EXCL spin lock emulating the store's native atomic
+        per-key operations (NOT part of the backend contract — real
+        stores do this server-side)."""
+        lockp = path + ".__keylock"
+        deadline = time.monotonic() + patience_s
+        while True:
+            try:
+                fd = os.open(lockp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    # a crashed emulation lock, not a real lease:
+                    # break it (the emulation layer is test plumbing)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(lockp)
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lockp)
+
+    def put_small(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with self._key_mutex(path):
+            tmp = path + f".__put.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)  # emulates the PUT's own atomicity
+
+    def put_small_cas(self, path: str, data: bytes, expect) -> None:
+        if expect is ANY_CONTENT:
+            self.put_small(path, data)
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with self._key_mutex(path):
+            cur: bytes | None
+            try:
+                with open(path, "rb") as f:
+                    cur = f.read()
+            except FileNotFoundError:
+                cur = None
+            if cur != expect:
+                raise CASConflictError(
+                    f"{path!r}: conditional PUT failed (expected "
+                    f"{expect!r}, found {cur!r})"
+                )
+            tmp = path + f".__put.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+
+    # -- lease mutex ----------------------------------------------------
+    @contextlib.contextmanager
+    def lock(self, root: str, timeout_s: float = 0.0):
+        os.makedirs(root, exist_ok=True)
+        lease = os.path.join(root, ".maintenance.lease")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            doc = json.dumps(
+                {"owner": self._token, "expires": time.time() + self.lease_s}
+            ).encode()
+            try:
+                self.put_small_cas(lease, doc, expect=None)
+                break  # acquired by conditional-create
+            except CASConflictError:
+                pass
+            # held: expired lease may be stolen (CAS on its exact
+            # content, so two stealers cannot both win)
+            try:
+                cur = self.read_small(lease)
+                held = json.loads(cur)
+            except (FileNotFoundError, ValueError):
+                continue  # released or torn — retry the create
+            if held.get("expires", 0) <= time.time():
+                try:
+                    self.put_small_cas(lease, doc, expect=cur)
+                    break  # stole the expired lease
+                except CASConflictError:
+                    continue
+            if time.monotonic() >= deadline:
+                raise LockHeldError(
+                    f"maintenance lease on {root!r} held by "
+                    f"{held.get('owner')!r} until {held.get('expires')}"
+                )
+            time.sleep(0.05)
+        try:
+            yield
+        finally:
+            # release only our own lease (a stealer may own it now)
+            try:
+                cur = self.read_small(lease)
+                if json.loads(cur).get("owner") == self._token:
+                    self.put_small_cas(
+                        lease + ".__release", b"", expect=ANY_CONTENT
+                    )  # no-op marker keeps delete ordering observable
+                    with self._key_mutex(lease):
+                        with contextlib.suppress(FileNotFoundError):
+                            os.remove(lease)
+                    self.delete(lease + ".__release")
+            except (FileNotFoundError, ValueError):
+                pass
+
+    def share_file(self, src: str, dst: str) -> None:
+        shutil.copy2(src, dst)  # server-side key COPY stand-in
+        self.copies += 1
+
+
+_DEFAULT: StorageBackend | None = None
+
+
+def get_backend() -> StorageBackend:
+    """The process-wide backend (``TIMBALA_STORE_BACKEND=objectstore``
+    selects the fake object store — used by CI to run the maintenance
+    suites against the no-flock/no-hardlink contract)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = (
+            FakeObjectStoreBackend()
+            if os.environ.get("TIMBALA_STORE_BACKEND") == "objectstore"
+            else PosixBackend()
+        )
+    return _DEFAULT
+
+
+def set_backend(backend: StorageBackend | None) -> None:
+    """Swap the process-wide backend (``None`` re-resolves from the
+    environment on next use)."""
+    global _DEFAULT
+    _DEFAULT = backend

@@ -53,11 +53,11 @@ callers doing their own ingest should do the same.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession, functions as F
 
 from ..model import utc_day_expr
+from .backend import get_backend
 from .store import (
     commit_manifest,
     gc_store,
@@ -132,7 +132,7 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     new_gen = src.gen + 1
     gdir = os.path.join(path, gen_dirname(new_gen))
     if os.path.exists(gdir):  # crashed uncommitted attempt: discard
-        shutil.rmtree(gdir)
+        get_backend().delete_tree(gdir)
     new_s, new_d = os.path.join(gdir, "samples"), os.path.join(gdir, "series")
     src_gdir = os.path.dirname(src.samples)
     snap_s = list_data_files(src.samples)
@@ -303,8 +303,7 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     link_files(src.samples, extras_s, new_s)
     link_files(src.series, extras_d, new_d)
     if extras_s or extras_d:
-        with open(os.path.join(gdir, "_dirty"), "w"):
-            pass
+        get_backend().touch_stamp(os.path.join(gdir, "_dirty"))
     # commit; the compacted collapse removed every cross-batch
     # duplicate, so (absent stragglers) reads of the new generation
     # skip the replica-dedup exchange — its _dirty marker was simply
@@ -314,7 +313,7 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     try:
         commit_manifest(path, new_gen, expect_gen=src.gen)
     except Exception:
-        shutil.rmtree(gdir, ignore_errors=True)  # discard loser's build
+        get_backend().delete_tree(gdir)  # discard loser's build
         raise
     gc_store(path, keep=gc_keep, grace_s=gc_grace_s)
 
@@ -457,7 +456,7 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
     new_gen = src.gen + 1
     gdir = os.path.join(path, gen_dirname(new_gen))
     if os.path.exists(gdir):  # crashed uncommitted attempt: discard
-        shutil.rmtree(gdir)
+        get_backend().delete_tree(gdir)
     doomed = set(dropped)
     keep_rel = [
         rel
@@ -485,8 +484,7 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
     os.makedirs(os.path.join(gdir, "samples"), exist_ok=True)
     os.makedirs(os.path.join(gdir, "series"), exist_ok=True)
     if os.path.exists(src.dirty_marker):  # uncompacted tail survives
-        with open(os.path.join(gdir, "_dirty"), "w"):
-            pass
+        get_backend().touch_stamp(os.path.join(gdir, "_dirty"))
     if dropped:
         # advance the write horizon BEFORE the commit makes the drop
         # visible: from here on, no batch can recreate a doomed day
@@ -495,7 +493,7 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
     try:
         commit_manifest(path, new_gen, expect_gen=src.gen)
     except Exception:
-        shutil.rmtree(gdir, ignore_errors=True)
+        get_backend().delete_tree(gdir)
         raise
     gc_store(path, keep=gc_keep, grace_s=gc_grace_s)
     return dropped

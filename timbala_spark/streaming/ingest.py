@@ -184,13 +184,13 @@ def _mark_dirty(path: str, marker: str | None = None) -> None:
     filesystem or an object store alike."""
     import os
 
+    from .backend import get_backend
     from .store import resolve_store
 
     if marker is None:
         marker = resolve_store(path).dirty_marker
     os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w"):
-        pass
+    get_backend().touch_stamp(marker)
 
 
 def store_is_dirty(path: str) -> bool:

@@ -38,14 +38,28 @@ two tables and whole-generation rewrites):
 
 Concurrent committers are excluded two ways (the reference's db.mtx
 discipline, ``tsdb/db.go``): ``maintenance_lock`` is a cross-process
-advisory flock serializing whole maintenance passes (so two servers or
+mutex serializing whole maintenance passes (so two servers or
 a server plus an ops script pointed at one store cannot both build
 ``gen-N+1`` and clobber each other's work), and ``commit_manifest``
-optionally does a compare-and-set (re-read the manifest just before
-the rename and refuse to commit over a generation the committer never
-saw). On an object store the CAS maps to a conditional PUT
-(``If-Match`` on the manifest ETag) — the same primitive Delta's
-S3 commit service / Iceberg's catalog swap rely on.
+optionally does a compare-and-set (refuse to commit over a generation
+the committer never saw).
+
+**Storage backends** (:mod:`timbala_spark.streaming.backend`): every
+POSIX-only primitive the protocol uses — the flock behind
+``maintenance_lock``, the hardlinks behind ``link_files``, the
+same-directory renames behind ``commit_manifest``/``write_settled``/
+``write_min_t`` — is routed through the active
+:class:`~timbala_spark.streaming.backend.StorageBackend`. The default
+:class:`PosixBackend` keeps the r7 behavior byte-for-byte; the
+object-store backend implements the same protocol with the
+primitives an object store actually offers: the commit CAS is a
+conditional PUT (``If-Match`` on the manifest ETag — the same
+primitive Delta's S3 commit service / Iceberg's catalog swap rely
+on), the maintenance mutex is an expiring lease object acquired by
+conditional-create, and generation file sharing is a server-side key
+copy. ``TIMBALA_STORE_BACKEND=objectstore`` runs the whole
+maintenance suite against that contract
+(:class:`FakeObjectStoreBackend`).
 
 A store that has only ever been written (never compacted) stays in the
 flat legacy layout ``<store>/{samples,series}`` — generation 0 — so the
@@ -64,9 +78,10 @@ from __future__ import annotations
 import contextlib
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass
+
+from . import backend as backend_mod
 
 MANIFEST_NAME = "MANIFEST"
 MAINTENANCE_LOCK_NAME = ".maintenance.lock"
@@ -88,43 +103,28 @@ class ConcurrentCommitError(RuntimeError):
     manifest past the generation this committer resolved."""
 
 
-class MaintenanceLockHeldError(RuntimeError):
-    """Another process holds the store's maintenance lock."""
+# MaintenanceLockHeldError is the backend's LockHeldError: raised by
+# the flock path and the lease path alike, so callers catch one type.
+MaintenanceLockHeldError = backend_mod.LockHeldError
 
 
 @contextlib.contextmanager
 def maintenance_lock(path: str, timeout_s: float = 0.0):
-    """Cross-process advisory lock serializing maintenance passes.
+    """Cross-process mutex serializing maintenance passes.
 
     The reference serializes compaction/retention under ``db.mtx``
-    (one process); with a shared store, two *processes* can race, so
-    this is an ``flock`` on ``<store>/.maintenance.lock`` held for the
-    whole pass. Non-blocking with a bounded retry: raises
-    :class:`MaintenanceLockHeldError` if another holder persists past
-    ``timeout_s``. Advisory only — crash-safe (the kernel drops the
-    lock with the process; no stale-lockfile recovery needed). On
-    stores where flock is unreliable (some NFS), the CAS inside
-    ``commit_manifest`` is the backstop: the race then costs a wasted
-    rewrite, never a lost commit."""
-    import fcntl
-
-    os.makedirs(path, exist_ok=True)
-    fd = os.open(os.path.join(path, MAINTENANCE_LOCK_NAME), os.O_RDWR | os.O_CREAT, 0o644)
-    try:
-        deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            except OSError:
-                if time.monotonic() >= deadline:
-                    raise MaintenanceLockHeldError(
-                        f"maintenance lock on {path!r} held by another process"
-                    ) from None
-                time.sleep(0.05)
+    (one process); with a shared store, two *processes* can race.
+    POSIX backend: an ``flock`` on ``<store>/.maintenance.lock`` held
+    for the whole pass — advisory, crash-safe (the kernel drops the
+    lock with the process). Object-store backend: an expiring lease
+    object acquired by conditional-create — crash recovery is lease
+    expiry. Both raise :class:`MaintenanceLockHeldError` if another
+    holder persists past ``timeout_s``. On stores where the mutex is
+    unreliable (some NFS; a crashed lease holder until expiry), the
+    CAS inside ``commit_manifest`` is the backstop: the race then
+    costs a wasted rewrite, never a lost commit."""
+    with backend_mod.get_backend().lock(path, timeout_s=timeout_s):
         yield
-    finally:
-        os.close(fd)  # closing the fd releases the flock
 
 
 @dataclass(frozen=True)
@@ -171,22 +171,34 @@ def resolve_store(path: str) -> StorePaths:
         )
 
 
+def _manifest_bytes(gen: int) -> bytes:
+    """Canonical manifest content for a generation — deterministic, so
+    it doubles as the conditional PUT's expected-content (ETag
+    stand-in)."""
+    return json.dumps({"gen": gen, "dir": gen_dirname(gen)}).encode()
+
+
 def commit_manifest(path: str, gen: int, expect_gen: int | None = None) -> None:
     """Atomically point the store at generation ``gen``.
 
-    Same-directory ``os.rename`` is atomic on POSIX; the object-store
-    translation is a single-key PUT of the manifest object — the one
+    POSIX backend: same-directory ``os.rename`` (atomic). Object-store
+    backend: a single-key PUT of the manifest object — the one
     primitive every store offers atomically (this is exactly the
     Delta/Iceberg commit shape, minus the log compaction they need for
     concurrent committers).
 
-    ``expect_gen`` makes the commit a compare-and-set: the manifest is
-    re-read immediately before the rename and the commit is refused
+    ``expect_gen`` makes the commit a compare-and-set and is refused
     (:class:`ConcurrentCommitError`) if the store is no longer at that
-    generation — i.e. another committer won. Callers holding
-    ``maintenance_lock`` are already exclusive, making the CAS exact;
-    without the lock it narrows last-writer-wins to a vanishing window
-    (object-store deployments replace it with a conditional PUT)."""
+    generation — i.e. another committer won. On the object-store
+    backend the CAS is a real conditional PUT (``If-Match`` on the
+    previous manifest content; ``If-None-Match`` when committing over
+    a legacy gen-0 store) and is therefore EXACT with or without the
+    maintenance lease. On POSIX it is read-compare-rename: exact for
+    callers holding ``maintenance_lock`` (every maintenance pass);
+    without the lock it narrows last-writer-wins to a vanishing
+    window."""
+    be = backend_mod.get_backend()
+    mpath = os.path.join(path, MANIFEST_NAME)
     if expect_gen is not None:
         cur = resolve_store(path).gen
         if cur != expect_gen:
@@ -194,13 +206,18 @@ def commit_manifest(path: str, gen: int, expect_gen: int | None = None) -> None:
                 f"store {path!r} is at generation {cur}, committer expected "
                 f"{expect_gen}; refusing to overwrite a commit it never saw"
             )
-    doc = {"gen": gen, "dir": gen_dirname(gen)}
-    tmp = os.path.join(path, f".{MANIFEST_NAME}.tmp.{gen}")
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(path, MANIFEST_NAME))
+        # gen 0 = legacy flat layout: no manifest object exists yet,
+        # so the conditional PUT is a conditional CREATE
+        expect = _manifest_bytes(expect_gen) if expect_gen > 0 else None
+        try:
+            be.put_small_cas(mpath, _manifest_bytes(gen), expect)
+        except backend_mod.CASConflictError as e:
+            raise ConcurrentCommitError(
+                f"store {path!r}: conditional manifest PUT failed "
+                f"(committer expected generation {expect_gen}): {e}"
+            ) from None
+    else:
+        be.put_small(mpath, _manifest_bytes(gen))
 
 
 def list_data_files(root: str) -> set[str]:
@@ -223,19 +240,19 @@ def list_data_files(root: str) -> set[str]:
 
 def link_files(src_root: str, rel_files, dst_root: str) -> int:
     """Bring ``rel_files`` from one generation into another without
-    copying bytes: hardlinks on a filesystem (the linked inodes survive
-    GC of the source directory entries), server-side copy fallback.
-    On an object store this whole step is metadata-only — the new
-    manifest would just list the old keys."""
+    rewriting them through Spark: hardlinks on a POSIX filesystem (the
+    linked inodes survive GC of the source directory entries),
+    server-side key copies on an object store (``backend.share_file``
+    — metadata-priced on most stores, and the cost model becomes
+    O(carried files) per maintenance pass instead of O(1) links; a
+    richer manifest that lists old keys in place would remove even
+    that, at the price of cross-generation GC refcounting)."""
+    be = backend_mod.get_backend()
     n = 0
     for rel in sorted(rel_files):
         dst = os.path.join(dst_root, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        src = os.path.join(src_root, rel)
-        try:
-            os.link(src, dst)
-        except OSError:  # cross-device / FS without hardlinks
-            shutil.copy2(src, dst)
+        be.share_file(os.path.join(src_root, rel), dst)
         n += 1
     return n
 
@@ -288,16 +305,16 @@ def gc_store(
     pre-commit resolution."""
     if grace_s is None:
         grace_s = GC_GRACE_S
+    be = backend_mod.get_backend()
     retired = retired_generations(path)
     now = time.time()
     aged: list[str] = []
     for entry in retired:
         stamp = _stamp_path(path, entry)
         try:
-            age = now - os.stat(stamp).st_mtime
+            age = now - be.mtime(stamp)
         except FileNotFoundError:
-            with open(stamp, "w"):
-                pass  # first observation: start the clock, keep it
+            be.touch_stamp(stamp)  # first observation: start the clock
             age = 0.0
         if age >= grace_s:
             aged.append(entry)
@@ -306,15 +323,12 @@ def gc_store(
     for entry in (e for e in retired if e in doomed):
         if entry == "samples":  # legacy gen 0 lives at the store root
             for legacy in ("samples", "series"):
-                shutil.rmtree(os.path.join(path, legacy), ignore_errors=True)
+                be.delete_tree(os.path.join(path, legacy))
             for marker in ("_dirty", RETIRED_STAMP):
-                try:
-                    os.remove(os.path.join(path, marker))
-                except FileNotFoundError:
-                    pass
+                be.delete(os.path.join(path, marker))
             deleted.append("samples")
         else:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            be.delete_tree(os.path.join(path, entry))
             deleted.append(entry)
     return deleted
 
@@ -346,15 +360,12 @@ def read_settled(gdir: str) -> set[str] | None:
 
 
 def write_settled(gdir: str, files) -> None:
-    """Atomically write the generation's settled listing (same-dir
-    tmp + rename, like the manifest)."""
-    tmp = os.path.join(gdir, f".{SETTLED_NAME}.tmp")
-    with open(tmp, "w") as f:
-        for rel in sorted(files):
-            f.write(rel + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(gdir, SETTLED_NAME))
+    """Atomically publish the generation's settled listing (small-
+    object publish, like the manifest)."""
+    data = "".join(rel + "\n" for rel in sorted(files)).encode()
+    backend_mod.get_backend().put_small(
+        os.path.join(gdir, SETTLED_NAME), data
+    )
 
 
 def snapshot_store(path: str, dst: str, lock_timeout_s: float = 0.0) -> int:
@@ -419,7 +430,10 @@ def snapshot_store(path: str, dst: str, lock_timeout_s: float = 0.0) -> int:
                 rel = list_data_files(full)
                 n += link_files(full, rel, os.path.join(dst_gdir, entry))
             elif entry in ("_dirty", SETTLED_NAME) and os.path.isfile(full):
-                shutil.copy2(full, os.path.join(dst_gdir, entry))
+                backend_mod.get_backend().put_small(
+                    os.path.join(dst_gdir, entry),
+                    backend_mod.get_backend().read_small(full),
+                )
         if st.gen > 0:
             commit_manifest(real_dst, st.gen)
         horizon = read_min_t(path)
@@ -452,12 +466,9 @@ def write_min_t(path: str, min_t_ms: int) -> None:
     cur = read_min_t(path)
     if cur is not None and cur >= min_t_ms:
         return
-    tmp = os.path.join(path, f".{MIN_T_MARKER}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(int(min_t_ms)))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(path, MIN_T_MARKER))
+    backend_mod.get_backend().put_small(
+        os.path.join(path, MIN_T_MARKER), str(int(min_t_ms)).encode()
+    )
 
 
 __all__ = [

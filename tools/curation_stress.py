@@ -154,7 +154,17 @@ def main() -> None:
             return out.agg(
                 F.max("shard_id"),
                 F.count(F.lit(1)),
-                F.sum(F.xxhash64("doc_id", "text_scrubbed", "n_tokens", "shard_id", "token_offset")),
+                # decimal(38,0) sum: 64-bit hashes overflow a long sum
+                # under ANSI mode
+                F.sum(
+                    F.xxhash64(
+                        "doc_id",
+                        "text_scrubbed",
+                        "n_tokens",
+                        "shard_id",
+                        "token_offset",
+                    ).cast("decimal(38,0)")
+                ),
             ).collect()[0]
 
         t("curate_corpus end-to-end (auto shingle mode)", e2e, reps=1)

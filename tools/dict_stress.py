@@ -164,6 +164,56 @@ def main() -> None:
         results[name] = med
         print(f"dict-stress: {name}: median {med}s of {runs}", file=sys.stderr)
 
+    # --- runtime-filter A/B (r8, VERDICT #4): the 40M selector wall.
+    # The name-selector plan prunes the DICT scan but still scans +
+    # shuffles every in-range sample for the SMJ; Spark's runtime
+    # Bloom filter would push might_contain(series_id) into the
+    # samples side BEFORE its exchange — it just never fires with the
+    # default thresholds (creation side must estimate < 10MB and the
+    # dict has no CBO stats, application side must estimate > 10GB).
+    # Interleaved on/off in ONE session per §10.
+    rf_ab = {}
+    if os.environ.get("STRESS_RF_AB", "1") != "0":
+        import statistics as _st
+
+        RF = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "4GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "32MB",
+            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        }
+        defaults = {k: spark.conf.get(k) for k in RF}
+
+        def set_rf(on: bool):
+            for k, v in (RF if on else defaults).items():
+                spark.conf.set(k, v)
+
+        def plan_has_bloom(df) -> bool:
+            p = df._jdf.queryExecution().executedPlan().toString()
+            return "bloom" in p.lower() or "might_contain" in p.lower()
+
+        for shape_name, fn in (
+            ("selector_one_metric", lambda: eng.query("m_0", end_s)),
+            ("sum_one_metric", lambda: eng.query("sum(m_0)", end_s)),
+        ):
+            walls = {True: [], False: []}
+            for rep in range(3):
+                for on in (True, False):
+                    set_rf(on)
+                    t1 = time.monotonic()
+                    fn().collect()
+                    walls[on].append(round(time.monotonic() - t1, 2))
+            set_rf(True)
+            fired = plan_has_bloom(fn())
+            set_rf(False)
+            rf_ab[shape_name] = {
+                "rf_on_median": _st.median(walls[True]),
+                "rf_off_median": _st.median(walls[False]),
+                "rf_on_runs": walls[True],
+                "rf_off_runs": walls[False],
+                "bloom_in_plan": fired,
+            }
+            print(f"dict-stress rf-ab {shape_name}: {rf_ab[shape_name]}", file=sys.stderr)
+
     # label_values runs on the engine's samples frame (dict-side
     # distinct over 100k instance values of metric m_0's slice)
     from timbala_spark.api import PromAPI
@@ -185,6 +235,7 @@ def main() -> None:
         "dict_join_kinds_full": full_kinds,
         "dict_join_kinds_name_slice": slice_kinds,
         "shapes": results,
+        "runtime_filter_ab": rf_ab,
         "label_values_s": label_values_s,
         "label_values_job_cardinality": n_jobs,
     }

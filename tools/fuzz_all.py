@@ -265,9 +265,36 @@ def sweep_curation(spark, a, b) -> int:
     return fails
 
 
+def sweep_objstore(spark, a, b) -> int:
+    """Not a seed sweep: re-runs the maintenance test suites in a
+    fresh TIMBALA_STORE_BACKEND=objectstore process (the r8 backend
+    seam contract — conditional PUT CAS, lease mutex, key-copy carry,
+    no flock/hardlink). One pass regardless of the range args."""
+    import subprocess
+
+    env = dict(os.environ, TIMBALA_STORE_BACKEND="objectstore")
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "-q",
+            "tests/test_object_store_backend.py",
+            "tests/test_incremental_compact.py",
+            "tests/test_snapshot.py",
+            "tests/test_compact_fuzz.py",
+            "tests/test_retention_tiers.py",
+        ],
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    return 1 if r.returncode else 0
+
+
 FAMILIES = {
     # family: (sweep fn, default seed range)
     "expr": (sweep_expr, (0, 120 * SCALE)),
+    "objstore": (sweep_objstore, (0, 1)),
     "store": (sweep_store, (0, 40 * SCALE)),
     "rollup": (sweep_rollup, (0, 60 * SCALE)),
     "frontend": (sweep_frontend, (0, 40 * SCALE)),
