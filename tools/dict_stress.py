@@ -179,7 +179,6 @@ def main() -> None:
         RF = {
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "4GB",
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "32MB",
-            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
         }
         defaults = {k: spark.conf.get(k) for k in RF}
 
@@ -214,6 +213,57 @@ def main() -> None:
             }
             print(f"dict-stress rf-ab {shape_name}: {rf_ab[shape_name]}", file=sys.stderr)
 
+    # --- routed-selector A/B (r8, VERDICT #5 at the 40M bar): the
+    # instant selector is the dashboard class; with a 5m rollup whose
+    # windows tile the lookback the engine serves it from the rollup
+    # table (compiler._rollup_selector). At 3 samples/series the
+    # rollup is only ~2-3x smaller than raw, so this measures the
+    # ROUTING floor, not the W x win a real scrape interval gives.
+    routed_ab = {}
+    if os.environ.get("STRESS_ROUTED_AB", "1") != "0":
+        import statistics as _st
+
+        from timbala_spark.rollup import SELECTOR, build_rollup, pick_rollup
+
+        W_RU = 300_000
+        t0 = time.monotonic()
+        ru = build_rollup(table, W_RU)
+        # materialize like a store would (compaction writes it out)
+        ru_path = os.path.join(store, "rollup_ab")
+        ru.write.mode("overwrite").parquet(ru_path)
+        ru = spark.read.parquet(ru_path)
+        build_s = round(time.monotonic() - t0, 1)
+        reng = Engine(spark, table, rollups={W_RU: ru})
+        reng.plan_cache_size = 0
+        # query time: first 5m boundary covering the last samples
+        t_last = BASE_MS + (SAMPLES_PER - 1) * INTERVAL_MS
+        t_q = ((t_last + W_RU - 1) // W_RU) * W_RU
+        assert (
+            pick_rollup({W_RU: ru}, 300_000, 0, t_q, 0, 1, SELECTOR) == W_RU
+        )
+        walls = {"routed": [], "raw": []}
+        got = {}
+        for rep in range(3):
+            for name, e in (("routed", reng), ("raw", eng)):
+                t1 = time.monotonic()
+                rows = e.query("m_0", t_q / 1000).collect()
+                walls[name].append(round(time.monotonic() - t1, 2))
+                got[name] = sorted(
+                    (tuple(sorted(r["labels"].items())), r["v"])
+                    for r in rows
+                )
+        assert got["routed"] == got["raw"] and got["raw"], (
+            "routed selector must answer exactly the raw result"
+        )
+        routed_ab = {
+            "rollup_build_s": build_s,
+            "routed_median": _st.median(walls["routed"]),
+            "raw_median": _st.median(walls["raw"]),
+            "routed_runs": walls["routed"],
+            "raw_runs": walls["raw"],
+        }
+        print(f"dict-stress routed-ab: {routed_ab}", file=sys.stderr)
+
     # label_values runs on the engine's samples frame (dict-side
     # distinct over 100k instance values of metric m_0's slice)
     from timbala_spark.api import PromAPI
@@ -236,6 +286,7 @@ def main() -> None:
         "dict_join_kinds_name_slice": slice_kinds,
         "shapes": results,
         "runtime_filter_ab": rf_ab,
+        "routed_selector_ab": routed_ab,
         "label_values_s": label_values_s,
         "label_values_job_cardinality": n_jobs,
     }
