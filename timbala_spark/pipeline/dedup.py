@@ -230,9 +230,28 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
+        # Semi-join reduction BEFORE the verify joins (r8, PERF §20c):
+        # only documents that appear in some candidate pair need their
+        # shingle ARRAYS at verify time — on a mostly-unique corpus
+        # that is a vanishing fraction, and the arrays are the
+        # operator's heaviest column (~KB/doc of high-entropy strings;
+        # at 20M docs shuffling them for both join sides is ~50 GB of
+        # scratch, the term that ENOSPCed the e2e composition even
+        # with persist_shingles=False). The candidate-id set is
+        # ids-only; AQE broadcasts it when small, making the semi join
+        # MAP-SIDE — the arrays then never enter a shuffle at all.
+        # Dup-heavy corpora degrade gracefully: the semi join becomes
+        # a shuffled join over 8-byte ids, still never two array-wide
+        # shuffles.
+        cand_ids = (
+            cand.select(F.col("id_a").alias("_id"))
+            .union(cand.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        sh_c = sh.join(cand_ids, "_id", "left_semi")
         out = (
             cand.join(
-                sh.select(
+                sh_c.select(
                     F.col("_id").alias("id_a"),
                     F.col("_sh").alias("_sha"),
                     F.col("_n").alias("_na"),
@@ -240,7 +259,7 @@ def ngram_jaccard_pairs(
                 "id_a",
             )
             .join(
-                sh.select(
+                sh_c.select(
                     F.col("_id").alias("id_b"),
                     F.col("_sh").alias("_shb"),
                     F.col("_n").alias("_nb"),
