@@ -406,3 +406,16 @@ class TestCurationPlans:
         plan = _plan(scrub_pii(docs))
         for bad in ("Exchange", "Sort (", "EvalPython", "InPandas"):
             assert bad not in plan, f"{bad} in scrub plan:\n{plan}"
+        # r8 fused counts: ONE regexp_replace per rule in the plan —
+        # the legacy shape carried a regexp_extract_all per rule too
+        assert "regexp_extract_all" not in plan, plan
+
+    def test_ngram_verify_join_is_candidate_reduced(self, docs):
+        """r8 (PERF §20c): the exact-Jaccard verify must join the
+        shingle ARRAYS only for candidate documents — a left-semi
+        reduction against the ids, never an array-wide corpus shuffle
+        for both join sides."""
+        from timbala_spark.pipeline import ngram_jaccard_pairs
+
+        plan = _plan(ngram_jaccard_pairs(docs))
+        assert "LeftSemi" in plan, plan
