@@ -98,6 +98,7 @@ def curate_corpus(
     seed: int = 0,
     keep_original_text: bool = False,
     persist_shingles: bool | None = None,
+    checkpoint_components: bool | None = None,
 ) -> DataFrame:
     """The whole training-data curation flow as ONE lineage — the
     composition a 100 TB corpus actually runs before training:
@@ -129,6 +130,24 @@ def curate_corpus(
     composition survives a single box at 20M docs without the caller
     knowing the scratch math.
 
+    ``checkpoint_components`` (default: auto — on exactly when the
+    size estimate picked recompute mode, i.e. the corpus is big)
+    truncates the lineage at the near-dup output. The composition is
+    otherwise ONE action, so every stage's shuffle files stay
+    referenced until the end — the dedup stage's digest joins and
+    posting shuffles alone are several × corpus bytes, and at 20M
+    docs the SUM of all live stages exceeds a single box's scratch
+    even though each stage is individually linear (PERF §20c take 2).
+    The near-dup output is ids-only (~24 B/doc), so an eager
+    ``localCheckpoint`` here is cheap and makes every dedup-stage
+    shuffle file garbage the ContextCleaner can reclaim WHILE the
+    scrub/gate/layout stages run (pair it with a short
+    ``spark.cleaner.periodicGC.interval`` — the default 30 min is too
+    slow to help within one job). On a cluster the same boundary
+    bounds peak scratch per executor; callers needing
+    executor-loss-safe recovery should write the (tiny) canonical map
+    to storage instead.
+
     Returns the curated frame: original columns (minus the raw text
     unless ``keep_original_text`` — the scrubbed text is what trains,
     and carrying both doubles every downstream byte) + ``text_scrubbed``,
@@ -137,6 +156,13 @@ def curate_corpus(
     from .sample import cap_per_group, pack_greedy, stratified_sample
     from .text import flag_contaminated, scrub_pii, tokens_expr
 
+    if persist_shingles is None:
+        # resolve HERE (not inside near_dup_pipeline) so the same
+        # estimate drives the checkpoint default below; n=7 matches
+        # near_dup_pipeline's shingle width
+        from .dedup import _resolve_persist_shingles
+
+        persist_shingles = _resolve_persist_shingles(docs, text_col, 7)
     cur = near_dup_pipeline(
         docs,
         id_col=id_col,
@@ -144,6 +170,10 @@ def curate_corpus(
         threshold=dedup_threshold,
         persist_shingles=persist_shingles,
     )
+    if checkpoint_components is None:
+        checkpoint_components = not persist_shingles
+    if checkpoint_components:
+        cur = cur.localCheckpoint(eager=True)
     out = (
         docs.join(cur, id_col)
         .filter(F.col("is_canonical") == 1)

@@ -37,6 +37,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # shuffle-file reclamation WITHIN a job: curate_corpus
+        # checkpoints the dedup boundary (lineage truncation), but the
+        # ContextCleaner only deletes the orphaned shuffle files after
+        # a JVM GC — the default periodicGC.interval of 30 min never
+        # fires inside one e2e run (PERF §20c take 2)
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
