@@ -43,6 +43,9 @@ def main() -> None:
         # a JVM GC — the default periodicGC.interval of 30 min never
         # fires inside one e2e run (PERF §20c take 2)
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # zstd beats lz4 by ~25% on word-shaped shuffle payloads —
+        # at 20M docs that is >10 GB of scratch headroom
+        .config("spark.io.compression.codec", "zstd")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
