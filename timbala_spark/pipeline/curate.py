@@ -53,9 +53,20 @@ def near_dup_pipeline(
     dig = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).withColumn("_digest", F.sha2(F.col("_text"), 256))
-    reps = dig.groupBy("_digest").agg(F.min("_id").alias("_rep"))
+    ids = dig.select("_id", "_digest")
+    if not persist_shingles:
+        # big-corpus mode (same estimate that picked array recompute):
+        # the digest map is consumed by several separate ACTIONS
+        # downstream (component-label seeding, the canonical join) —
+        # unpinned, each would re-run the sha256 pass and the digest
+        # shuffle over the whole corpus (PERF §20c take 3). Ids+digest
+        # are ~50 B/doc, orders of magnitude under the array budget.
+        from .util import tracked_persist
+
+        ids = tracked_persist(ids, release_previous=False)
+    reps = ids.groupBy("_digest").agg(F.min("_id").alias("_rep"))
     # doc → exact representative (digest join: 32-byte key, never text)
-    mapping = dig.join(reps, "_digest").select("_id", "_rep")
+    mapping = ids.join(reps, "_digest").select("_id", "_rep")
     survivors = (
         dig.join(reps, "_digest")
         .filter(F.col("_id") == F.col("_rep"))

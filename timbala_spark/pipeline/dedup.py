@@ -145,31 +145,40 @@ def ngram_jaccard_pairs(
     inflate posting lists. ``None`` opts out (pure inverted-index
     count, no verify join: cheaper when the corpus is known clean).
 
-    ``persist_shingles=False`` recomputes the shingle arrays from the
-    text on every consumer instead of pinning them: the arrays are
-    ~|shingles|×shingle_len bytes of high-entropy strings the columnar
-    cache cannot compress, so past ~10M docs on one machine the
-    persist spill becomes the operator's dominant scratch term
-    (PERF §20c) — recomputation trades a few extra local shingling
-    passes for that entire footprint.  Results are identical (the
+    ``persist_shingles=False`` pins only the ``(id, text)`` PROJECTION
+    and recomputes the shingle arrays from the pinned text on every
+    consumer: the arrays are ~|shingles|×shingle_len bytes of
+    high-entropy strings the columnar cache cannot compress, so past
+    ~10M docs on one machine pinning them becomes the operator's
+    dominant scratch term (PERF §20c) — recomputing them from text
+    ~n× smaller trades local shingling CPU for that footprint.
+    Pinning the TEXT is not optional in this mode: the operator's
+    consumers (the stop-shingle report, the candidate build, the
+    verify arrays) are separate Spark actions, and an unpinned input
+    lineage (e.g. ``near_dup_pipeline``'s digest join) would re-
+    execute per action — measured as the 20M composition writing >45
+    GB of never-reclaimed shuffle files and multiplying the dedup
+    wall (PERF §20c take 3).  Results are identical either way (the
     expression is deterministic).  The default ``None`` auto-selects:
     one map-only ``sum(length(text))`` pass estimates the array bytes
-    and persists only under :data:`SHINGLE_PERSIST_BUDGET_BYTES`
-    (callers that already know the corpus size pass an explicit bool
-    and skip the estimating pass).
+    and persists arrays only under
+    :data:`SHINGLE_PERSIST_BUDGET_BYTES` (callers that already know
+    the corpus size pass an explicit bool and skip the estimating
+    pass).
     """
     if persist_shingles is None:
         persist_shingles = _resolve_persist_shingles(df, text_col, n)
-    sh = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            word_shingles_expr(F.col(text_col), n).alias("_sh"),
-        )
-        .withColumn("_n", F.size("_sh"))
-        # feeds the posting explode (twice) + two size joins — persist
-        # so shingling runs once (see minhash_lsh_pairs note)
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
+    if not persist_shingles:
+        src = tracked_persist(src)
+    sh = src.select(
+        "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
+    ).withColumn("_n", F.size("_sh"))
+    # feeds the posting explode (twice) + two size joins — pin so the
+    # upstream lineage runs once (arrays pinned under the budget,
+    # text pinned + arrays recomputed above it)
     if persist_shingles:
         sh = tracked_persist(sh)
     if max_postings is not None:
