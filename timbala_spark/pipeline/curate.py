@@ -110,6 +110,7 @@ def curate_corpus(
     keep_original_text: bool = False,
     persist_shingles: bool | None = None,
     checkpoint_components: bool | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """The whole training-data curation flow as ONE lineage — the
     composition a 100 TB corpus actually runs before training:
@@ -158,6 +159,13 @@ def curate_corpus(
     bounds peak scratch per executor; callers needing
     executor-loss-safe recovery should write the (tiny) canonical map
     to storage instead.
+
+    ``scratch_dir``: optional storage-backed stage boundary — the
+    curated frame is written to parquet there and re-read before the
+    packing stage (what a production pipeline does anyway: land the
+    curated corpus, then lay out shards). Guarantees every upstream
+    shuffle file is reclaimable before layout runs — the lever that
+    closes the single-box 20M composition (PERF §20c take 4).
 
     Returns the curated frame: original columns (minus the raw text
     unless ``keep_original_text`` — the scrubbed text is what trains,
@@ -218,6 +226,20 @@ def curate_corpus(
         )
     if cap_group_col is not None and cap_max_rows is not None:
         out = cap_per_group(out, cap_group_col, cap_max_rows, id_col)
+    if scratch_dir is not None:
+        # Storage-backed stage boundary (PERF §20c take 4): write the
+        # curated-and-filtered corpus out and re-read it. A real
+        # 100 TB pipeline lands the curated corpus in the lake before
+        # the layout stages anyway; on a single box this is the only
+        # boundary that GUARANTEES the dedup/scrub shuffle files are
+        # reclaimable before the layout shuffles start — a persist
+        # keeps its whole input lineage referenced for recompute-on-
+        # eviction, a parquet round-trip does not.
+        import os
+
+        p = os.path.join(scratch_dir, "curated_stage")
+        out.write.mode("overwrite").parquet(p)
+        out = out.sparkSession.read.parquet(p)
     if shard_budget is not None:
         # Pin the curated frame first: packing's quantile and subtotal
         # phases are extra ACTIONS, and each would otherwise re-drive
@@ -225,7 +247,9 @@ def curate_corpus(
         # shuffle-stage reuse cannot be relied on — measured 3× the
         # end-to-end wall at 5M docs without this persist, PERF §20).
         # release_previous=False: the dedup stages' own tracked
-        # persists may still back this lineage.
+        # persists may still back this lineage. (With ``scratch_dir``
+        # the lineage is just the parquet scan — the persist then only
+        # buys the quantile/subtotal passes a local read.)
         from .util import tracked_persist
 
         out = tracked_persist(out, release_previous=False)

@@ -50,6 +50,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # periodic PYTHON gc: py4j only releases JVM-side DataFrame/plan
+    # refs after Python GC runs, and the ContextCleaner can only
+    # reclaim shuffle files whose dependencies are JVM-unreachable —
+    # without this, one-off action shuffles accumulate for the whole
+    # run (PERF §20c takes 3-4)
+    import gc as _gc
+    import threading
+
+    def _gc_loop():
+        while True:
+            time.sleep(45)
+            _gc.collect()
+
+    threading.Thread(target=_gc_loop, daemon=True).start()
+
     # Zipf-ish domains: a handful of heavy hitters hold most rows
     # (domain k gets ~ n/k^1.1 rows via inverse-CDF on a power law),
     # text ~200 chars with occasional PII-shaped spans.
@@ -149,9 +164,15 @@ def main() -> None:
         )
         corpus = df.withColumn("text", uniq_text)
 
+        import tempfile
+
+        scratch = tempfile.mkdtemp(prefix="curation_stage_")
+
         def e2e(persist_shingles=None):
             # persist_shingles=None: the library auto-selects from the
-            # corpus size (PERF §20c) — the stress validates that pick
+            # corpus size (PERF §20c) — the stress validates that pick.
+            # scratch_dir: the storage-backed stage boundary a real
+            # pipeline has anyway (curated corpus lands before layout)
             out = curate_corpus(
                 corpus,
                 persist_shingles=persist_shingles,
@@ -159,6 +180,7 @@ def main() -> None:
                 cap_group_col="source",
                 cap_max_rows=2000,
                 shard_budget=4096,
+                scratch_dir=scratch if n_docs >= 10_000_000 else None,
             )
             return out.agg(
                 F.max("shard_id"),
