@@ -25,11 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import (
-    _resolve_persist_shingles,
-    connected_components,
-    ngram_jaccard_pairs,
-)
+from .dedup import connected_components, ngram_jaccard_pairs
 
 
 def near_dup_pipeline(
@@ -43,27 +39,23 @@ def near_dup_pipeline(
     """Returns one row per input row: (``id_col``, canonical_id,
     is_canonical ∈ {0,1}).
 
-    ``persist_shingles=None`` (default) auto-selects persist-vs-
-    recompute for the shingle arrays (PERF §20c).  The estimate runs
-    on the RAW ``docs`` frame — a map-only upper bound (survivors ⊆
-    docs) — so the extra action never re-drives the digest-dedup
-    lineage."""
-    if persist_shingles is None:
-        persist_shingles = _resolve_persist_shingles(docs, text_col, n)
+    ``persist_shingles`` is accepted for API compatibility and ignored
+    (r8: ``ngram_jaccard_pairs`` runs a single pinned-text design,
+    PERF §20c take 7)."""
+    del persist_shingles
     dig = docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).withColumn("_digest", F.sha2(F.col("_text"), 256))
     ids = dig.select("_id", "_digest")
-    if not persist_shingles:
-        # big-corpus mode (same estimate that picked array recompute):
-        # the digest map is consumed by several separate ACTIONS
-        # downstream (component-label seeding, the canonical join) —
-        # unpinned, each would re-run the sha256 pass and the digest
-        # shuffle over the whole corpus (PERF §20c take 3). Ids+digest
-        # are ~50 B/doc, orders of magnitude under the array budget.
-        from .util import tracked_persist
+    # The digest map is consumed by several separate ACTIONS downstream
+    # (the stop-shingle report, component-label seeding, the canonical
+    # join) — unpinned, each would re-run the sha256 pass and the
+    # digest shuffle over the whole corpus (PERF §20c take 3).
+    # Ids+digest are ~50 B/doc. This is the composition's OPENING pin:
+    # it releases the previous query's tracked frames.
+    from .util import tracked_persist
 
-        ids = tracked_persist(ids, release_previous=False)
+    ids = tracked_persist(ids, release_previous=True)
     reps = ids.groupBy("_digest").agg(F.min("_id").alias("_rep"))
     # doc → exact representative (digest join: 32-byte key, never text)
     mapping = ids.join(reps, "_digest").select("_id", "_rep")
@@ -78,7 +70,7 @@ def near_dup_pipeline(
         text_col=text_col,
         threshold=threshold,
         n=n,
-        persist_shingles=persist_shingles,
+        _release_previous=False,  # keep the ids pin above alive
     )
     comp = connected_components(
         survivors.select(id_col), pairs, node_col=id_col
@@ -137,13 +129,13 @@ def curate_corpus(
     quality gate so metrics see what training sees; sampling/caps
     before packing so shards are final.  Every stage is an existing
     audited operator; this function only fixes the composition.
-    ``persist_shingles=None`` auto-picks the dedup stage's
-    persist-vs-recompute mode from the corpus size (PERF §20c) so the
-    composition survives a single box at 20M docs without the caller
-    knowing the scratch math.
+    ``persist_shingles`` is accepted for API compatibility and ignored
+    (r8: the dedup stage runs a single pinned-text design that the
+    per-action audit measured ~5× cheaper than either r7 mode on wall
+    AND scratch at 5M docs, PERF §20c take 7).
 
     ``checkpoint_components`` (default: auto — on exactly when the
-    size estimate picked recompute mode, i.e. the corpus is big)
+    one-pass size estimate says the corpus is big)
     truncates the lineage at the near-dup output. The composition is
     otherwise ONE action, so every stage's shuffle files stay
     referenced until the end — the dedup stage's digest joins and
@@ -175,22 +167,22 @@ def curate_corpus(
     from .sample import cap_per_group, pack_greedy, stratified_sample
     from .text import flag_contaminated, scrub_pii, tokens_expr
 
-    if persist_shingles is None:
-        # resolve HERE (not inside near_dup_pipeline) so the same
-        # estimate drives the checkpoint default below; n=7 matches
-        # near_dup_pipeline's shingle width
-        from .dedup import _resolve_persist_shingles
-
-        persist_shingles = _resolve_persist_shingles(docs, text_col, 7)
+    del persist_shingles  # r8: accepted for API compat, ignored
     cur = near_dup_pipeline(
         docs,
         id_col=id_col,
         text_col=text_col,
         threshold=dedup_threshold,
-        persist_shingles=persist_shingles,
     )
     if checkpoint_components is None:
-        checkpoint_components = not persist_shingles
+        # big-corpus estimate (one map-only pass): checkpoint the
+        # ids-only canonical map so the dedup stages' shuffle files
+        # become reclaimable while the layout stages run
+        from .dedup import _resolve_persist_shingles
+
+        checkpoint_components = not _resolve_persist_shingles(
+            docs, text_col, 7
+        )
     if checkpoint_components:
         cur = cur.localCheckpoint(eager=True)
     out = (

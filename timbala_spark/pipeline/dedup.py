@@ -66,29 +66,28 @@ def word_shingles_expr(text: Column, n: int) -> Column:
     )
 
 
-#: Estimated shingle-array bytes above which auto mode stops persisting
-#: the arrays (override via TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES).
-#: Sized at ~20% of a typical single-box /tmp scratch allotment: the
-#: persisted arrays are only ONE of the operator's scratch terms (the
-#: posting shuffle and join-back spills share the same volume), and
-#: hash-derived shingles compress at ~1:1 in the columnar cache.
+#: Estimated shingle-array bytes above which a corpus counts as "big"
+#: (override via TIMBALA_SHINGLE_PERSIST_BUDGET_BYTES).  r7 used this
+#: to switch ``ngram_jaccard_pairs`` into an array-recompute mode; the
+#: r8 per-action shuffle audit (tools/e2e_shuffle_audit.py, PERF §20c
+#: take 7) measured that mode 5× WORSE on both wall and scratch, and
+#: the operator now always runs the single pinned-text design.  The
+#: estimate survives as ``curate_corpus``'s big-corpus switch (the
+#: lineage-checkpoint default).
 SHINGLE_PERSIST_BUDGET_BYTES = 16 << 30
 
 
 def _resolve_persist_shingles(
     df: DataFrame, text_col: str, n: int
 ) -> bool:
-    """Auto-pick persist-vs-recompute for the shingle arrays
-    (PERF §20c): estimate the array footprint from one map-only pass
-    over the text and persist only when it fits the scratch budget.
+    """Estimate whether the corpus's shingle arrays would fit the
+    scratch budget: ``False`` means "big corpus".
 
-    Estimate: every token appears in up to ``n`` shingles, so the
-    array bytes are ~``n × total_text_bytes`` plus ~30% element
-    overhead. Above the budget the persisted stage ENOSPCs a single
-    box long before the recomputation CPU matters (measured: 20M docs
-    × 14 shingles × ~135 B ≈ 38 GB of uncompressible cache); below
-    it, pinning saves 2–3 shingling passes (the r5 §7 measurement).
-    """
+    One map-only pass: every token appears in up to ``n`` shingles, so
+    array bytes ~ ``n × total_text_bytes`` × 1.3 element overhead.
+    Since r8 this drives only ``curate_corpus``'s lineage-checkpoint
+    default — ``ngram_jaccard_pairs`` no longer persists shingle
+    arrays in any mode (PERF §20c take 7)."""
     import logging
     import os
 
@@ -104,13 +103,13 @@ def _resolve_persist_shingles(
     est = int(1.3 * n * total)
     persist = est <= budget
     logging.getLogger(__name__).info(
-        "ngram_jaccard auto shingle mode: est array bytes %.1f GB "
+        "ngram_jaccard corpus-size estimate: est array bytes %.1f GB "
         "(text %.1f GB x n=%d x 1.3) vs budget %.1f GB -> %s",
         est / 2**30,
         total / 2**30,
         n,
         budget / 2**30,
-        "persist" if persist else "recompute",
+        "small" if persist else "big",
     )
     return persist
 
@@ -123,6 +122,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_postings: int | None = 256,
     persist_shingles: bool | None = None,
+    _release_previous: bool = True,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair of
     documents sharing at least one shingle.
@@ -145,42 +145,35 @@ def ngram_jaccard_pairs(
     inflate posting lists. ``None`` opts out (pure inverted-index
     count, no verify join: cheaper when the corpus is known clean).
 
-    ``persist_shingles=False`` pins only the ``(id, text)`` PROJECTION
-    and recomputes the shingle arrays from the pinned text on every
-    consumer: the arrays are ~|shingles|×shingle_len bytes of
-    high-entropy strings the columnar cache cannot compress, so past
-    ~10M docs on one machine pinning them becomes the operator's
-    dominant scratch term (PERF §20c) — recomputing them from text
-    ~n× smaller trades local shingling CPU for that footprint.
-    Pinning the TEXT is not optional in this mode: the operator's
-    consumers (the stop-shingle report, the candidate build, the
-    verify arrays) are separate Spark actions, and an unpinned input
-    lineage (e.g. ``near_dup_pipeline``'s digest join) would re-
-    execute per action — measured as the 20M composition writing >45
-    GB of never-reclaimed shuffle files and multiplying the dedup
-    wall (PERF §20c take 3).  Results are identical either way (the
-    expression is deterministic).  The default ``None`` auto-selects:
-    one map-only ``sum(length(text))`` pass estimates the array bytes
-    and persists arrays only under
-    :data:`SHINGLE_PERSIST_BUDGET_BYTES` (callers that already know
-    the corpus size pass an explicit bool and skip the estimating
-    pass).
+    Scratch design (r8, PERF §20c take 7 — the single mode that
+    replaced r7's persist-vs-recompute pair): the operator pins exactly
+    two frames, the ``(id, text)`` projection (~1.3× text bytes, the
+    smallest possible pin — the stop-shingle report, candidate build
+    and verify arrays are separate consumers and an unpinned input
+    lineage such as ``near_dup_pipeline``'s digest join would
+    re-execute per action) and the hashed POSTING table (16 B/shingle).
+    The string shingle arrays are never pinned and never enter a
+    shuffle: postings carry 64-bit hashes, and the verify join
+    recomputes arrays map-side from the pinned text for CANDIDATE
+    documents only (left-semi against the candidate ids).  The r7
+    design pinned the full string arrays (~n× text bytes of
+    high-entropy strings the columnar cache cannot compress) or — its
+    "big corpus" mode — recomputed them per consumer, which the r8
+    per-action audit measured at 5× the wall AND 5× the shuffle
+    scratch of the pinned-text design at 5M docs (23.3 GB vs 4.3 GB;
+    the mode auto-selected at 20M was the one that ENOSPCed the
+    composition).  ``persist_shingles`` is accepted for API
+    compatibility and ignored — results and plan are identical for
+    every value.
     """
-    if persist_shingles is None:
-        persist_shingles = _resolve_persist_shingles(df, text_col, n)
+    del persist_shingles  # r8: single design; kept for API compat
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
-    if not persist_shingles:
-        src = tracked_persist(src)
+    src = tracked_persist(src, release_previous=_release_previous)
     sh = src.select(
         "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
-    # feeds the posting explode (twice) + two size joins — pin so the
-    # upstream lineage runs once (arrays pinned under the budget,
-    # text pinned + arrays recomputed above it)
-    if persist_shingles:
-        sh = tracked_persist(sh)
     if max_postings is not None:
         # Candidate generation runs on 64-bit shingle HASHES, not the
         # shingle strings: the inverted index is the operator's only
@@ -196,6 +189,12 @@ def ngram_jaccard_pairs(
         posting = sh.select("_id", F.explode("_sh").alias("_str")).select(
             "_id", F.xxhash64("_str").alias("_s")
         )
+        # pin the hashed postings (16 B/shingle — ~8× smaller than the
+        # string arrays r7 pinned): the stop-shingle count below is its
+        # own action, and the candidate join consumes the table again —
+        # without the pin each re-shingles the whole corpus (PERF §20c
+        # take 7)
+        posting = tracked_persist(posting, release_previous=False)
         hot = (
             posting.groupBy("_s")
             .count()
@@ -208,10 +207,10 @@ def ngram_jaccard_pairs(
         # remedy is exact_dedup first (near_dup_pipeline's order).
         # (Cap detection on hashes: a collision can only merge two
         # shingles' counts — recall-only, like the cap itself.)
-        if not hot.isEmpty():
+        n_hot = hot.count()  # ONE action (isEmpty+count was two)
+        if n_hot:
             import logging
 
-            n_hot = hot.count()
             lg = logging.getLogger(__name__)
             lg.info(
                 "ngram_jaccard: %d shingles exceed max_postings=%d and "
@@ -246,18 +245,27 @@ def ngram_jaccard_pairs(
         # operator's heaviest column (~KB/doc of high-entropy strings;
         # at 20M docs shuffling them for both join sides is ~50 GB of
         # scratch, the term that ENOSPCed the e2e composition even
-        # with persist_shingles=False). The candidate-id set is
-        # ids-only; AQE broadcasts it when small, making the semi join
-        # MAP-SIDE — the arrays then never enter a shuffle at all.
-        # Dup-heavy corpora degrade gracefully: the semi join becomes
-        # a shuffled join over 8-byte ids, still never two array-wide
-        # shuffles.
+        # with the r7 modes). The candidate-id set is ids-only; AQE
+        # broadcasts it when small, making the semi join MAP-SIDE —
+        # the arrays then never enter a shuffle at all. Dup-heavy
+        # corpora degrade gracefully: the semi join becomes a shuffled
+        # join over (id, text) rows, still never an array-wide
+        # shuffle. NB the semi join runs against SRC (id, text), not
+        # the shingle projection, so even the shuffled degradation
+        # moves text (~1/n the array bytes); the arrays are computed
+        # map-side AFTER the reduction, for candidates only.
         cand_ids = (
             cand.select(F.col("id_a").alias("_id"))
             .union(cand.select(F.col("id_b").alias("_id")))
             .distinct()
         )
-        sh_c = sh.join(cand_ids, "_id", "left_semi")
+        sh_c = (
+            src.join(cand_ids, "_id", "left_semi")
+            .select(
+                "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
+            )
+            .withColumn("_n", F.size("_sh"))
+        )
         out = (
             cand.join(
                 sh_c.select(
