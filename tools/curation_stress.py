@@ -169,8 +169,9 @@ def main() -> None:
         scratch = tempfile.mkdtemp(prefix="curation_stage_")
 
         def e2e(persist_shingles=None):
-            # persist_shingles=None: the library auto-selects from the
-            # corpus size (PERF §20c) — the stress validates that pick.
+            # persist_shingles is ignored since r8 (single pinned-text
+            # design, PERF §20c take 7); COMPARE_MODES now doubles as a
+            # run-to-run determinism check of the full composition.
             # scratch_dir: the storage-backed stage boundary a real
             # pipeline has anyway (curated corpus lands before layout)
             out = curate_corpus(

@@ -112,15 +112,10 @@ def main() -> None:
     from timbala_spark.pipeline.sample import cap_per_group, pack_greedy, stratified_sample
     from timbala_spark.pipeline.text import scrub_pii, tokens_expr
 
-    force = os.environ.get("AUDIT_PERSIST_SHINGLES")
-    if force is not None:
-        ps = force == "1"
-        mark(f"persist_shingles FORCED -> {ps}")
-    else:
-        ps = _resolve_persist_shingles(corpus, "text", 7)
-        mark(f"resolve persist_shingles -> {ps}")
+    big = not _resolve_persist_shingles(corpus, "text", 7)
+    mark(f"big-corpus estimate -> {big}")
 
-    cur = near_dup_pipeline(corpus, persist_shingles=ps)
+    cur = near_dup_pipeline(corpus)
     cur = cur.localCheckpoint(eager=True)
     mark("near-dup canonical map checkpointed (THE dedup action)")
 
