@@ -57,6 +57,12 @@ def near_dup_pipeline(
 
     ids = tracked_persist(ids, release_previous=True)
     reps = ids.groupBy("_digest").agg(F.min("_id").alias("_rep"))
+    # reps feeds FOUR separate consumers (the doc→rep mapping, the
+    # survivor text join, the component seed, components' final semi
+    # join), several of them in their own actions — pin it (~40 B/doc)
+    # so each reads a cache scan instead of re-running the digest
+    # aggregation exchange (PERF §20c take 8)
+    reps = tracked_persist(reps, release_previous=False)
     # doc → exact representative (digest join: 32-byte key, never text)
     mapping = ids.join(reps, "_digest").select("_id", "_rep")
     survivors = (
@@ -70,10 +76,17 @@ def near_dup_pipeline(
         text_col=text_col,
         threshold=threshold,
         n=n,
-        _release_previous=False,  # keep the ids pin above alive
+        _release_previous=False,  # keep the ids/reps pins above alive
     )
+    # Seed the components from the PINNED digest map, not from
+    # ``survivors``: the survivor frame's lineage is the text-wide
+    # digest join, and connected_components materializes its node
+    # frame in its own checkpoint action plus the final semi join —
+    # seeding with survivors re-executed the ~(text bytes) exchange
+    # once per such action at 20M docs (PERF §20c take 8). Same ids:
+    # survivors ≡ reps._rep by construction.
     comp = connected_components(
-        survivors.select(id_col), pairs, node_col=id_col
+        reps.select(F.col("_rep").alias(id_col)), pairs, node_col=id_col
     )
     return (
         mapping.join(comp, mapping["_rep"] == comp[id_col])
@@ -185,6 +198,12 @@ def curate_corpus(
         )
     if checkpoint_components:
         cur = cur.localCheckpoint(eager=True)
+        # past the checkpoint nothing recomputes the dedup lineage —
+        # drop its pins (digest map, reps, text, postings: ~15 GB of
+        # cache at 20M docs) before the scrub/layout stages run
+        from .util import release_tracked
+
+        release_tracked()
     out = (
         docs.join(cur, id_col)
         .filter(F.col("is_canonical") == 1)
