@@ -77,6 +77,9 @@ def near_dup_pipeline(
         threshold=threshold,
         n=n,
         _release_previous=False,  # keep the ids/reps pins above alive
+        eager=True,  # pair list is consumed by 2 union branches +
+        # the components loop: checkpoint it once, drop the
+        # text/posting pins (PERF §20c take 8)
     )
     # Seed the components from the PINNED digest map, not from
     # ``survivors``: the survivor frame's lineage is the text-wide

@@ -123,6 +123,7 @@ def ngram_jaccard_pairs(
     max_postings: int | None = 256,
     persist_shingles: bool | None = None,
     _release_previous: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for every pair of
     documents sharing at least one shingle.
@@ -165,12 +166,29 @@ def ngram_jaccard_pairs(
     composition).  ``persist_shingles`` is accepted for API
     compatibility and ignored — results and plan are identical for
     every value.
+
+    ``eager=True`` materializes the (small) pair list via an eager
+    ``localCheckpoint`` and unpersists the operator's internal pins
+    before returning.  Pipelines that fan the result into several
+    plan branches (``near_dup_pipeline``'s undirected-edge union
+    consumes it twice) should use it: without the checkpoint each
+    branch re-executes the whole candidate machinery — measured as
+    ~2× the posting exchanges at 20M docs (PERF §20c take 8) — and
+    the text/posting pins would otherwise stay resident long after
+    the pair list is final.
     """
     del persist_shingles  # r8: single design; kept for API compat
+    _local_pins: list[DataFrame] = []
+
+    def _pin(frame: DataFrame, release_previous: bool) -> DataFrame:
+        out = tracked_persist(frame, release_previous=release_previous)
+        _local_pins.append(out)
+        return out
+
     src = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
-    src = tracked_persist(src, release_previous=_release_previous)
+    src = _pin(src, _release_previous)
     sh = src.select(
         "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
@@ -194,7 +212,7 @@ def ngram_jaccard_pairs(
         # own action, and the candidate join consumes the table again —
         # without the pin each re-shingles the whole corpus (PERF §20c
         # take 7)
-        posting = tracked_persist(posting, release_previous=False)
+        posting = _pin(posting, False)
         hot = (
             posting.groupBy("_s")
             .count()
@@ -302,7 +320,7 @@ def ngram_jaccard_pairs(
             sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
         )
-    return (
+    result = (
         out.withColumn(
             "jaccard",
             F.col("_shared")
@@ -311,6 +329,18 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        # one execution of the candidate machinery, then the pair list
+        # (ids + a double — tiny) is storage-backed and the text/
+        # posting pins are dead weight; entries left in the tracked
+        # registry are harmless (double-unpersist is a no-op)
+        result = result.localCheckpoint(eager=True)
+        for p in _local_pins:
+            try:
+                p.unpersist(blocking=False)
+            except Exception:
+                pass
+    return result
 
 
 def _perm_constants(num_hashes: int, seed: int = 42) -> list[int]:

@@ -79,6 +79,17 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    if df.rdd.getNumPartitions() < target:
+    # Partition count WITHOUT df.rdd: under AQE, Dataset.rdd finalizes
+    # the adaptive plan, which EXECUTES every upstream exchange eagerly
+    # — measured as a full extra text-wide shuffle per operator call in
+    # the 20M composition (PERF §20c take 8). inputFiles() is
+    # metadata-only: file-scan frames get the split count; derived
+    # frames (join/agg outputs) return [] and already arrive with
+    # shuffle-partition parallelism, so they are left untouched.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target and not df.isStreaming:
         return df.repartition(target)
     return df

@@ -57,6 +57,8 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.io.compression.codec", "zstd")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", "/tmp/spark-events")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,7 +117,47 @@ def main() -> None:
     big = not _resolve_persist_shingles(corpus, "text", 7)
     mark(f"big-corpus estimate -> {big}")
 
-    cur = near_dup_pipeline(corpus)
+    if os.environ.get("AUDIT_FINE") == "1":
+        # replicate near_dup_pipeline's internals with a mark (and an
+        # explicit materializing action) between every stage, so a
+        # scratch explosion is attributable to ONE exchange
+        from timbala_spark.pipeline.dedup import (
+            connected_components,
+            ngram_jaccard_pairs,
+        )
+        from timbala_spark.pipeline.util import tracked_persist
+
+        dig = corpus.select(
+            F.col("doc_id").alias("_id"), F.col("text").alias("_text")
+        ).withColumn("_digest", F.sha2(F.col("_text"), 256))
+        ids = tracked_persist(dig.select("_id", "_digest"))
+        reps = tracked_persist(
+            ids.groupBy("_digest").agg(F.min("_id").alias("_rep")),
+            release_previous=False,
+        )
+        mark(f"reps pinned: {reps.count():,}")
+        survivors = (
+            dig.join(reps, "_digest")
+            .filter(F.col("_id") == F.col("_rep"))
+            .select(F.col("_id").alias("doc_id"), F.col("_text").alias("text"))
+        )
+        pairs = ngram_jaccard_pairs(survivors, _release_previous=False)
+        mark(f"pairs built (src+posting pins + verify): {pairs.count():,}")
+        comp = connected_components(
+            reps.select(F.col("_rep").alias("doc_id")), pairs, node_col="doc_id"
+        )
+        mark(f"components: {comp.count():,}")
+        mapping = ids.join(reps, "_digest").select("_id", "_rep")
+        cur = (
+            mapping.join(comp, mapping["_rep"] == comp["doc_id"])
+            .select(
+                F.col("_id").alias("doc_id"),
+                F.col("component").alias("canonical_id"),
+                (F.col("_id") == F.col("component")).cast("long").alias("is_canonical"),
+            )
+        )
+    else:
+        cur = near_dup_pipeline(corpus)
     cur = cur.localCheckpoint(eager=True)
     mark("near-dup canonical map checkpointed (THE dedup action)")
 
