@@ -256,6 +256,20 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
+        # Materialize the candidate list ONCE. It is consumed three
+        # times downstream (both union branches of cand_ids + the
+        # verify join), and Spark does NOT reuse the posting exchange
+        # across those subtrees — measured at 20M docs as ~10 separate
+        # 3.2 GB executions of the identical posting shuffle, the
+        # dominant term of the composition's scratch (PERF §20c
+        # take 8). The list is ids-only and post-cap bounded; eager
+        # callers storage-back it (the checkpoint also frees every
+        # posting exchange file once this action completes), lazy
+        # callers pin it.
+        if eager:
+            cand = cand.localCheckpoint(eager=True)
+        else:
+            cand = _pin(cand, False)
         # Semi-join reduction BEFORE the verify joins (r8, PERF §20c):
         # only documents that appear in some candidate pair need their
         # shingle ARRAYS at verify time — on a mostly-unique corpus
