@@ -30,6 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_DOCS = int(os.environ.get("AUDIT_DOCS", "5000000"))
 
 
+def _eventlog_dir() -> str:
+    d = "/tmp/spark-events"
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def du(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -57,8 +63,13 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.io.compression.codec", "zstd")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", "/tmp/spark-events")
+        # AUDIT_EVENTLOG=1: per-stage shuffle attribution post-mortem
+        # via tools/parse_eventlog.py
+        .config(
+            "spark.eventLog.enabled",
+            "true" if os.environ.get("AUDIT_EVENTLOG") == "1" else "false",
+        )
+        .config("spark.eventLog.dir", _eventlog_dir())
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
