@@ -225,11 +225,15 @@ def ngram_jaccard_pairs(
         # remedy is exact_dedup first (near_dup_pipeline's order).
         # (Cap detection on hashes: a collision can only merge two
         # shingles' counts — recall-only, like the cap itself.)
-        n_hot = hot.count()  # ONE action (isEmpty+count was two)
-        if n_hot:
-            import logging
+        import logging
 
-            lg = logging.getLogger(__name__)
+        lg = logging.getLogger(__name__)
+        # n_hot gates BOTH the fired-cap report and the anti-join, so
+        # it must be computed unconditionally — tying it to the log
+        # level would make the candidate set depend on logging config.
+        # One pass over the pinned postings.
+        n_hot = hot.count()
+        if n_hot:
             lg.info(
                 "ngram_jaccard: %d shingles exceed max_postings=%d and "
                 "generate no candidates (recall-only: survivors verify "
