@@ -562,15 +562,74 @@ def q_events_daily(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    """Tagged union (50-entry cap): exact dedup in BOTH execution
+    models over the same table.
+
+    * ``batch`` — the digest groupBy aggregates (pipeline.exact_dedup
+      shape).
+    * ``stream`` — the documents parquet replayed through a REAL
+      Structured Streaming query (file source, availableNow trigger)
+      with ``pipeline.streaming_exact_dedup`` (first-seen-wins digest
+      state in the streaming state store) landing to parquet; the
+      branch reports aggregates that are deterministic regardless of
+      WHICH duplicate survived (count of survivors + total bytes over
+      the distinct texts — dup groups share the text, so both are
+      representative-independent). -1 sentinels keep the columns
+      integral across branches.
+    """
     docs = _tbl(spark, sf_dir, "documents")
     g = docs.groupBy("text").agg(F.count(F.lit(1)).alias("_c"))
-    return g.agg(
+    batch = g.agg(
         F.sum("_c").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.coalesce(
             F.sum(F.when(F.col("_c") > 1, 1).otherwise(0)), F.lit(0)
         ).alias("n_dup_groups"),
+        F.sum(F.length("text")).alias("sum_distinct_len"),
+    ).select(F.lit("batch").alias("op"), "n_docs", "n_distinct", "n_dup_groups", "sum_distinct_len")
+
+    key = ("stream_dedup", sf_dir)
+    if key not in _CACHE:
+        import os
+        import tempfile
+
+        from timbala_spark.pipeline import streaming_exact_dedup
+
+        out_dir = tempfile.mkdtemp(prefix="entry_stream_dedup_")
+        # the file streaming source lists a DIRECTORY; the testdata
+        # table is a single parquet file — stage a symlink dir
+        src_dir = os.path.join(out_dir, "src")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(docs.schema).parquet(src_dir)
+        )
+        q = (
+            streaming_exact_dedup(stream, ["text"])
+            .select("doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", os.path.join(out_dir, "out"))
+            .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _CACHE[key] = os.path.join(out_dir, "out")
+    streamed = spark.read.schema("doc_id long, text string").parquet(_CACHE[key])
+    stream_row = streamed.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.length("text")).alias("sum_distinct_len"),
+    ).select(
+        F.lit("stream").alias("op"),
+        F.lit(-1).cast("long").alias("n_docs"),
+        "n_distinct",
+        F.lit(-1).cast("long").alias("n_dup_groups"),
+        "sum_distinct_len",
     )
+    return batch.unionByName(stream_row).orderBy("op")
 
 
 def q_dedup_pipeline(spark, sf_dir):
@@ -1801,9 +1860,16 @@ GROUP BY day, event_type
 
     sql["dedup_exact"] = """
 WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
-SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
-       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups
+SELECT 'batch' AS op, CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+       CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_distinct_len
 FROM g
+UNION ALL
+SELECT 'stream' AS op, CAST(-1 AS BIGINT) AS n_docs, count(*) AS n_distinct,
+       CAST(-1 AS BIGINT) AS n_dup_groups,
+       CAST(SUM(strlen(text)) AS BIGINT) AS sum_distinct_len
+FROM g
+ORDER BY op
 """
 
     sql["dedup_pipeline"] = r"""

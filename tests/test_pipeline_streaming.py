@@ -1,0 +1,207 @@
+"""Streaming curation stages (pipeline/streaming.py): online exact
+dedup + quality gate under Structured Streaming, checked against the
+batch operators' semantics on the same rows."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def _write_batch(src_dir: str, name: str, rows: list[dict]) -> None:
+    with open(os.path.join(src_dir, name), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_stream(spark, tmp, transform, batches):
+    """File-source stream -> transform -> append parquet sink; feed
+    ``batches`` one file at a time with processAllAvailable between
+    (distinct micro-batches, so dedup state genuinely crosses them)."""
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    _write_batch(src, "b0.json", batches[0])
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).json(src)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], 1):
+            _write_batch(src, f"b{i}.json", rows)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(DOC_SCHEMA).parquet(out)
+
+
+class TestStreamingExactDedup:
+    def test_first_seen_wins_across_microbatches(self, spark):
+        from timbala_spark.pipeline import streaming_exact_dedup
+
+        tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+        try:
+            b0 = [
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+                {"doc_id": 2, "text": "one two three four five six"},
+                {"doc_id": 3, "text": "alpha beta gamma delta epsilon"},
+            ]
+            # batch 2 re-sends batch-1 content with new ids + one new doc
+            b1 = [
+                {"doc_id": 10, "text": "alpha beta gamma delta epsilon"},
+                {"doc_id": 11, "text": "one two three four five six"},
+                {"doc_id": 12, "text": "seven eight nine ten eleven twelve"},
+            ]
+            got = _run_stream(
+                spark,
+                tmp,
+                lambda s: streaming_exact_dedup(s, ["text"]),
+                [b0, b1],
+            )
+            rows = got.orderBy("doc_id").collect()
+            texts = [r["text"] for r in rows]
+            # exactly one row per distinct text, duplicates from BOTH
+            # the same batch (doc 3) and the later batch (10, 11) dropped
+            assert sorted(texts) == sorted(
+                [
+                    "alpha beta gamma delta epsilon",
+                    "one two three four five six",
+                    "seven eight nine ten eleven twelve",
+                ]
+            )
+            # first-seen ids survived
+            assert {r["doc_id"] for r in rows} == {1, 2, 12}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_state_survives_restart(self, spark):
+        """The digest state is checkpointed: a NEW query over the same
+        checkpoint must still drop duplicates of pre-restart content."""
+        from timbala_spark.pipeline import streaming_exact_dedup
+
+        tmp = tempfile.mkdtemp(prefix="stream_dedup_restart_")
+        try:
+            src = os.path.join(tmp, "src")
+            out = os.path.join(tmp, "out")
+            ckpt = os.path.join(tmp, "ckpt")
+            os.makedirs(src)
+
+            def start():
+                stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+                return (
+                    streaming_exact_dedup(stream, ["text"])
+                    .writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+
+            _write_batch(src, "b0.json", [
+                {"doc_id": 1, "text": "the quick brown fox jumps"},
+            ])
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+
+            _write_batch(src, "b1.json", [
+                {"doc_id": 2, "text": "the quick brown fox jumps"},
+                {"doc_id": 3, "text": "a genuinely new document body"},
+            ])
+            q = start()
+            q.processAllAvailable()
+            q.stop()
+
+            rows = spark.read.schema(DOC_SCHEMA).parquet(out).collect()
+            assert {r["doc_id"] for r in rows} == {1, 3}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_batch_frame_parity(self, spark):
+        """On a plain batch frame the operator degrades to one row per
+        digest — same distinct-content set as batch exact_dedup."""
+        from timbala_spark.pipeline import exact_dedup, streaming_exact_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "same text here"),
+                (2, "same text here"),
+                (3, "different text there"),
+            ],
+            "doc_id long, text string",
+        )
+        got = streaming_exact_dedup(df, ["text"])
+        assert got.count() == 2
+        assert sorted(r["text"] for r in got.collect()) == [
+            "different text there",
+            "same text here",
+        ]
+        # batch exact_dedup sees the same number of distinct documents
+        assert exact_dedup(df, ["text"], "doc_id").count() == 2
+
+
+class TestStreamingQualityGate:
+    def test_matches_batch_gate(self, spark):
+        """The streaming gate keeps exactly the rows curate_corpus's
+        batch gate keeps, and n_tokens agrees."""
+        from timbala_spark.pipeline import streaming_quality_gate
+        from timbala_spark.pipeline.text import tokens_expr
+
+        rows = [
+            (1, "a solid document with plenty of ordinary words"),
+            (2, "tiny"),  # under min_tokens
+            (3, "x" * 500 + " yyy zzz aaa bbb"),  # huge mean token len
+            (4, "five words is just enough"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = streaming_quality_gate(df, min_tokens=5)
+        ids = {r["doc_id"] for r in got.collect()}
+        assert ids == {1, 4}
+        batch = df.withColumn(
+            "n_tokens", F.size(tokens_expr(F.col("text")))
+        ).filter(
+            (F.col("n_tokens") >= 5)
+            & (F.length("text") / F.col("n_tokens") <= 40.0)
+        )
+        assert {r["doc_id"] for r in batch.collect()} == ids
+
+    def test_streaming_end_to_end(self, spark):
+        """Gate composed after dedup on a real stream."""
+        from timbala_spark.pipeline import (
+            streaming_exact_dedup,
+            streaming_quality_gate,
+        )
+
+        tmp = tempfile.mkdtemp(prefix="stream_gate_")
+        try:
+            b0 = [
+                {"doc_id": 1, "text": "a solid document with plenty of ordinary words"},
+                {"doc_id": 2, "text": "tiny"},
+                {"doc_id": 3, "text": "a solid document with plenty of ordinary words"},
+            ]
+            got = _run_stream(
+                spark,
+                tmp,
+                lambda s: streaming_quality_gate(
+                    streaming_exact_dedup(s, ["text"]), min_tokens=5
+                ).drop("n_tokens"),
+                [b0],
+            )
+            assert {r["doc_id"] for r in got.collect()} == {1}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

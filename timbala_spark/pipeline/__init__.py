@@ -15,6 +15,10 @@ from .similarity import (  # noqa: F401
     lsh_cosine_topk,
     lsh_params_for,
 )
+from .streaming import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_quality_gate,
+)
 from .sample import (  # noqa: F401
     cap_per_group,
     pack_greedy,
