@@ -155,6 +155,62 @@ class TestStreamingExactDedup:
         assert exact_dedup(df, ["text"], "doc_id").count() == 2
 
 
+class TestStreamingDedupProperty:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_batching_invariance(self, spark, seed):
+        """Metamorphic: however the same rows are split into
+        micro-batches, the streamed survivors' distinct-text set must
+        equal the batch distinct-text set (first-seen-wins only
+        changes WHICH id survives, never the content set)."""
+        import random
+
+        from timbala_spark.pipeline import streaming_exact_dedup
+
+        rng = random.Random(seed)
+        vocab = ["w%d" % i for i in range(30)]
+        docs = []
+        for i in range(60):
+            # ~50% duplicates by construction
+            if docs and rng.random() < 0.5:
+                text = rng.choice(docs)[1]
+            else:
+                text = " ".join(rng.choice(vocab) for _ in range(8))
+            docs.append((i, text))
+        # random batch split points
+        k = rng.randint(1, 4)
+        cuts = sorted(rng.sample(range(1, len(docs)), k))
+        batches, lo = [], 0
+        for c in cuts + [len(docs)]:
+            batches.append(
+                [{"doc_id": i, "text": t} for i, t in docs[lo:c]]
+            )
+            lo = c
+        tmp = tempfile.mkdtemp(prefix=f"stream_prop_{seed}_")
+        try:
+            got = _run_stream(
+                spark,
+                tmp,
+                lambda s: streaming_exact_dedup(s, ["text"]),
+                batches,
+            )
+            out = got.collect()
+            expect_texts = {t for _, t in docs}
+            assert {r["text"] for r in out} == expect_texts
+            assert len(out) == len(expect_texts)  # exactly one each
+            # every survivor id is the FIRST id that carried its text.
+            # (Within one micro-batch Spark keeps an arbitrary row per
+            # key; each batch here is one tiny file = one partition
+            # processed in file order, so first-by-id is deterministic
+            # for THIS harness — the cross-batch guarantee is the
+            # operator contract.)
+            first = {}
+            for i, t in docs:
+                first.setdefault(t, i)
+            assert {r["doc_id"] for r in out} == set(first.values())
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestStreamingQualityGate:
     def test_matches_batch_gate(self, spark):
         """The streaming gate keeps exactly the rows curate_corpus's
