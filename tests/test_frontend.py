@@ -62,10 +62,14 @@ class TestQuantizeRange:
             assert a <= start and b >= end
             assert a % step == start % step  # grid superset guarantee
             assert (b - a) % step == 0
-            # bounded widening: at most one rounded quantum each side
+            # bounded widening: at most one rounded quantum behind;
+            # ahead, the r8 prefetch margin guarantees AT LEAST one
+            # quantum (advancing dashboards hit until a full quantum
+            # is consumed) and at most two (plus step rounding)
             q = -(-max(quantum or 1, step) // step) * step
             if quantum is not None:
-                assert (start - a) < q and (b - end) < q + step
+                assert (start - a) < q
+                assert q <= (b - end) < 2 * q + step
             # stability: a request sliding within the same quantum cell
             # maps to the same window (cache-hit guarantee)
             if quantum is not None and extent >= step:

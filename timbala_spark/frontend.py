@@ -93,6 +93,16 @@ def quantize_range(
     phase = start_ms % step_ms
     a = (start_ms - phase) // q * q + phase
     b = a + -(-(end_ms - a) // q) * q if end_ms > a else a
+    # Prefetch margin (r8): guarantee at least one quantum PAST end.
+    # The dashboard pattern advances end monotonically; with b bare-
+    # aligned the forward margin is uniform in [0, q) — zero when end
+    # lands on the grid — and every quantum boundary costs a miss.
+    # One extra quantum makes an advancing shape hit until a full
+    # quantum is consumed, for ~q/extent more rows per fill (the fill
+    # is dominated by fixed plan+exec cost, not rows; the 11k-cap
+    # fallback still catches grids the margin pushes over).
+    if b - end_ms < q:
+        b += q
     return a, b
 
 
