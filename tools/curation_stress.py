@@ -181,7 +181,9 @@ def main() -> None:
                 cap_group_col="source",
                 cap_max_rows=2000,
                 shard_budget=4096,
-                scratch_dir=scratch if n_docs >= 10_000_000 else None,
+                scratch_dir=None
+                if os.environ.get("STRESS_NO_SCRATCH") == "1"
+                else (scratch if n_docs >= 10_000_000 else None),
             )
             return out.agg(
                 F.max("shard_id"),
