@@ -590,12 +590,18 @@ def q_dedup_exact(spark, sf_dir):
 
     key = ("stream_dedup", sf_dir)
     if key not in _CACHE:
+        import atexit
         import os
+        import shutil
         import tempfile
 
         from timbala_spark.pipeline import streaming_exact_dedup
 
         out_dir = tempfile.mkdtemp(prefix="entry_stream_dedup_")
+        # reclaim the staging dir (symlink src, checkpoint, parquet
+        # out) when the harness process exits — covers both the happy
+        # path and a failure before _CACHE is populated
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         # the file streaming source lists a DIRECTORY; the testdata
         # table is a single parquet file — stage a symlink dir
         src_dir = os.path.join(out_dir, "src")
@@ -643,6 +649,20 @@ def q_dedup_pipeline(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Tagged union (50-entry cap): the SAME exact-Jaccard pair set
+    from both execution models of the near-dup operator.
+
+    * ``full`` — the batch operator (``ngram_jaccard_pairs``: one
+      corpus-wide posting build per invocation).
+    * ``incr`` — the r9 incremental index protocol
+      (``pipeline/incremental.py``): the corpus processed as two
+      doc_id-parity batches, each probed against the persisted posting
+      index then appended (probe-before-append), pair union across
+      batches.  The metamorphic contract (incremental ≡ full rebuild
+      when the stop-shingle cap does not bind — it never binds on this
+      word-salad corpus, max posting length 4) makes both branches the
+      same pair set, so ONE oracle pair query serves both tags.
+    """
     from timbala_spark.pipeline import ngram_jaccard_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
@@ -650,7 +670,51 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     # posting length 4 at sf0.1), so the inverted-index join stays
     # near-linear — same result set as 3-grams at this threshold
     out = ngram_jaccard_pairs(docs, n=7, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    full = out.select(
+        F.lit("full").alias("op"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+    key = ("ngram_incr", sf_dir)
+    if key not in _CACHE:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from timbala_spark.pipeline import (
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        d = tempfile.mkdtemp(prefix="entry_ngram_incr_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = os.path.join(d, "idx")
+        pairs_path = os.path.join(d, "pairs")
+        ngram_index_build(docs.limit(0), idx, n=7)
+        for parity in (0, 1):
+            batch = docs.filter(F.col("doc_id") % 2 == parity)
+            # probe BEFORE append (the protocol): materialize this
+            # batch's pairs while the index still excludes the batch
+            ngram_index_probe(
+                batch, idx, corpus=docs, threshold=0.5
+            ).write.mode("append").parquet(pairs_path)
+            ngram_index_append(batch, idx)
+        _CACHE[key] = pairs_path
+    incr = (
+        spark.read.schema("id_a long, id_b long, jaccard double")
+        .parquet(_CACHE[key])
+        .select(
+            F.lit("incr").alias("op"),
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return full.unionByName(incr).orderBy("op", "id_a", "id_b")
 
 
 def q_curation_ops(spark, sf_dir):
@@ -1862,12 +1926,12 @@ GROUP BY day, event_type
 WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
 SELECT 'batch' AS op, CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
        CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
-       CAST(SUM(strlen(text)) AS BIGINT) AS sum_distinct_len
+       CAST(SUM(length(text)) AS BIGINT) AS sum_distinct_len
 FROM g
 UNION ALL
 SELECT 'stream' AS op, CAST(-1 AS BIGINT) AS n_docs, count(*) AS n_distinct,
        CAST(-1 AS BIGINT) AS n_dup_groups,
-       CAST(SUM(strlen(text)) AS BIGINT) AS sum_distinct_len
+       CAST(SUM(length(text)) AS BIGINT) AS sum_distinct_len
 FROM g
 ORDER BY op
 """
@@ -1941,11 +2005,17 @@ p AS (
   FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sz AS (SELECT doc_id, len(s3) AS n FROM sh)
-SELECT id_a, id_b,
-       ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
-FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
-WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+sz AS (SELECT doc_id, len(s3) AS n FROM sh),
+pairs AS (
+  SELECT id_a, id_b,
+         ROUND(shared * 1.0 / (x.n + y.n - shared), 6) AS jaccard
+  FROM p JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+  WHERE shared * 1.0 / (x.n + y.n - shared) >= 0.5
+)
+SELECT 'full' AS op, id_a, id_b, jaccard FROM pairs
+UNION ALL
+SELECT 'incr' AS op, id_a, id_b, jaccard FROM pairs
+ORDER BY op, id_a, id_b
 """
 
     from timbala_spark.pipeline.sample import SAMPLE_DENOM

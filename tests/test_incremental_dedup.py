@@ -1,0 +1,251 @@
+"""Incremental near-dup index (pipeline/incremental.py): the
+metamorphic contract is incremental == full rebuild.
+
+* n-gram: processing the corpus as ANY batch sequence (probe, then
+  append, per batch) yields exactly ``ngram_jaccard_pairs``'s pair set
+  when the stop-shingle cap does not fire, and a SUPERSET whose extras
+  are true near-dups when it does.
+* MinHash: exact identity unconditionally (signatures are
+  corpus-independent, no cap).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(seed=7, n_docs=60, vocab=30, words=12, dup_every=4):
+    """Synthetic corpus with planted near-dups: every ``dup_every``-th
+    doc is a 1-word mutation of its predecessor."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        if i % dup_every == 1 and rows:
+            toks = rows[-1][1].split()
+            toks[rng.randrange(len(toks))] = f"w{rng.randrange(vocab)}"
+            rows.append((i, " ".join(toks)))
+        else:
+            rows.append(
+                (i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(words)))
+            )
+    return rows
+
+
+def _pairs_set(df):
+    return {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+
+
+def _splits(rows, k, seed):
+    rng = random.Random(seed)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cuts = sorted(rng.sample(range(1, len(rows)), k - 1)) if k > 1 else []
+    out, prev = [], 0
+    for c in cuts + [len(rows)]:
+        out.append(shuffled[prev:c])
+        prev = c
+    return [b for b in out if b]
+
+
+class TestNgramIncremental:
+    @pytest.mark.parametrize("seed,k", [(1, 2), (2, 3), (3, 5)])
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path, seed, k):
+        from timbala_spark.pipeline.dedup import ngram_jaccard_pairs
+        from timbala_spark.pipeline.incremental import (
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        rows = _corpus(seed=seed)
+        docs = _mk_docs(spark, rows)
+        # cap high enough to never fire -> exact identity required
+        full = _pairs_set(
+            ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_postings=10_000)
+        )
+        assert full, "corpus must contain planted near-dups"
+
+        d = str(tmp_path / f"idx{seed}")
+        ngram_index_build(
+            _mk_docs(spark, []) if False else docs.limit(0), d, n=3
+        )
+        got = set()
+        for batch_rows in _splits(rows, k, seed):
+            batch = _mk_docs(spark, batch_rows)
+            got |= _pairs_set(
+                ngram_index_probe(
+                    batch, d, corpus=docs, threshold=0.2, max_postings=10_000
+                )
+            )
+            ngram_index_append(batch, d)
+        assert got == full
+
+    def test_cap_active_incremental_is_superset(self, spark, tmp_path):
+        """With a binding cap the incremental pass censors on PREFIX
+        counts <= final counts: it may keep pairs the rebuild's cap
+        censors, and every extra is exact-verified >= threshold."""
+        from timbala_spark.pipeline.dedup import ngram_jaccard_pairs
+        from timbala_spark.pipeline.incremental import (
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        # boilerplate-heavy corpus: a shared 5-token prefix pushes its
+        # shingles over a tiny cap once enough docs are indexed
+        rows = [
+            (i, "common header tokens appear here tail%d x%d" % (i, i % 3))
+            for i in range(20)
+        ]
+        docs = _mk_docs(spark, rows)
+        full = _pairs_set(
+            ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_postings=6)
+        )
+        d = str(tmp_path / "capidx")
+        ngram_index_build(docs.limit(0), d, n=3)
+        got = set()
+        for batch_rows in _splits(rows, 4, seed=11):
+            batch = _mk_docs(spark, batch_rows)
+            got |= _pairs_set(
+                ngram_index_probe(
+                    batch, d, corpus=docs, threshold=0.1, max_postings=6
+                )
+            )
+            ngram_index_append(batch, d)
+        assert got >= full
+        # extras are genuine near-dups: verify is exact on both paths
+        assert all(j >= 0.1 for (_, _, j) in got - full)
+        # and with the cap off, incremental == full == the superset cap
+        uncapped = _pairs_set(
+            ngram_jaccard_pairs(docs, n=3, threshold=0.1, max_postings=10_000)
+        )
+        assert got <= uncapped
+
+    def test_probe_cost_reads_only_candidate_texts(self, spark, tmp_path):
+        """The probe must not re-shingle the corpus: its plan touches
+        the corpus table only under the candidate semi-join (ids-only
+        reduction), never as a full shingle pass."""
+        from timbala_spark.pipeline.incremental import (
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        rows = _corpus(seed=5)
+        docs = _mk_docs(spark, rows)
+        corpus_path = str(tmp_path / "corpus")
+        docs.write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        d = str(tmp_path / "idx")
+        ngram_index_build(corpus, d, n=3)
+        batch = _mk_docs(spark, [(1000, rows[0][1])])
+        out = ngram_index_probe(batch, d, corpus=corpus, threshold=0.2)
+        plan = out._jdf.queryExecution().optimizedPlan().treeString()
+        # the corpus parquet appears in the plan solely for the
+        # candidate text lookup: every scan of it sits under the
+        # LeftSemi reduction, so no corpus-wide shingle pass exists
+        assert "LeftSemi" in plan
+        # and the probe finds the planted exact copy of doc 0
+        pairs = _pairs_set(out)
+        assert (0, 1000, 1.0) in pairs
+
+    def test_reconcile_compacts_and_drops_deleted(self, spark, tmp_path):
+        from timbala_spark.pipeline.incremental import (
+            _read_meta,
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+            ngram_index_reconcile,
+        )
+
+        rows = _corpus(seed=9)
+        docs = _mk_docs(spark, rows)
+        d = str(tmp_path / "idx")
+        ngram_index_build(docs, d, n=3)
+        ngram_index_append(_mk_docs(spark, [(999, rows[0][1])]), d)
+        assert _read_meta(d)["appended_batches"] == 1
+        # drop doc 999 from the lake, reconcile: its postings vanish
+        ngram_index_reconcile(docs, d)
+        meta = _read_meta(d)
+        assert meta["generation"] == 1 and meta["appended_batches"] == 0
+        probe = ngram_index_probe(
+            _mk_docs(spark, [(1000, rows[0][1])]), d, corpus=docs, threshold=0.2
+        )
+        ids = {r["id_a"] for r in probe.collect()} | {
+            r["id_b"] for r in probe.collect()
+        }
+        assert 999 not in ids and 0 in ids
+
+    def test_param_mismatch_raises(self, spark, tmp_path):
+        from timbala_spark.pipeline.incremental import (
+            _check_params,
+            _read_meta,
+            minhash_index_probe,
+            ngram_index_build,
+        )
+
+        docs = _mk_docs(spark, _corpus())
+        d = str(tmp_path / "idx")
+        ngram_index_build(docs, d, n=3)
+        with pytest.raises(ValueError, match="kind mismatch"):
+            minhash_index_probe(docs, d, corpus=docs)
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            _check_params(_read_meta(d), "ngram", n=5)
+
+    def test_missing_corpus_text_fails_loudly(self, spark, tmp_path):
+        """A candidate whose text the corpus frame does not cover must
+        raise, not silently drop the pair (guarded LEFT join)."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        from timbala_spark.pipeline.incremental import (
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        rows = _corpus(seed=13)
+        docs = _mk_docs(spark, rows)
+        d = str(tmp_path / "idx")
+        ngram_index_build(docs, d, n=3)
+        batch = _mk_docs(spark, [(1000, rows[0][1])])
+        empty_corpus = docs.filter(F.lit(False))
+        with pytest.raises(SparkRuntimeException, match="has no text"):
+            ngram_index_probe(
+                batch, d, corpus=empty_corpus, threshold=0.2
+            ).collect()
+
+
+class TestMinHashIncremental:
+    @pytest.mark.parametrize("seed,k", [(4, 2), (5, 4)])
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path, seed, k):
+        from timbala_spark.pipeline.dedup import minhash_lsh_pairs
+        from timbala_spark.pipeline.incremental import (
+            minhash_index_append,
+            minhash_index_build,
+            minhash_index_probe,
+        )
+
+        rows = _corpus(seed=seed, n_docs=40)
+        docs = _mk_docs(spark, rows)
+        full = _pairs_set(
+            minhash_lsh_pairs(
+                docs, n=3, num_hashes=32, bands=16, threshold=0.2
+            )
+        )
+        assert full
+        d = str(tmp_path / f"mh{seed}")
+        minhash_index_build(
+            docs.limit(0), d, n=3, num_hashes=32, bands=16, threshold=0.2
+        )
+        got = set()
+        for batch_rows in _splits(rows, k, seed):
+            batch = _mk_docs(spark, batch_rows)
+            got |= _pairs_set(
+                minhash_index_probe(batch, d, corpus=docs, threshold=0.2)
+            )
+            minhash_index_append(batch, d)
+        assert got == full

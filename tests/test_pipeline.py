@@ -759,3 +759,112 @@ class TestDegenerateInputs:
         assert all(c == 0.0 for _, _, c in by_q[1])
         # and a unit vector ranks its duplicate first, zero vector last
         assert by_q[2][0][1] in (2, 3) and by_q[2][0][2] == 1.0
+
+
+class TestEnsureParallelism:
+    """r9: the repartition heuristic must be metadata-only and fire
+    only where it helps (ADVICE r8 #1)."""
+
+    def _analyzed(self, df):
+        return df._jdf.queryExecution().analyzed().treeString()
+
+    def test_narrow_scan_over_one_file_repartitions(self, spark, tmp_path):
+        from timbala_spark.pipeline.util import ensure_parallelism
+
+        p = str(tmp_path / "one")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p).filter("id > 1").select("id")
+        out = ensure_parallelism(df)
+        assert "Repartition" in self._analyzed(out)
+
+    def test_join_derived_frame_untouched(self, spark, tmp_path):
+        """inputFiles() on a join output returns the LEAF scan's files
+        (not []) — the file-count path must not fire for derived
+        frames, which already arrive with shuffle parallelism."""
+        from timbala_spark.pipeline.util import ensure_parallelism
+
+        p = str(tmp_path / "j")
+        spark.range(100).coalesce(1).write.parquet(p)
+        base = spark.read.parquet(p)
+        j = base.alias("a").join(base.alias("b"), "id").select("id")
+        assert len(j.inputFiles()) > 0  # the premise the fix rests on
+        assert ensure_parallelism(j) is j
+        g = base.groupBy("id").count()
+        assert ensure_parallelism(g) is g
+
+    def test_in_memory_single_partition_repartitions(self, spark):
+        """createDataFrame frames return [] from inputFiles(); the
+        partition-count fallback (safe: no exchange in a narrow plan)
+        must still repartition a 1-partition in-memory frame."""
+        from timbala_spark.pipeline.util import ensure_parallelism
+
+        mem = spark.createDataFrame([(i,) for i in range(10)], "x long").coalesce(1)
+        out = ensure_parallelism(mem)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    def test_enough_partitions_untouched(self, spark):
+        from timbala_spark.pipeline.util import ensure_parallelism
+
+        target = spark.sparkContext.defaultParallelism
+        mem = spark.createDataFrame([(i,) for i in range(64)], "x long").repartition(
+            target
+        )
+        # repartition() is itself a wide node -> untouched
+        assert ensure_parallelism(mem) is mem
+
+
+class TestNgramSmallCorpusGate:
+    """r9: sub-64 MB corpora skip the fired-cap count job and the
+    eager intermediate checkpoint; results must be identical."""
+
+    def test_estimated_input_bytes(self, spark, tmp_path):
+        from timbala_spark.pipeline.dedup import _estimated_input_bytes
+
+        p = str(tmp_path / "sz")
+        spark.range(1000).write.parquet(p)
+        df = spark.read.parquet(p)
+        est = _estimated_input_bytes(df)
+        assert est is not None and 100 < est < 10 << 20
+        # in-memory frame: unknown -> None (assume big, fail closed)
+        mem = spark.createDataFrame([(1,)], "x long")
+        assert _estimated_input_bytes(mem) is None
+
+    def test_small_and_big_paths_identical(self, spark, monkeypatch):
+        from timbala_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different words in this one document here"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+        def run():
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    docs, n=3, threshold=0.2, eager=True
+                ).collect()
+            )
+
+        monkeypatch.setenv("TIMBALA_NGRAM_SMALL_CORPUS_BYTES", "0")
+        big = run()
+        # force the small path even for the in-memory frame (est=None
+        # would fail closed): a huge cutoff alone does not flip it, so
+        # go through a tiny parquet roundtrip instead
+        monkeypatch.delenv("TIMBALA_NGRAM_SMALL_CORPUS_BYTES")
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.mode("overwrite").parquet(d + "/t")
+            on_disk = spark.read.parquet(d + "/t")
+            small = sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    on_disk, n=3, threshold=0.2, eager=True
+                ).collect()
+            )
+        assert big == small
+        assert [p[:2] for p in big] == [(0, 1), (0, 3), (1, 3)]
+        assert big[1][2] == 1.0  # exact duplicate pair

@@ -32,8 +32,9 @@ Value model (reference ``promql/value.go:36-46``)
 * string         → Python str
 
 Everything runs in native Spark SQL expressions (whole-stage codegen);
-the only Python UDF in the module is the Go-float formatter used by
-``count_values`` label stringification (``engine.go:1283-1284``).
+there is no Python UDF anywhere on the PromQL path — even the Go-float
+formatter used by ``count_values`` label stringification
+(``engine.go:1283-1284``) is a pure column expression (``_go_fmt``).
 """
 
 from __future__ import annotations

@@ -61,8 +61,10 @@ from collections import OrderedDict
 from collections.abc import Callable
 
 #: auto quantum bounds (seconds): a quarter of the request extent,
-#: clamped so tiny requests still share windows and huge ones don't
-#: widen by more than an hour each side
+#: clamped so tiny requests still share windows and huge ones stay
+#: bounded — backward widening is < one quantum (≤ 1 h), forward
+#: widening is that same bare alignment plus the unconditional
+#: one-quantum prefetch margin, so up to two quanta (≤ 2 h)
 MIN_QUANTUM_S = 60.0
 MAX_QUANTUM_S = 3600.0
 
@@ -100,9 +102,12 @@ def quantize_range(
     # One extra quantum makes an advancing shape hit until a full
     # quantum is consumed, for ~q/extent more rows per fill (the fill
     # is dominated by fixed plan+exec cost, not rows; the 11k-cap
-    # fallback still catches grids the margin pushes over).
-    if b - end_ms < q:
-        b += q
+    # fallback still catches grids the margin pushes over). Bare
+    # alignment gives b - end in [0, q) always, so the margin is
+    # unconditional (r9: the former `if b - end < q` guard was a
+    # tautology — asserted instead).
+    assert 0 <= b - end_ms < q
+    b += q
     return a, b
 
 

@@ -32,3 +32,14 @@ from .text import (  # noqa: F401
     with_quality_features,
     with_token_count,
 )
+from .curate import curate_corpus  # noqa: F401
+from .incremental import (  # noqa: F401
+    minhash_index_append,
+    minhash_index_build,
+    minhash_index_probe,
+    minhash_index_reconcile,
+    ngram_index_append,
+    ngram_index_build,
+    ngram_index_probe,
+    ngram_index_reconcile,
+)

@@ -1,0 +1,648 @@
+"""Incremental near-duplicate curation: persisted posting/sketch
+indexes probed by new batches.
+
+The batch operators (:func:`~timbala_spark.pipeline.dedup.
+ngram_jaccard_pairs`, :func:`~timbala_spark.pipeline.dedup.
+minhash_lsh_pairs`) rebuild their inverted index over the WHOLE corpus
+on every invocation — O(corpus) re-shingling + a corpus-wide posting
+shuffle per curation pass.  A lake fed continuously (the
+``pipeline/streaming.py`` ingest tier) pays that forever.  The store
+side solved the identical problem with incremental compaction —
+rewrite only touched days (``streaming/compact.py``; the reference's
+analog is the leveled compactor, ``vendor/github.com/prometheus/
+prometheus/tsdb/compact.go:128-167``, which compacts only the blocks
+whose ranges changed).  This module gives the curation side the same
+treatment:
+
+* **build**   — shingle/sketch the corpus ONCE, persist the hashed
+  index (16 B/posting for n-grams, 24 B/row band signatures for
+  MinHash — never text, never string arrays).
+* **probe**   — candidates for a NEW batch = the batch's own hashes
+  joined against the persisted index + the batch's internal pairs,
+  then the same candidate-reduced exact-Jaccard verify as the batch
+  operators.  No corpus text is ever re-read except for the verified
+  CANDIDATE documents (a semi-join), and no corpus-wide shuffle runs:
+  with the batch side broadcast the index join is map-side over a
+  columnar hash-only scan.
+* **append**  — add the batch's index rows (parquet append into the
+  current generation; no rewrite of existing rows).
+* **reconcile** — periodic full rebuild into a NEW generation
+  (compaction: drops deleted docs, re-applies current parameters),
+  with the old generation removed only after the meta pointer moves.
+
+Equivalence contract (the metamorphic property tested in
+``tests/test_incremental_dedup.py``): processing a corpus as ANY
+sequence of batches — ``pairs = ⋃ probe(batch_i); append(batch_i)`` —
+yields exactly the full-rebuild pair set, provided the stop-shingle
+cap never fires.  With an active ``max_postings`` cap the incremental
+pass sees PREFIX posting counts (≤ the final counts the full rebuild
+censors on), so it censors no more than the rebuild: the incremental
+pair set is a SUPERSET of the rebuild's, and every extra pair is a
+true near-duplicate (the verify is exact Jaccard on both paths) —
+recall is monotone in incrementality, never worse.  MinHash banding
+has no cap and the signature of a document is corpus-independent, so
+the MinHash identity is exact unconditionally.
+
+Scale notes (100 TB):
+
+* Probe cost is O(batch shingling) + O(index scan).  The scan reads
+  16 B/posting columnar with the batch's hash set broadcast
+  (map-side, zero shuffle of the index); when a batch is too large to
+  broadcast (``batch_broadcast=False``) the join degrades to a
+  hash-join shuffle of 16 B rows — still never text — and past that
+  point ``reconcile`` (a full rebuild) is the honest tool.
+* The index is append-only between reconciles; generations make the
+  reconcile swap atomic at the meta pointer, mirroring the sample
+  store's manifest generations.
+* Single writer assumed (one curation driver), same as the batch
+  operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import (
+    hash64_expr,
+    minhash_params_for,
+    minhash_signature_expr,
+    word_shingles_expr,
+)
+from .util import ensure_parallelism, tracked_persist
+
+_META = "_index_meta.json"
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META)
+
+
+def _read_meta(index_dir: str) -> dict:
+    try:
+        with open(_meta_path(index_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"not a near-dup index (no {_META}): {index_dir}"
+        ) from None
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    # single-writer: plain replace-on-write (a crash between the data
+    # write and the meta write leaves the previous meta pointing at
+    # the previous generation — the index is stale, never corrupt)
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_dir))
+
+
+def _gen_dir(index_dir: str, gen: int) -> str:
+    return os.path.join(index_dir, f"gen-{gen}")
+
+
+def _check_params(meta: dict, kind: str, **params) -> None:
+    if meta.get("kind") != kind:
+        raise ValueError(
+            f"index kind mismatch: index is {meta.get('kind')!r}, "
+            f"operation expects {kind!r}"
+        )
+    for k, v in params.items():
+        if meta.get(k) != v:
+            raise ValueError(
+                f"index parameter mismatch on {k!r}: index was built "
+                f"with {meta.get(k)!r}, probe/append called with {v!r} "
+                "— results would not compose; reconcile() with the new "
+                "parameters instead"
+            )
+
+
+# ---------------------------------------------------------------------------
+# shared candidate/verify machinery
+
+
+def _ngram_postings(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_algo: str
+) -> DataFrame:
+    """(_id, _s): one row per (document, distinct shingle hash).
+    Identical hashing to ``ngram_jaccard_pairs``' posting table —
+    explode BEFORE hashing so the hash runs in codegen, not inside an
+    interpreted array transform (the §9 HOF trap)."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_shingles_expr(F.col(text_col), n)).alias("_str"),
+        )
+        .select("_id", hash64_expr(F.col("_str"), hash_algo).alias("_s"))
+    )
+
+
+def _minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_algo: str,
+) -> DataFrame:
+    """(_id, _band, _bucket): the banded MinHash signature, identical
+    construction to ``minhash_lsh_pairs`` (same permutation constants
+    via ``minhash_signature_expr``, same band bucket hash)."""
+    rows_per_band = num_hashes // bands
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles_expr(F.col(text_col), n).alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+        .filter(F.col("_n") > 0)  # unshingleable docs sketch nothing
+        .withColumn(
+            "_hs", F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo))
+        )
+        .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
+    )
+    return base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64_expr(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda h: h.cast("string"),
+                            ),
+                            ",",
+                        ),
+                        hash_algo,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "_id", F.col("bb.band").alias("_band"), F.col("bb.bucket").alias("_bucket")
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame,
+    texts: DataFrame,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Candidate-reduced exact verify, the invariant shared with the
+    batch operators: shingle ARRAYS are computed map-side for
+    candidate documents only and never enter a corpus-wide shuffle.
+
+    ``cand``: (id_a, id_b) with id_a < id_b.  ``texts``: (_id, _text)
+    covering every id in ``cand`` — the GUARDED lookup (missing ids
+    raise, they must not silently drop pairs)."""
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    # guarded LEFT join (pipeline/sample.py's pattern): a candidate id
+    # absent from the text lookup means the caller's corpus frame does
+    # not cover the index — fail loudly, a silent inner join would
+    # just lose recall
+    sh = (
+        cand_ids.join(texts, "_id", "left")
+        .select(
+            "_id",
+            F.when(
+                F.col("_text").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "incremental near-dup verify: candidate doc "
+                        ),
+                        F.col("_id").cast("string"),
+                        F.lit(
+                            " has no text in the supplied corpus frame "
+                            "— the corpus must cover every indexed id"
+                        ),
+                    )
+                ).cast("array<string>"),
+            )
+            .otherwise(word_shingles_expr(F.col("_text"), n))
+            .alias("_sh"),
+        )
+        .withColumn("_n", F.size("_sh"))
+    )
+    return (
+        cand.join(
+            sh.select(
+                F.col("_id").alias("id_a"),
+                F.col("_sh").alias("_sha"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("_id").alias("id_b"),
+                F.col("_sh").alias("_shb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("_shared", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_shared")
+            / (F.col("_na") + F.col("_nb") - F.col("_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ordered_pairs(a_id, b_id) -> list:
+    return [
+        F.least(a_id, b_id).alias("id_a"),
+        F.greatest(a_id, b_id).alias("id_b"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard index
+
+
+def ngram_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_algo: str = "xxhash64",
+) -> None:
+    """Create (or overwrite) an n-gram posting index over ``docs``.
+
+    Postings are (doc_id, shingle_hash) — 16 B/row, written once;
+    probes against the index never re-shingle these documents."""
+    os.makedirs(index_dir, exist_ok=True)
+    gen = 0
+    post = _ngram_postings(docs, id_col, text_col, n, hash_algo)
+    post.select(F.col("_id").alias("doc_id"), F.col("_s").alias("s")).write.mode(
+        "overwrite"
+    ).parquet(_gen_dir(index_dir, gen))
+    _write_meta(
+        index_dir,
+        {
+            "kind": "ngram",
+            "n": n,
+            "hash_algo": hash_algo,
+            "generation": gen,
+            "appended_batches": 0,
+        },
+    )
+
+
+def ngram_index_append(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch's postings to the current generation (no rewrite
+    of existing rows).  Probe the batch BEFORE appending it: a probe
+    after append would also match the batch against itself."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "ngram")
+    post = _ngram_postings(docs, id_col, text_col, meta["n"], meta["hash_algo"])
+    post.select(F.col("_id").alias("doc_id"), F.col("_s").alias("s")).write.mode(
+        "append"
+    ).parquet(_gen_dir(index_dir, meta["generation"]))
+    meta["appended_batches"] += 1
+    _write_meta(index_dir, meta)
+
+
+def ngram_index_probe(
+    batch: DataFrame,
+    index_dir: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_postings: int | None = 256,
+    batch_broadcast: bool = True,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the batch: batch×index + batch×batch.
+
+    Returns (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold —
+    exactly the full-rebuild pairs involving at least one batch
+    document (superset-recall under an active cap; see module doc).
+
+    ``corpus`` supplies text for matched INDEXED documents (the lake's
+    curated tables; candidate-reduced via an ids-only semi join — at
+    most the matched docs' texts are read).  ``max_postings`` applies
+    the batch operator's stop-shingle cap on GLOBAL degree
+    (index + batch).  ``batch_broadcast`` broadcasts the batch's
+    posting table so the index join is map-side (zero index shuffle);
+    disable for batches too large to broadcast (~>1M docs), which
+    falls back to a 16 B/row hash join."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "ngram")
+    n, algo = meta["n"], meta["hash_algo"]
+    spark = batch.sparkSession
+    idx = spark.read.schema("doc_id long, s long").parquet(
+        _gen_dir(index_dir, meta["generation"])
+    )
+
+    bpost = _ngram_postings(batch, id_col, text_col, n, algo)
+    # the batch posting table feeds the degree count, the cross join
+    # and the within-batch join — pin it (batch-sized)
+    # pinned: feeds the degree count, the cross join and the
+    # within-batch join (opens the query's tracked-pin scope)
+    bpost = tracked_persist(bpost)
+    bkeys = bpost.select(F.col("_s").alias("s")).distinct()
+    if batch_broadcast:
+        bkeys = F.broadcast(bkeys)
+    # matched index postings: the only touch of the index — map-side
+    # when the batch side broadcasts; output bounded by the index
+    # degree of the batch's shingles
+    matched = idx.join(bkeys, "s").select(F.col("doc_id").alias("_oid"), "s")
+
+    if max_postings is not None:
+        # global degree = index degree + batch degree, per shingle —
+        # exactly what the full rebuild censors on (its posting table
+        # is index ∪ batch at this point in the sequence)
+        deg_idx = matched.groupBy("s").agg(F.count(F.lit(1)).alias("_di"))
+        deg_b = bpost.groupBy(F.col("_s").alias("s")).agg(
+            F.count(F.lit(1)).alias("_db")
+        )
+        hot = (
+            deg_idx.join(deg_b, "s", "full")
+            .filter(
+                F.coalesce("_di", F.lit(0)) + F.coalesce("_db", F.lit(0))
+                > max_postings
+            )
+            .select("s")
+        )
+        matched = matched.join(F.broadcast(hot), "s", "left_anti")
+        bpost_c = bpost.join(
+            F.broadcast(hot).withColumnRenamed("s", "_s"), "_s", "left_anti"
+        )
+    else:
+        bpost_c = bpost
+
+    cross = (
+        matched.join(
+            bpost_c.select(F.col("_id").alias("_bid"), F.col("_s").alias("s")),
+            "s",
+        )
+        .filter(F.col("_oid") != F.col("_bid"))
+        .select(*_ordered_pairs(F.col("_oid"), F.col("_bid")))
+    )
+    within = (
+        bpost_c.alias("x")
+        .join(
+            bpost_c.alias("y"),
+            (F.col("x._s") == F.col("y._s"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    )
+    cand = cross.union(within).distinct()
+
+    texts = batch.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).unionByName(
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).join(
+            cand.select(F.col("id_a").alias("_id"))
+            .union(cand.select(F.col("id_b").alias("_id")))
+            .distinct(),
+            "_id",
+            "left_semi",
+        )
+    ).dropDuplicates(["_id"])
+    out = _verify_pairs(cand, texts, n, threshold)
+    return out
+
+
+def ngram_index_reconcile(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int | None = None,
+    hash_algo: str | None = None,
+) -> None:
+    """Full rebuild into a NEW generation (the periodic compaction):
+    drops postings of deleted docs, optionally re-parameterizes, and
+    swaps atomically at the meta pointer before removing the old
+    generation's files."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "ngram")
+    n = meta["n"] if n is None else n
+    hash_algo = meta["hash_algo"] if hash_algo is None else hash_algo
+    old_gen, new_gen = meta["generation"], meta["generation"] + 1
+    post = _ngram_postings(corpus, id_col, text_col, n, hash_algo)
+    post.select(F.col("_id").alias("doc_id"), F.col("_s").alias("s")).write.mode(
+        "overwrite"
+    ).parquet(_gen_dir(index_dir, new_gen))
+    _write_meta(
+        index_dir,
+        {
+            "kind": "ngram",
+            "n": n,
+            "hash_algo": hash_algo,
+            "generation": new_gen,
+            "appended_batches": 0,
+        },
+    )
+    shutil.rmtree(_gen_dir(index_dir, old_gen), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash/LSH index
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int | None = 16,
+    threshold: float = 0.2,
+    hash_algo: str = "xxhash64",
+) -> None:
+    """Create (or overwrite) a banded-MinHash signature index.
+
+    Rows are (doc_id, band, bucket) — 24 B, ``bands`` rows per
+    document regardless of text size.  A document's signature is
+    corpus-independent, so incremental probing is EXACTLY equivalent
+    to a full rebuild (no cap, no prefix effect)."""
+    if bands is None:
+        bands = minhash_params_for(threshold, num_hashes)
+    os.makedirs(index_dir, exist_ok=True)
+    gen = 0
+    b = _minhash_bands(docs, id_col, text_col, n, num_hashes, bands, hash_algo)
+    b.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    ).write.mode("overwrite").parquet(_gen_dir(index_dir, gen))
+    _write_meta(
+        index_dir,
+        {
+            "kind": "minhash",
+            "n": n,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "hash_algo": hash_algo,
+            "generation": gen,
+            "appended_batches": 0,
+        },
+    )
+
+
+def minhash_index_append(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Append a batch's band signatures (probe the batch first)."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "minhash")
+    b = _minhash_bands(
+        docs,
+        id_col,
+        text_col,
+        meta["n"],
+        meta["num_hashes"],
+        meta["bands"],
+        meta["hash_algo"],
+    )
+    b.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    ).write.mode("append").parquet(_gen_dir(index_dir, meta["generation"]))
+    meta["appended_batches"] += 1
+    _write_meta(index_dir, meta)
+
+
+def minhash_index_probe(
+    batch: DataFrame,
+    index_dir: str,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    batch_broadcast: bool = True,
+) -> DataFrame:
+    """Near-dup pairs touching the batch, via banded signatures:
+    candidates share a (band, bucket) cell with a batch document, then
+    the exact-Jaccard verify.  Identical pair set to a full
+    ``minhash_lsh_pairs`` run restricted to pairs touching the batch."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "minhash")
+    spark = batch.sparkSession
+    idx = spark.read.schema("doc_id long, band int, bucket long").parquet(
+        _gen_dir(index_dir, meta["generation"])
+    )
+    bb = _minhash_bands(
+        batch,
+        id_col,
+        text_col,
+        meta["n"],
+        meta["num_hashes"],
+        meta["bands"],
+        meta["hash_algo"],
+    )
+    # pinned: feeds the key set, the cross join and the within join
+    bb = tracked_persist(bb)
+    bkeys = bb.select(
+        F.col("_band").alias("band"), F.col("_bucket").alias("bucket")
+    ).distinct()
+    if batch_broadcast:
+        bkeys = F.broadcast(bkeys)
+    matched = idx.join(bkeys, ["band", "bucket"]).select(
+        F.col("doc_id").alias("_oid"), "band", "bucket"
+    )
+    cross = (
+        matched.join(
+            bb.select(
+                F.col("_id").alias("_bid"),
+                F.col("_band").alias("band"),
+                F.col("_bucket").alias("bucket"),
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("_oid") != F.col("_bid"))
+        .select(*_ordered_pairs(F.col("_oid"), F.col("_bid")))
+    )
+    within = (
+        bb.alias("x")
+        .join(
+            bb.alias("y"),
+            (F.col("x._band") == F.col("y._band"))
+            & (F.col("x._bucket") == F.col("y._bucket"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+    )
+    cand = cross.union(within).distinct()
+    texts = batch.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).unionByName(
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).join(
+            cand.select(F.col("id_a").alias("_id"))
+            .union(cand.select(F.col("id_b").alias("_id")))
+            .distinct(),
+            "_id",
+            "left_semi",
+        )
+    ).dropDuplicates(["_id"])
+    return _verify_pairs(cand, texts, meta["n"], threshold)
+
+
+def minhash_index_reconcile(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Full signature rebuild into a new generation (compaction)."""
+    meta = _read_meta(index_dir)
+    _check_params(meta, "minhash")
+    old_gen, new_gen = meta["generation"], meta["generation"] + 1
+    b = _minhash_bands(
+        corpus,
+        id_col,
+        text_col,
+        meta["n"],
+        meta["num_hashes"],
+        meta["bands"],
+        meta["hash_algo"],
+    )
+    b.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_band").alias("band"),
+        F.col("_bucket").alias("bucket"),
+    ).write.mode("overwrite").parquet(_gen_dir(index_dir, new_gen))
+    meta.update({"generation": new_gen, "appended_batches": 0})
+    _write_meta(index_dir, meta)
+    shutil.rmtree(_gen_dir(index_dir, old_gen), ignore_errors=True)

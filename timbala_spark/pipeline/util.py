@@ -2,7 +2,21 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: Logical-plan nodes that imply the frame is shuffle-derived and so
+#: already arrives with shuffle-partition parallelism (analyzed-plan
+#: node names; Deduplicate = dropDuplicates, RepartitionByExpression =
+#: repartition(cols)/hint).  Bare `Repartition n, false` is coalesce —
+#: a NARROW node that can leave a frame at 1 partition, so only the
+#: shuffle=true form counts as wide.
+_WIDE_NODE = re.compile(
+    r"\b(Join|Aggregate|Window|Distinct|Deduplicate|"
+    r"RepartitionByExpression|Sort|Intersect|Except)\b"
+    r"|Repartition \d+, true"
+)
 
 
 def hash64_expr(c: Column, algo: str = "xxhash64") -> Column:
@@ -77,19 +91,38 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     that; inputs that already have enough splits are left untouched
     (no-op at 100 TB where scans produce thousands of splits).
     """
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
-    # Partition count WITHOUT df.rdd: under AQE, Dataset.rdd finalizes
-    # the adaptive plan, which EXECUTES every upstream exchange eagerly
-    # — measured as a full extra text-wide shuffle per operator call in
-    # the 20M composition (PERF §20c take 8). inputFiles() is
-    # metadata-only: file-scan frames get the split count; derived
-    # frames (join/agg outputs) return [] and already arrive with
-    # shuffle-partition parallelism, so they are left untouched.
+    # Partition count WITHOUT Dataset.rdd on shuffle-derived frames:
+    # under AQE, Dataset.rdd finalizes the adaptive plan, which
+    # EXECUTES every upstream exchange eagerly — measured as a full
+    # extra text-wide shuffle per operator call in the 20M composition
+    # (PERF §20c take 8). Three metadata-safe cases:
+    #
+    # 1. A plan with a wide node (join/agg/window/repartition/sort)
+    #    already arrives with shuffle-partition parallelism — leave it
+    #    untouched. (inputFiles() would NOT return [] here: it walks to
+    #    the leaf relations and returns their files, so using the file
+    #    count for derived frames would mis-trigger a repartition.)
+    # 2. A narrow plan over a file relation: inputFiles() is the split
+    #    count, metadata-only.
+    # 3. A narrow plan over an in-memory relation (createDataFrame /
+    #    range): inputFiles() is [] — but with no exchange anywhere in
+    #    the plan, rdd.getNumPartitions() plans without executing
+    #    anything, so the partition count itself is safe to read.
     try:
-        n_files = len(df.inputFiles())
+        tree = df._jdf.queryExecution().analyzed().treeString()
     except Exception:
         return df
-    if 0 < n_files < target and not df.isStreaming:
+    if _WIDE_NODE.search(tree):
+        return df
+    try:
+        n_files = len(df.inputFiles())
+        n = n_files if n_files > 0 else df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 0 < n < target:
         return df.repartition(target)
     return df

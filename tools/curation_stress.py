@@ -140,8 +140,9 @@ def main() -> None:
 
     # 5) the full composition (skippable for the 100M run: near-dup
     # over identical synthetic texts degenerates to one giant cluster)
-    # e2e cap: ~1 GB shuffle scratch per M docs post-r8 (PERF §20c
-    # take 8), so 50M fits an 80 GB box with margin
+    # e2e cap: ~1 GB shuffle scratch per M docs MEASURED at 20M (PERF
+    # §20c take 8); 50M is allowed on that linearity — see the PERF
+    # §20c take 9 run record for whether the extrapolation held
     if os.environ.get("STRESS_E2E", "1") == "1" and n_docs <= 50_000_000:
         from timbala_spark.pipeline.curate import curate_corpus
 
