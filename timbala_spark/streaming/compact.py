@@ -73,6 +73,74 @@ from .store import (
 )
 
 
+#: Generation-level marker naming the bucketed layout (JSON:
+#: ``{"buckets": N}``).  Present ⇒ the generation's samples AND series
+#: tables are Spark-bucketed by ``series_id`` into N buckets and the
+#: read path may register them as bucketed catalog tables
+#: (exchange-free dict join).  Absent ⇒ plain path-parquet layout.
+BUCKET_META = "_bucketed.json"
+
+
+def read_bucket_meta(gdir: str) -> dict | None:
+    """The generation's bucketed-layout descriptor, or ``None``."""
+    import json
+
+    p = os.path.join(gdir, BUCKET_META)
+    if not os.path.exists(p):
+        return None
+    try:
+        return json.loads(get_backend().read_small(p))
+    except Exception:
+        return None
+
+
+def _write_bucketed(spark, df, dst, n_buckets, sort_cols, partition_day):
+    """Write ``df`` as a Spark-bucketed parquet layout AT ``dst``.
+
+    ``bucketBy`` requires ``saveAsTable``, but the store is path-based
+    (no durable catalog), so the write goes through a THROWAWAY
+    external table at a sibling build location whose data files — the
+    bucket ids live in the FILE NAMES (``part-…_00042.c000``) — are
+    then shared into ``dst`` through the backend seam and re-described
+    at read time by ``ingest``'s CREATE TABLE over the final location.
+    The table entry itself is session-scoped scaffolding and dropped
+    immediately (external: dropping never deletes files).
+
+    The pre-shuffle on ``(day?, pmod(hash(series_id), N))`` clusters
+    each bucket of each day into one task — ``F.hash`` IS Spark's
+    bucket hash (Murmur3, seed 42), so without it every write task
+    would emit one file per bucket it happens to hold (tasks × buckets
+    small files); with it the layout lands as ~one file per (day,
+    bucket), the shape row-group pruning and the one-file-per-bucket
+    sorted-scan optimization want."""
+    import uuid
+
+    from .store import link_files, list_data_files
+
+    build = dst + ".build"
+    tmp_name = "timbala_bucket_build_" + uuid.uuid4().hex
+    keys = ([F.col("day")] if partition_day else []) + [
+        F.pmod(F.hash("series_id"), F.lit(n_buckets))
+    ]
+    w = (
+        df.repartition(*keys)
+        .write.mode("overwrite")
+        .option("parquet.writer.version", "v2")
+    )
+    if partition_day:
+        w = w.partitionBy("day")
+    (
+        w.bucketBy(n_buckets, "series_id")
+        .sortBy(*sort_cols)
+        .option("path", build)
+        .saveAsTable(tmp_name)
+    )
+    spark.sql(f"DROP TABLE `{tmp_name}`")
+    os.makedirs(dst, exist_ok=True)
+    link_files(build, list_data_files(build), dst)
+    get_backend().delete_tree(build)
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -80,6 +148,7 @@ def compact_store(
     gc_grace_s: float | None = None,
     lock_timeout_s: float = 0.0,
     rollup_ms: tuple[int, ...] = (),
+    bucket_by_series: int | None = None,
     _after_rewrite=None,
 ) -> None:
     """Rewrite the store as a new generation with large sorted files
@@ -118,14 +187,45 @@ def compact_store(
     generation is dirty (straggler carry-over or later appends) —
     staleness is therefore impossible, queries just fall back to raw
     until the next pass. Narrow layout (no name/labels; the dict joins
-    at read), day-partitioned for the same pruning as samples."""
+    at read), day-partitioned for the same pruning as samples.
+
+    ``bucket_by_series``: opt-in bucketed layout (r9, PERF §12) —
+    write samples AND the series dictionary Spark-bucketed by
+    ``series_id`` into this many buckets (samples additionally
+    day-partitioned, both sorted on the bucket key).  A clean bucketed
+    generation's read path (``ingest.read_samples_table``) registers
+    the tables in the session catalog and the dict join runs with ZERO
+    exchanges below the join — the biggest measured read lever at the
+    40M-series bar (1.75× in the prototype A/B,
+    ``tools/bucketed_join_ab.py``).  Dirty reads (straggler carry,
+    post-commit appends: plain-named files mixed into the location)
+    fall back to the ordinary path scan, which reads bucketed files
+    like any parquet.  Incremental compaction composes only when the
+    SOURCE generation is already bucketed with the same count (bucket
+    assignment is deterministic in series_id, so linked untouched-day
+    files keep valid bucket names); otherwise the first bucketed pass
+    is a full rewrite.  Defaults to the ``TIMBALA_BUCKET_BY_SERIES``
+    env var (0/unset = off) so the store suites can run wholesale with
+    the option on."""
+    if bucket_by_series is None:
+        bucket_by_series = (
+            int(os.environ.get("TIMBALA_BUCKET_BY_SERIES", "0")) or None
+        )
     with maintenance_lock(path, timeout_s=lock_timeout_s):
         _compact_locked(
-            spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite
+            spark,
+            path,
+            gc_keep,
+            gc_grace_s,
+            rollup_ms,
+            _after_rewrite,
+            bucket_by_series,
         )
 
 
-def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite):
+def _compact_locked(
+    spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite, buckets=None
+):
     src = resolve_store(path)
     if not os.path.isdir(src.samples):
         return  # nothing written yet
@@ -153,31 +253,53 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
         days = {_rel_day(f) for f in snap_s - settled}
         if None not in days:  # un-day-partitioned file → full rewrite
             touched = days
+    if buckets and touched is not None:
+        # incremental + bucketed composes only when the settled files
+        # already carry valid bucket names for the SAME bucket count
+        # (deterministic assignment ⇒ links stay correct); a layout
+        # transition forces one full rewrite
+        src_meta = read_bucket_meta(src_gdir)
+        if not src_meta or src_meta.get("buckets") != buckets:
+            touched = None
     if touched is None:
-        (
+        full = (
             spark.read.parquet(src.samples)
             .dropDuplicates(["series_id", "t"])
             .withColumn("day", utc_day_expr(F.col("t")))
-            .repartitionByRange(F.col("day"), F.col("series_id"))
-            .sortWithinPartitions("series_id", "t")
-            .write.mode("overwrite")
-            .option("parquet.writer.version", "v2")
-            .partitionBy("day")
-            .parquet(new_s)
         )
-    else:
-        if touched:
+        if buckets:
+            _write_bucketed(
+                spark, full, new_s, buckets, ("series_id", "t"), True
+            )
+        else:
             (
-                spark.read.parquet(src.samples)
-                .filter(F.col("day").isin([int(d) for d in touched]))
-                .dropDuplicates(["series_id", "t"])
-                .repartitionByRange(F.col("day"), F.col("series_id"))
+                full.repartitionByRange(F.col("day"), F.col("series_id"))
                 .sortWithinPartitions("series_id", "t")
                 .write.mode("overwrite")
                 .option("parquet.writer.version", "v2")
                 .partitionBy("day")
                 .parquet(new_s)
             )
+    else:
+        if touched:
+            part = (
+                spark.read.parquet(src.samples)
+                .filter(F.col("day").isin([int(d) for d in touched]))
+                .dropDuplicates(["series_id", "t"])
+            )
+            if buckets:
+                _write_bucketed(
+                    spark, part, new_s, buckets, ("series_id", "t"), True
+                )
+            else:
+                (
+                    part.repartitionByRange(F.col("day"), F.col("series_id"))
+                    .sortWithinPartitions("series_id", "t")
+                    .write.mode("overwrite")
+                    .option("parquet.writer.version", "v2")
+                    .partitionBy("day")
+                    .parquet(new_s)
+                )
         os.makedirs(new_s, exist_ok=True)
         link_files(
             src.samples,
@@ -192,12 +314,19 @@ def _compact_locked(spark, path, gc_keep, gc_grace_s, rollup_ms, _after_rewrite)
     # the series dictionary is always fully collapsed — it is the
     # index flush (one row per series; small next to the samples even
     # at the 40M-series bar, PERF §12)
-    (
-        spark.read.parquet(src.series)
-        .dropDuplicates(["series_id"])
-        .write.mode("overwrite")
-        .parquet(new_d)
-    )
+    dict_df = spark.read.parquet(src.series).dropDuplicates(["series_id"])
+    if buckets:
+        _write_bucketed(
+            spark, dict_df, new_d, buckets, ("series_id",), False
+        )
+        import json as _json
+
+        get_backend().put_small(
+            os.path.join(gdir, BUCKET_META),
+            _json.dumps({"buckets": buckets}).encode(),
+        )
+    else:
+        dict_df.write.mode("overwrite").parquet(new_d)
     # archived rollup days (below the retention horizon — their raw
     # samples are GONE, the rollup rows are the only remaining record)
     # are irreplaceable DATA, unlike the rebuildable fresh part: carry
@@ -483,6 +612,17 @@ def _retention_locked(path, min_t_ms, gc_keep, gc_grace_s, rollup_min_t_ms):
             )
     os.makedirs(os.path.join(gdir, "samples"), exist_ok=True)
     os.makedirs(os.path.join(gdir, "series"), exist_ok=True)
+    # retention deletes only whole days — surviving files keep their
+    # bucket layout, so the bucketed descriptor carries (without it
+    # the next bucketed compaction would see a layout transition and
+    # needlessly force a full rewrite; reads would fall back to plain)
+    bmeta = read_bucket_meta(src_gdir)
+    if bmeta is not None:
+        import json as _json
+
+        get_backend().put_small(
+            os.path.join(gdir, BUCKET_META), _json.dumps(bmeta).encode()
+        )
     if os.path.exists(src.dirty_marker):  # uncompacted tail survives
         get_backend().touch_stamp(os.path.join(gdir, "_dirty"))
     if dropped:

@@ -13,6 +13,8 @@ pruning.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -226,6 +228,42 @@ def start_ingest(
     )
 
 
+def _bucketed_frames(spark, gdir: str, n_buckets: int):
+    """Catalog-register the generation's bucketed samples/series
+    tables (idempotent per session) and return their frames.
+
+    The store is path-based, so the catalog entry is re-derived from
+    the on-disk layout whenever a session first reads a bucketed
+    generation: ``CREATE TABLE … CLUSTERED BY (series_id) … LOCATION``
+    over the existing files (bucket ids live in the file names Spark
+    itself wrote).  Names are keyed on the generation directory, so a
+    maintenance commit never aliases an old table; entries die with
+    the session (in-memory catalog), matching the store's
+    no-durable-catalog design."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(gdir).encode()).hexdigest()[:12]
+    ts, td = f"timbala_b{tag}_samples", f"timbala_b{tag}_series"
+    loc_s = os.path.join(gdir, "samples")
+    loc_d = os.path.join(gdir, "series")
+    if not spark.catalog.tableExists(ts):
+        spark.sql(
+            f"CREATE TABLE `{ts}` (series_id BIGINT, t BIGINT, v DOUBLE, "
+            f"day INT) USING parquet PARTITIONED BY (day) "
+            f"CLUSTERED BY (series_id) SORTED BY (series_id, t) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc_s}'"
+        )
+        spark.catalog.recoverPartitions(ts)
+    if not spark.catalog.tableExists(td):
+        spark.sql(
+            f"CREATE TABLE `{td}` (series_id BIGINT, name STRING, "
+            f"labels MAP<STRING,STRING>) USING parquet "
+            f"CLUSTERED BY (series_id) SORTED BY (series_id) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{loc_d}'"
+        )
+    return spark.table(ts), spark.table(td)
+
+
 def read_samples_table(
     spark: SparkSession, path: str, dedup: bool | str = "auto"
 ) -> DataFrame:
@@ -275,6 +313,47 @@ def read_samples_table(
 
     st = resolve_store(path)
     if os.path.isdir(st.samples):
+        from .compact import read_bucket_meta
+
+        gdir = os.path.dirname(st.samples)
+        bmeta = read_bucket_meta(gdir)
+        if bmeta:
+            # bucketed generation (compact_store(bucket_by_series=N),
+            # r9): register both sides as bucketed catalog tables and
+            # the dict join needs NO exchange below it.  Table frames
+            # are constructed (listing captured) BEFORE the marker
+            # check — same marker-before-files/check-after-listing
+            # discipline as the dedup path below — and a dirty store
+            # (straggler carry / live appends mix plain-named files
+            # into the location, which a bucketed scan must not read)
+            # falls through to the ordinary path scan, which treats
+            # bucket-named files as plain parquet.
+            try:
+                s_b, d_b = _bucketed_frames(spark, gdir, bmeta["buckets"])
+                # FREEZE the file listing now, while the store is
+                # about to be verified clean: catalog tables list
+                # their partitions lazily per query (unlike
+                # spark.read.parquet's eager index), so without this a
+                # LATER append of plain-named files would poison an
+                # already-returned frame's scan (INVALID_BUCKET_FILE).
+                # inputFiles() enumerates every partition metadata-only
+                # and populates the session file-status cache; ordered
+                # BEFORE the marker check (writers mark before their
+                # files land), so a clean marker below proves this
+                # listing holds only the compacted bucket files.
+                s_b.inputFiles(), d_b.inputFiles()
+            except Exception:
+                s_b = None  # registration failure → plain read
+            if s_b is not None and not os.path.exists(st.dirty_marker):
+                if dedup is True:
+                    # explicit override: the collapse groups on a
+                    # superset of the bucket key, so even this runs
+                    # exchange-free on the bucketed scan
+                    s_b = s_b.dropDuplicates(["series_id", "t", "day"])
+                d_b = d_b.dropDuplicates(["series_id", "name"])
+                return s_b.join(d_b, "series_id").select(
+                    "name", "labels", "series_id", "t", "v", "day"
+                )
         s = spark.read.parquet(st.samples)
         if dedup == "auto":
             # checked AFTER the scan above captured its file listing:

@@ -140,9 +140,10 @@ def main() -> None:
 
     # 5) the full composition (skippable for the 100M run: near-dup
     # over identical synthetic texts degenerates to one giant cluster)
-    # e2e cap: ~1 GB shuffle scratch per M docs MEASURED at 20M (PERF
-    # §20c take 8); 50M is allowed on that linearity — see the PERF
-    # §20c take 9 run record for whether the extrapolation held
+    # e2e cap: MEASURED ~19 GB peak scratch at 20M (PERF §20c take 8)
+    # and ~71 GB peak / 18 GB-free minimum at 50M on a 72 GB-free box
+    # (take 9, exit 0) — ~1.4 GB/M at 50M, mildly superlinear, so the
+    # cap stays at 50M until a bigger box or a cluster
     if os.environ.get("STRESS_E2E", "1") == "1" and n_docs <= 50_000_000:
         from timbala_spark.pipeline.curate import curate_corpus
 
