@@ -243,6 +243,9 @@ def _verify_pairs(
         )
         .withColumn("_n", F.size("_sh"))
     )
+    # pinned: sh feeds both sides of the pair join; its lineage holds
+    # the corpus semi-join, which must not run twice
+    sh = tracked_persist(sh, release_previous=False)
     return (
         cand.join(
             sh.select(
@@ -376,6 +379,11 @@ def ngram_index_probe(
     # when the batch side broadcasts; output bounded by the index
     # degree of the batch's shingles
     matched = idx.join(bkeys, "s").select(F.col("doc_id").alias("_oid"), "s")
+    # pinned: matched feeds the degree count AND the cross join —
+    # unpinned, each consumer re-executes the index scan (the fan-out
+    # re-execution lesson of PERF §20c take 8, which this module
+    # exists to apply)
+    matched = tracked_persist(matched, release_previous=False)
 
     if max_postings is not None:
         # global degree = index degree + batch degree, per shingle —
@@ -417,7 +425,12 @@ def ngram_index_probe(
         )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
     )
-    cand = cross.union(within).distinct()
+    # materialize the candidate list ONCE (ids-only, probe-bounded):
+    # it fans into cand_ids (twice) + the verify pair join, and Spark
+    # re-executes the whole candidate machinery per consumer otherwise
+    # (measured 90 s vs 24 s FULL REBUILD at 1M docs before this line
+    # existed — the probe was losing to the thing it replaces)
+    cand = cross.union(within).distinct().localCheckpoint(eager=True)
 
     texts = batch.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
@@ -580,6 +593,7 @@ def minhash_index_probe(
     matched = idx.join(bkeys, ["band", "bucket"]).select(
         F.col("doc_id").alias("_oid"), "band", "bucket"
     )
+    matched = tracked_persist(matched, release_previous=False)
     cross = (
         matched.join(
             bb.select(
@@ -602,7 +616,7 @@ def minhash_index_probe(
         )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
     )
-    cand = cross.union(within).distinct()
+    cand = cross.union(within).distinct().localCheckpoint(eager=True)
     texts = batch.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).unionByName(

@@ -291,10 +291,21 @@ def sweep_objstore(spark, a, b) -> int:
     return 1 if r.returncode else 0
 
 
+def sweep_objcrash(spark, a, b) -> int:
+    """Crash-point fuzz for the object-store maintenance protocol:
+    writer killed at the N-th backend op (lease left held), recovery
+    writer must steal the expired lease and converge — see
+    tools/crash_fuzz.py."""
+    from tools.crash_fuzz import sweep as _sweep
+
+    return _sweep(spark, a, b)
+
+
 FAMILIES = {
     # family: (sweep fn, default seed range)
     "expr": (sweep_expr, (0, 120 * SCALE)),
     "objstore": (sweep_objstore, (0, 1)),
+    "objcrash": (sweep_objcrash, (0, 24)),
     "store": (sweep_store, (0, 40 * SCALE)),
     "rollup": (sweep_rollup, (0, 60 * SCALE)),
     "frontend": (sweep_frontend, (0, 40 * SCALE)),
