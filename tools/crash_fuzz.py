@@ -152,8 +152,12 @@ def run_seed(spark, seed: int) -> str | None:
             .collect()
         }
 
+        # observed op counts: ~7 (plain compact) to ~22 (bucketed /
+        # retention passes) — the range keeps most seeds INSIDE the
+        # pass (instrumented: 18/24 crash mid-pass) while the tail
+        # still exercises crash-free convergence
         crashing = _make_crashing_backend(
-            kill_at=rng.randrange(1, 40), after_op=rng.random() < 0.5
+            kill_at=rng.randrange(1, 20), after_op=rng.random() < 0.5
         )
         crashing.lease_s = 0.5
         backend_mod.set_backend(crashing)
