@@ -261,3 +261,115 @@ class TestStreamingQualityGate:
             assert {r["doc_id"] for r in got.collect()} == {1}
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamingNearDup:
+    """r9: online near-dup at ingest via the persisted posting index
+    (pipeline/incremental.py) — closes the r8 streaming-tier split
+    (near-dup needed corpus-wide visibility; the index provides it
+    priced per batch)."""
+
+    def _rows(self):
+        # three id-banded batches; planted near-dups:
+        #   1 dups 0 (within batch 0)          -> 1 dropped
+        #   15 dups 0 (cross batch, later)     -> 15 dropped
+        #   22 dups 21 (within batch 2)        -> 22 dropped
+        #   27 dups 15 (15 was DROPPED; its canonical 0 is indexed,
+        #               so 27 matches 0 and drops too)
+        import random
+
+        rng = random.Random(3)
+        uniq = lambda i: " ".join(
+            f"w{i}_{rng.randrange(1000)}" for _ in range(12)
+        )
+        texts = {}
+        for i in list(range(10)) + list(range(10, 20)) + list(range(20, 30)):
+            texts[i] = uniq(i)
+        texts[1] = texts[0]
+        texts[15] = texts[0]
+        texts[22] = texts[21]
+        texts[27] = texts[15]
+        b0 = [(i, texts[i]) for i in range(10)]
+        b1 = [(i, texts[i]) for i in range(10, 20)]
+        b2 = [(i, texts[i]) for i in range(20, 30)]
+        return b0, b1, b2
+
+    def test_matches_sequential_protocol_and_expectation(
+        self, spark, tmp_path
+    ):
+        import os
+        import time as _time
+
+        from timbala_spark.pipeline.incremental import ngram_index_build
+        from timbala_spark.pipeline.streaming import (
+            near_dup_batch_stage,
+            streaming_near_dup,
+        )
+
+        batches = self._rows()
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for k, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            tmp = str(tmp_path / f"stage{k}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            # file-source batch order follows modification time
+            os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+        idx = str(tmp_path / "idx")
+        surv = str(tmp_path / "surv")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_near_dup(
+            stream, idx, surv, ckpt, threshold=0.5, n=3
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, text string")
+            .parquet(surv)
+            .select("doc_id")
+            .collect()
+        }
+        expected = set(range(30)) - {1, 15, 22, 27}
+        assert got == expected
+
+        # sequential batch protocol over the same batches == streaming
+        idx2 = str(tmp_path / "idx2")
+        first = spark.createDataFrame(batches[0], "doc_id long, text string")
+        ngram_index_build(first.limit(0), idx2, n=3)
+        acc = None
+        for rows in batches:
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            s = near_dup_batch_stage(
+                df,
+                idx2,
+                acc if acc is not None else df.limit(0),
+                threshold=0.5,
+            )
+            acc = s if acc is None else acc.unionByName(s)
+            acc = acc.localCheckpoint(eager=True)
+        seq = {r["doc_id"] for r in acc.collect()}
+        assert seq == got
+
+        # replay idempotence: a second availableNow run over the same
+        # checkpoint sees no new files and changes nothing
+        q2 = streaming_near_dup(
+            stream, idx, surv, ckpt, threshold=0.5, n=3
+        )
+        q2.awaitTermination()
+        got2 = {
+            r["doc_id"]
+            for r in spark.read.schema("doc_id long, text string")
+            .parquet(surv)
+            .select("doc_id")
+            .collect()
+        }
+        assert got2 == got

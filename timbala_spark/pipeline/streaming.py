@@ -92,3 +92,193 @@ def streaming_quality_gate(
             <= max_mean_token_len
         )
     )
+
+
+def near_dup_batch_stage(
+    batch: DataFrame,
+    index_dir: str,
+    survivors_corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_postings: int | None = 256,
+    already_appended: bool = False,
+) -> DataFrame:
+    """One micro-batch of ONLINE near-dup dedup against the persisted
+    posting index (``pipeline.incremental``): returns the batch's
+    SURVIVORS and appends their postings to the index.
+
+    Semantics (deterministic, replay-safe): a document survives iff
+
+    1. no pair ≥ ``threshold`` connects it to an already-indexed
+       document (first-seen-wins across batches), and
+    2. it is the canonical (min id) of its within-batch near-dup
+       component (the batch operator's representative rule applied
+       per micro-batch).
+
+    Replay safety: the probe's candidate join already excludes
+    id-equal matches, so re-processing a batch whose survivors were
+    appended reproduces the same survivor set — a doc's only new
+    index matches would be itself (excluded) and the same partners as
+    before.  Pass ``already_appended=True`` on a known replay to skip
+    the duplicate posting append (the streaming runner tracks this
+    via the foreachBatch ``batch_id``).
+
+    ``survivors_corpus`` must cover the TEXTS of all indexed ids (the
+    survivors parquet the runner maintains) — probe's verify reads
+    only candidate docs from it (ids-only semi-join)."""
+    from .dedup import connected_components
+    from .incremental import ngram_index_append, ngram_index_probe
+
+    batch = batch.localCheckpoint(eager=True)  # stabilize the batch
+    pairs = ngram_index_probe(
+        batch,
+        index_dir,
+        corpus=survivors_corpus.unionByName(
+            batch.select(survivors_corpus.columns)
+        ),
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        max_postings=max_postings,
+    ).localCheckpoint(eager=True)
+    b_ids = batch.select(F.col(id_col).alias("_bid")).distinct()
+    # tag each pair end with batch membership (ids are globally unique)
+    tagged = (
+        pairs.join(
+            b_ids.withColumnRenamed("_bid", "id_a").withColumn(
+                "_a_in", F.lit(True)
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            b_ids.withColumnRenamed("_bid", "id_b").withColumn(
+                "_b_in", F.lit(True)
+            ),
+            "id_b",
+            "left",
+        )
+        .withColumn("_a_in", F.coalesce("_a_in", F.lit(False)))
+        .withColumn("_b_in", F.coalesce("_b_in", F.lit(False)))
+    )
+    # rule 1: batch docs matching an INDEXED doc are dropped
+    cross_dropped = (
+        tagged.filter(F.col("_a_in") != F.col("_b_in"))
+        .select(
+            F.when(F.col("_a_in"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("_drop")
+        )
+        .distinct()
+    )
+    kept = batch.join(
+        cross_dropped, batch[id_col] == cross_dropped["_drop"], "left_anti"
+    )
+    # rule 2: canonical per within-batch component among the remaining
+    within = tagged.filter(F.col("_a_in") & F.col("_b_in")).select(
+        "id_a", "id_b"
+    )
+    kept_ids = kept.select(F.col(id_col).alias("_id"))
+    within = (
+        within.join(
+            kept_ids.withColumnRenamed("_id", "id_a"), "id_a", "left_semi"
+        ).join(
+            kept_ids.withColumnRenamed("_id", "id_b"), "id_b", "left_semi"
+        )
+    )
+    comp = connected_components(
+        kept.select(F.col(id_col)), within, node_col=id_col
+    )
+    survivors = (
+        kept.join(comp, id_col)
+        .filter(F.col(id_col) == F.col("component"))
+        .drop("component")
+        .localCheckpoint(eager=True)
+    )
+    if not already_appended:
+        ngram_index_append(
+            survivors, index_dir, id_col=id_col, text_col=text_col
+        )
+    return survivors
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    index_dir: str,
+    survivors_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 7,
+    max_postings: int | None = 256,
+    trigger_available_now: bool = True,
+):
+    """Online near-dup dedup at ingest: each micro-batch is probed
+    against the persisted posting index, survivors land under
+    ``survivors_path/batch=<id>/`` (per-batch overwrite → idempotent
+    under foreachBatch's at-least-once replay) and their postings
+    append to the index.
+
+    This closes the r8 split (streaming tier = exact dedup + quality
+    gate only): the candidate join still gets corpus-wide visibility —
+    through the INDEX, priced per batch — instead of requiring a
+    periodic O(corpus) rebuild (PERF §22).  Returns the started
+    streaming query."""
+    import json
+    import os
+
+    from .incremental import ngram_index_build
+
+    meta_p = os.path.join(index_dir, "_stream_meta.json")
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        if not os.path.exists(os.path.join(index_dir, "_index_meta.json")):
+            ngram_index_build(
+                batch_df.limit(0),
+                index_dir,
+                id_col=id_col,
+                text_col=text_col,
+                n=n,
+            )
+        done = -1
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                done = json.load(f).get("last_batch_id", -1)
+        survivors_corpus = (
+            # the per-batch layout adds a `batch` partition column —
+            # project it away so the corpus frame matches the batch
+            spark.read.schema(batch_df.schema)
+            .parquet(survivors_path)
+            .select(*batch_df.columns)
+            if os.path.isdir(survivors_path)
+            else batch_df.limit(0)
+        )
+        survivors = near_dup_batch_stage(
+            batch_df,
+            index_dir,
+            survivors_corpus,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            max_postings=max_postings,
+            already_appended=batch_id <= done,
+        )
+        # per-batch dir overwrite: replays rewrite the same files
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(survivors_path, f"batch={batch_id}")
+        )
+        if batch_id > done:
+            tmp = meta_p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"last_batch_id": batch_id}, f)
+            os.replace(tmp, meta_p)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
