@@ -666,17 +666,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from timbala_spark.pipeline import ngram_jaccard_pairs
 
     docs = _tbl(spark, sf_dir, "documents")
-    # 7-word shingles: tiny posting lists on word-salad corpora (max
-    # posting length 4 at sf0.1), so the inverted-index join stays
-    # near-linear — same result set as 3-grams at this threshold
-    out = ngram_jaccard_pairs(docs, n=7, threshold=0.5)
-    full = out.select(
-        F.lit("full").alias("op"),
-        "id_a",
-        "id_b",
-        F.round("jaccard", 6).alias("jaccard"),
-    )
 
+    # build the incr cache FIRST: the probes inside open their own
+    # tracked-pin scope, which would evict the full branch's pins if
+    # the full operator ran first (the fan-out re-execution class of
+    # PERF §20c take 8 — caught in the r9 self-review)
     key = ("ngram_incr", sf_dir)
     if key not in _CACHE:
         import atexit
@@ -704,6 +698,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             ).write.mode("append").parquet(pairs_path)
             ngram_index_append(batch, idx)
         _CACHE[key] = pairs_path
+
+    # 7-word shingles: tiny posting lists on word-salad corpora (max
+    # posting length 4 at sf0.1), so the inverted-index join stays
+    # near-linear — same result set as 3-grams at this threshold
+    out = ngram_jaccard_pairs(docs, n=7, threshold=0.5)
+    full = out.select(
+        F.lit("full").alias("op"),
+        "id_a",
+        "id_b",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
     incr = (
         spark.read.schema("id_a long, id_b long, jaccard double")
         .parquet(_CACHE[key])

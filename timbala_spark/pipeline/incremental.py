@@ -121,6 +121,31 @@ def _check_params(meta: dict, kind: str, **params) -> None:
             )
 
 
+def _write_append(out: DataFrame, gen_dir: str, batch_tag: str | None) -> None:
+    """Append ``out`` into a generation: plain parquet append without a
+    tag; idempotent overwrite of an ``append-<tag>`` subdir with one
+    (probes read the generation with ``recursiveFileLookup``)."""
+    if batch_tag is None:
+        out.write.mode("append").parquet(gen_dir)
+        return
+    import re as _re
+
+    safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", batch_tag)
+    out.write.mode("overwrite").parquet(
+        os.path.join(gen_dir, f"append-{safe}")
+    )
+
+
+def _drop_other_generations(index_dir: str, keep_gen: int) -> None:
+    """Remove generation dirs other than ``keep_gen`` — build() resets
+    the meta pointer to gen-0, and without this a previously
+    reconciled index would orphan its old generation's corpus-sized
+    posting files forever."""
+    for entry in list(os.listdir(index_dir)):
+        if entry.startswith("gen-") and entry != f"gen-{keep_gen}":
+            shutil.rmtree(os.path.join(index_dir, entry), ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # shared candidate/verify machinery
 
@@ -274,6 +299,37 @@ def _verify_pairs(
     )
 
 
+def _candidate_texts(
+    cand: DataFrame,
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(_id, _text) covering every candidate id: the batch's own texts
+    plus the matched INDEXED docs' texts pulled candidate-reduced from
+    ``corpus`` (ids-only semi join — the invariant that corpus text is
+    only ever read for verified candidates lives HERE, once, for both
+    probe kinds)."""
+    return (
+        batch.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+        .unionByName(
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+            ).join(
+                cand.select(F.col("id_a").alias("_id"))
+                .union(cand.select(F.col("id_b").alias("_id")))
+                .distinct(),
+                "_id",
+                "left_semi",
+            )
+        )
+        .dropDuplicates(["_id"])
+    )
+
+
 def _ordered_pairs(a_id, b_id) -> list:
     return [
         F.least(a_id, b_id).alias("id_a"),
@@ -313,6 +369,7 @@ def ngram_index_build(
             "appended_batches": 0,
         },
     )
+    _drop_other_generations(index_dir, gen)
 
 
 def ngram_index_append(
@@ -320,16 +377,24 @@ def ngram_index_append(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_tag: str | None = None,
 ) -> None:
     """Append a batch's postings to the current generation (no rewrite
     of existing rows).  Probe the batch BEFORE appending it: a probe
-    after append would also match the batch against itself."""
+    after append would also match the batch against itself.
+
+    ``batch_tag`` makes the append IDEMPOTENT: postings land in an
+    ``append-<tag>`` subdir with overwrite semantics, so an
+    at-least-once caller (the streaming runner replaying a
+    micro-batch after a crash) re-writes the same rows instead of
+    duplicating them — duplicated postings would double the batch's
+    contribution to the probe's degree counts and spuriously censor
+    shingles near the cap."""
     meta = _read_meta(index_dir)
     _check_params(meta, "ngram")
     post = _ngram_postings(docs, id_col, text_col, meta["n"], meta["hash_algo"])
-    post.select(F.col("_id").alias("doc_id"), F.col("_s").alias("s")).write.mode(
-        "append"
-    ).parquet(_gen_dir(index_dir, meta["generation"]))
+    out = post.select(F.col("_id").alias("doc_id"), F.col("_s").alias("s"))
+    _write_append(out, _gen_dir(index_dir, meta["generation"]), batch_tag)
     meta["appended_batches"] += 1
     _write_meta(index_dir, meta)
 
@@ -362,13 +427,15 @@ def ngram_index_probe(
     _check_params(meta, "ngram")
     n, algo = meta["n"], meta["hash_algo"]
     spark = batch.sparkSession
-    idx = spark.read.schema("doc_id long, s long").parquet(
-        _gen_dir(index_dir, meta["generation"])
+    # recursiveFileLookup: per-batch idempotent appends (append-<tag>
+    # subdirs) live inside the generation alongside flat files
+    idx = (
+        spark.read.schema("doc_id long, s long")
+        .option("recursiveFileLookup", "true")
+        .parquet(_gen_dir(index_dir, meta["generation"]))
     )
 
     bpost = _ngram_postings(batch, id_col, text_col, n, algo)
-    # the batch posting table feeds the degree count, the cross join
-    # and the within-batch join — pin it (batch-sized)
     # pinned: feeds the degree count, the cross join and the
     # within-batch join (opens the query's tracked-pin scope)
     bpost = tracked_persist(bpost)
@@ -431,22 +498,8 @@ def ngram_index_probe(
     # (measured 90 s vs 24 s FULL REBUILD at 1M docs before this line
     # existed — the probe was losing to the thing it replaces)
     cand = cross.union(within).distinct().localCheckpoint(eager=True)
-
-    texts = batch.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).unionByName(
-        corpus.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-        ).join(
-            cand.select(F.col("id_a").alias("_id"))
-            .union(cand.select(F.col("id_b").alias("_id")))
-            .distinct(),
-            "_id",
-            "left_semi",
-        )
-    ).dropDuplicates(["_id"])
-    out = _verify_pairs(cand, texts, n, threshold)
-    return out
+    texts = _candidate_texts(cand, batch, corpus, id_col, text_col)
+    return _verify_pairs(cand, texts, n, threshold)
 
 
 def ngram_index_reconcile(
@@ -526,6 +579,7 @@ def minhash_index_build(
             "appended_batches": 0,
         },
     )
+    _drop_other_generations(index_dir, gen)
 
 
 def minhash_index_append(
@@ -533,8 +587,11 @@ def minhash_index_append(
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_tag: str | None = None,
 ) -> None:
-    """Append a batch's band signatures (probe the batch first)."""
+    """Append a batch's band signatures (probe the batch first).
+    ``batch_tag``: idempotent per-batch append, see
+    :func:`ngram_index_append`."""
     meta = _read_meta(index_dir)
     _check_params(meta, "minhash")
     b = _minhash_bands(
@@ -546,11 +603,12 @@ def minhash_index_append(
         meta["bands"],
         meta["hash_algo"],
     )
-    b.select(
+    out = b.select(
         F.col("_id").alias("doc_id"),
         F.col("_band").alias("band"),
         F.col("_bucket").alias("bucket"),
-    ).write.mode("append").parquet(_gen_dir(index_dir, meta["generation"]))
+    )
+    _write_append(out, _gen_dir(index_dir, meta["generation"]), batch_tag)
     meta["appended_batches"] += 1
     _write_meta(index_dir, meta)
 
@@ -571,8 +629,10 @@ def minhash_index_probe(
     meta = _read_meta(index_dir)
     _check_params(meta, "minhash")
     spark = batch.sparkSession
-    idx = spark.read.schema("doc_id long, band int, bucket long").parquet(
-        _gen_dir(index_dir, meta["generation"])
+    idx = (
+        spark.read.schema("doc_id long, band int, bucket long")
+        .option("recursiveFileLookup", "true")
+        .parquet(_gen_dir(index_dir, meta["generation"]))
     )
     bb = _minhash_bands(
         batch,
@@ -617,19 +677,7 @@ def minhash_index_probe(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
     )
     cand = cross.union(within).distinct().localCheckpoint(eager=True)
-    texts = batch.select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    ).unionByName(
-        corpus.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-        ).join(
-            cand.select(F.col("id_a").alias("_id"))
-            .union(cand.select(F.col("id_b").alias("_id")))
-            .distinct(),
-            "_id",
-            "left_semi",
-        )
-    ).dropDuplicates(["_id"])
+    texts = _candidate_texts(cand, batch, corpus, id_col, text_col)
     return _verify_pairs(cand, texts, meta["n"], threshold)
 
 

@@ -102,7 +102,7 @@ def near_dup_batch_stage(
     text_col: str = "text",
     threshold: float = 0.5,
     max_postings: int | None = 256,
-    already_appended: bool = False,
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """One micro-batch of ONLINE near-dup dedup against the persisted
     posting index (``pipeline.incremental``): returns the batch's
@@ -120,9 +120,13 @@ def near_dup_batch_stage(
     id-equal matches, so re-processing a batch whose survivors were
     appended reproduces the same survivor set — a doc's only new
     index matches would be itself (excluded) and the same partners as
-    before.  Pass ``already_appended=True`` on a known replay to skip
-    the duplicate posting append (the streaming runner tracks this
-    via the foreachBatch ``batch_id``).
+    before.  ``batch_tag`` (the streaming runner passes the
+    foreachBatch ``batch_id``) makes the posting append itself
+    idempotent: a replayed batch overwrites its own ``append-<tag>``
+    subdir instead of duplicating postings — crucial because
+    duplicated postings would inflate the probe's degree counts and
+    spuriously censor shingles near the stop-shingle cap, REGARDLESS
+    of where a crash interleaved with any side-channel bookkeeping.
 
     ``survivors_corpus`` must cover the TEXTS of all indexed ids (the
     survivors parquet the runner maintains) — probe's verify reads
@@ -196,10 +200,13 @@ def near_dup_batch_stage(
         .drop("component")
         .localCheckpoint(eager=True)
     )
-    if not already_appended:
-        ngram_index_append(
-            survivors, index_dir, id_col=id_col, text_col=text_col
-        )
+    ngram_index_append(
+        survivors,
+        index_dir,
+        id_col=id_col,
+        text_col=text_col,
+        batch_tag=batch_tag,
+    )
     return survivors
 
 
@@ -226,12 +233,9 @@ def streaming_near_dup(
     through the INDEX, priced per batch — instead of requiring a
     periodic O(corpus) rebuild (PERF §22).  Returns the started
     streaming query."""
-    import json
     import os
 
-    from .incremental import ngram_index_build
-
-    meta_p = os.path.join(index_dir, "_stream_meta.json")
+    from .incremental import _check_params, _read_meta, ngram_index_build
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -243,10 +247,10 @@ def streaming_near_dup(
                 text_col=text_col,
                 n=n,
             )
-        done = -1
-        if os.path.exists(meta_p):
-            with open(meta_p) as f:
-                done = json.load(f).get("last_batch_id", -1)
+        # an EXISTING index must have been built with the caller's
+        # parameters — silently probing with the index's own n would
+        # dedup with different shingles than requested
+        _check_params(_read_meta(index_dir), "ngram", n=n)
         survivors_corpus = (
             # the per-batch layout adds a `batch` partition column —
             # project it away so the corpus frame matches the batch
@@ -264,17 +268,12 @@ def streaming_near_dup(
             text_col=text_col,
             threshold=threshold,
             max_postings=max_postings,
-            already_appended=batch_id <= done,
+            batch_tag=f"b{batch_id}",
         )
         # per-batch dir overwrite: replays rewrite the same files
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch={batch_id}")
         )
-        if batch_id > done:
-            tmp = meta_p + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"last_batch_id": batch_id}, f)
-            os.replace(tmp, meta_p)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -9,13 +9,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: Logical-plan nodes that imply the frame is shuffle-derived and so
 #: already arrives with shuffle-partition parallelism (analyzed-plan
 #: node names; Deduplicate = dropDuplicates, RepartitionByExpression =
-#: repartition(cols)/hint).  Bare `Repartition n, false` is coalesce —
-#: a NARROW node that can leave a frame at 1 partition, so only the
-#: shuffle=true form counts as wide.
+#: repartition(cols)/hint).  Two narrow lookalikes are excluded on
+#: their flags: `Repartition n, false` is coalesce and
+#: `Sort [...], false` is sortWithinPartitions — both can leave a
+#: frame at 1 partition, so only their shuffling (true) forms count.
 _WIDE_NODE = re.compile(
     r"\b(Join|Aggregate|Window|Distinct|Deduplicate|"
-    r"RepartitionByExpression|Sort|Intersect|Except)\b"
+    r"RepartitionByExpression|Intersect|Except)\b"
     r"|Repartition \d+, true"
+    r"|Sort \[[^\n]*\], true"
 )
 
 
