@@ -343,14 +343,13 @@ def ngram_jaccard_pairs(
         # callers storage-back it (the checkpoint also frees every
         # posting exchange file once this action completes), lazy
         # callers pin it.
-        if eager and not small:
+        if eager:
+            # kept on BOTH gate paths: the components loop downstream
+            # re-consumes the pair list per iteration, and the lazy
+            # pin alternative measured ~0.4 s slower even at the
+            # 5k-doc bench corpus (r9 A/B on dedup_pipeline)
             cand = cand.localCheckpoint(eager=True)
         else:
-            # lazy pin: same reuse across the three downstream
-            # consumers without the checkpoint's eager job (small
-            # corpora take this branch even when eager — the
-            # checkpoint exists to free corpus-scale posting
-            # exchanges, which a ≤64 MB input does not have)
             cand = _pin(cand, False)
         # Semi-join reduction BEFORE the verify joins (r8, PERF §20c):
         # only documents that appear in some candidate pair need their

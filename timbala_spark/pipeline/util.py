@@ -103,11 +103,10 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     # extra text-wide shuffle per operator call in the 20M composition
     # (PERF §20c take 8). Three metadata-safe cases:
     #
-    # 1. A plan with a wide node (join/agg/window/repartition/sort)
-    #    already arrives with shuffle-partition parallelism — leave it
-    #    untouched. (inputFiles() would NOT return [] here: it walks to
-    #    the leaf relations and returns their files, so using the file
-    #    count for derived frames would mis-trigger a repartition.)
+    # 1. A plan with a wide node (join/agg/window/repartition/sort):
+    #    AQE may coalesce its output to a few partitions when small,
+    #    so the repartition is still needed — gated on the LEAF file
+    #    count as a metadata-only scale proxy (see branch below).
     # 2. A narrow plan over a file relation: inputFiles() is the split
     #    count, metadata-only.
     # 3. A narrow plan over an in-memory relation (createDataFrame /
@@ -119,6 +118,24 @@ def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     except Exception:
         return df
     if _WIDE_NODE.search(tree):
+        # Shuffle-derived frames do NOT reliably arrive with
+        # shuffle-partition parallelism: AQE coalesces a small
+        # shuffle output down to a handful of partitions, so a
+        # CPU-heavy map stage on top (shingling survivors after the
+        # digest join) serializes anyway — measured as dedup_pipeline
+        # 4.1 → 9.2 s at sf0.1 when r9 briefly removed this branch on
+        # the assumption the repartition was unneeded.  The LEAF file
+        # count is the metadata-only scale proxy that keeps this
+        # scale-safe: few leaf files ⇒ small frame ⇒ the restoring
+        # shuffle is cheap; a scan-scale frame has many leaf files and
+        # skips it (the 20M-doc composition never pays a text-wide
+        # repartition here).
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            return df
+        if 0 < n_files < target:
+            return df.repartition(target)
         return df
     try:
         n_files = len(df.inputFiles())
