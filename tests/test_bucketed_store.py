@@ -127,7 +127,7 @@ class TestBucketedStore:
         st = resolve_store(store)
         gen2 = os.path.dirname(st.samples)
         assert gen2 != gen1
-        assert read_bucket_meta(gen2) == {"buckets": 4}
+        assert read_bucket_meta(gen2) == {"buckets": 4, "rollups_bucketed": []}
         # untouched day's files are the SAME inodes (hardlink carry)
         day2 = [d for d in os.listdir(st.samples) if d.startswith("day=")]
         assert len(day2) == 2
@@ -158,7 +158,7 @@ class TestBucketedStore:
         write_samples_batch(_mk(spark, 100, 1_700_000_100_000), store)
         compact_store(spark, store, bucket_by_series=8)
         gdir = os.path.dirname(resolve_store(store).samples)
-        assert read_bucket_meta(gdir) == {"buckets": 8}
+        assert read_bucket_meta(gdir) == {"buckets": 8, "rollups_bucketed": []}
         assert read_samples_table(spark, store).count() == 1700
 
     def test_engine_query_over_bucketed_store(self, spark, store):
@@ -214,3 +214,50 @@ class TestBucketedStore:
             )
         finally:
             backend_mod.set_backend(None)
+
+    def test_bucketed_rollups_exchange_free_and_identical(
+        self, spark, store, tmp_path
+    ):
+        """r9: rollup tables ride the bucketed layout — routed queries'
+        rollup⋈dict join needs no exchange on a clean generation, and
+        the frames are value-identical to the plain layout."""
+        from timbala_spark.streaming.compact import (
+            compact_store,
+            read_bucket_meta,
+        )
+        from timbala_spark.streaming.ingest import (
+            read_rollup_tables,
+            write_samples_batch,
+        )
+        from timbala_spark.streaming.store import resolve_store
+
+        plain = str(tmp_path / "plainr")
+        write_samples_batch(_mk(spark, 800, 1_700_000_000_000), plain)
+        write_samples_batch(_mk(spark, 800, 1_700_090_000_000), plain)
+        compact_store(spark, plain, rollup_ms=(3_600_000,))
+        compact_store(spark, store, rollup_ms=(3_600_000,), bucket_by_series=4)
+        meta = read_bucket_meta(os.path.dirname(resolve_store(store).samples))
+        assert meta == {"buckets": 4, "rollups_bucketed": [3_600_000]}
+
+        rb = read_rollup_tables(spark, store)[3_600_000]
+        rp = read_rollup_tables(spark, plain)[3_600_000]
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = rb._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Bucketed: true") == 2, plan
+            j = plan.lower().find("sortmergejoin")
+            assert j >= 0 and plan[j:].count("Exchange") == 0, plan[j:]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        cols = sorted(rb.columns)
+        assert cols == sorted(rp.columns)
+
+        def h(df):
+            payload = [c for c in df.columns if c != "labels"]
+            return df.agg(
+                F.sum(F.xxhash64(*payload).cast("decimal(38,0)")),
+                F.count(F.lit(1)),
+            ).collect()[0]
+
+        assert tuple(h(rb)) == tuple(h(rp))

@@ -319,12 +319,6 @@ def _compact_locked(
         _write_bucketed(
             spark, dict_df, new_d, buckets, ("series_id",), False
         )
-        import json as _json
-
-        get_backend().put_small(
-            os.path.join(gdir, BUCKET_META),
-            _json.dumps({"buckets": buckets}).encode(),
-        )
     else:
         dict_df.write.mode("overwrite").parquet(new_d)
     # archived rollup days (below the retention horizon — their raw
@@ -352,6 +346,15 @@ def _compact_locked(
             }
             if files:
                 archive[w] = files
+    # which src rollups carry valid bucket file names (linking them
+    # into a bucketed table stays valid only at the SAME bucket count)
+    _src_bmeta = read_bucket_meta(src_gdir) or {}
+    src_rb = (
+        set(_src_bmeta.get("rollups_bucketed", []))
+        if _src_bmeta.get("buckets") == buckets
+        else set()
+    )
+    rollups_bucketed: list[int] = []
     for w in sorted({int(w) for w in rollup_ms} | set(archive)):
         # built from the generation's OWN compacted output (already
         # (series_id, t)-deduped above), so rollup content == served
@@ -366,7 +369,15 @@ def _compact_locked(
         divisible = DAY_MS % int(w) == 0
         rdir_src = os.path.join(src_gdir, f"rollup-{int(w)}")
         rdir_new = os.path.join(gdir, f"rollup-{int(w)}")
-        if touched is not None and divisible and os.path.isdir(rdir_src):
+        if (
+            touched is not None
+            and divisible
+            and os.path.isdir(rdir_src)
+            # linking src rollup files into a bucketed table is only
+            # valid when they already carry the same bucket names; a
+            # layout transition rebuilds this resolution fully below
+            and (not buckets or w in src_rb)
+        ):
             # incremental: a day-divisible window never crosses a day
             # boundary, so untouched days' rollup rows are still exact
             # (their raw is byte-identical) — hardlink them (the
@@ -374,23 +385,31 @@ def _compact_locked(
             # write horizon, hence untouchable) and rebuild only the
             # touched days from the already-compacted new samples
             if touched:
-                (
-                    build_rollup_narrow(
-                        spark.read.parquet(new_s)
-                        .filter(
-                            F.col("day").isin([int(d) for d in touched])
-                        )
-                        .select("series_id", "t", "v", "day"),
-                        int(w),
-                        day_partitioned=True,
-                    )
-                    .repartitionByRange(F.col("day"), F.col("series_id"))
-                    .sortWithinPartitions("series_id", "t")
-                    .write.mode("overwrite")
-                    .option("parquet.writer.version", "v2")
-                    .partitionBy("day")
-                    .parquet(rdir_new)
+                part_r = build_rollup_narrow(
+                    spark.read.parquet(new_s)
+                    .filter(F.col("day").isin([int(d) for d in touched]))
+                    .select("series_id", "t", "v", "day"),
+                    int(w),
+                    day_partitioned=True,
                 )
+                if buckets:
+                    _write_bucketed(
+                        spark, part_r, rdir_new, buckets,
+                        ("series_id", "t"), True,
+                    )
+                else:
+                    (
+                        part_r.repartitionByRange(
+                            F.col("day"), F.col("series_id")
+                        )
+                        .sortWithinPartitions("series_id", "t")
+                        .write.mode("overwrite")
+                        .option("parquet.writer.version", "v2")
+                        .partitionBy("day")
+                        .parquet(rdir_new)
+                    )
+            if buckets:
+                rollups_bucketed.append(int(w))
             os.makedirs(rdir_new, exist_ok=True)
             link_files(
                 rdir_src,
@@ -403,25 +422,44 @@ def _compact_locked(
             )
             continue
         cols = ["series_id", "t", "v"] + (["day"] if divisible else [])
-        (
-            build_rollup_narrow(
-                spark.read.parquet(new_s).select(*cols),
-                int(w),
-                day_partitioned=divisible,
-            )
-            .repartitionByRange(F.col("day"), F.col("series_id"))
-            .sortWithinPartitions("series_id", "t")
-            .write.mode("overwrite")
-            .option("parquet.writer.version", "v2")
-            .partitionBy("day")
-            .parquet(rdir_new)
+        full_r = build_rollup_narrow(
+            spark.read.parquet(new_s).select(*cols),
+            int(w),
+            day_partitioned=divisible,
         )
+        # archive days are linked verbatim from src (their raw is
+        # gone) — bucket this resolution only when those links carry
+        # valid bucket names (or there are none)
+        bucket_this = bool(buckets) and (w not in archive or w in src_rb)
+        if bucket_this:
+            _write_bucketed(
+                spark, full_r, rdir_new, buckets, ("series_id", "t"), True
+            )
+            rollups_bucketed.append(int(w))
+        else:
+            (
+                full_r.repartitionByRange(F.col("day"), F.col("series_id"))
+                .sortWithinPartitions("series_id", "t")
+                .write.mode("overwrite")
+                .option("parquet.writer.version", "v2")
+                .partitionBy("day")
+                .parquet(rdir_new)
+            )
         if w in archive:
             # no collision with the rebuilt part: raw holds nothing
             # below the horizon (retention dropped it, the write guard
             # keeps it out), so the rebuild wrote only day >= horizon
             # partitions
             link_files(rdir_src, archive[w], rdir_new)
+    if buckets:
+        import json as _json
+
+        get_backend().put_small(
+            os.path.join(gdir, BUCKET_META),
+            _json.dumps(
+                {"buckets": buckets, "rollups_bucketed": sorted(rollups_bucketed)}
+            ).encode(),
+        )
     if _after_rewrite is not None:
         _after_rewrite(src)
     # straggler carry-over: appends that landed after the snapshot are

@@ -264,6 +264,34 @@ def _bucketed_frames(spark, gdir: str, n_buckets: int):
     return spark.table(ts), spark.table(td)
 
 
+def _bucketed_rollup_frame(spark, gdir: str, w: int, n_buckets: int):
+    """Catalog-register one bucketed rollup table (idempotent per
+    session) and return its frame.  Schema is derived from the table's
+    own parquet footer (payload columns vary by rollup version); the
+    `day` partition column is declared INT to match the plain read's
+    partition inference."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(gdir).encode()).hexdigest()[:12]
+    name = f"timbala_b{tag}_rollup_{w}"
+    loc = os.path.join(gdir, f"rollup-{w}")
+    if not spark.catalog.tableExists(name):
+        fields = spark.read.parquet(loc).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in fields
+            if f.name != "day"
+        )
+        spark.sql(
+            f"CREATE TABLE `{name}` ({cols}, day INT) USING parquet "
+            f"PARTITIONED BY (day) CLUSTERED BY (series_id) "
+            f"SORTED BY (series_id, t) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        spark.catalog.recoverPartitions(name)
+    return spark.table(name)
+
+
 def read_samples_table(
     spark: SparkSession, path: str, dedup: bool | str = "auto"
 ) -> DataFrame:
@@ -457,11 +485,14 @@ def read_rollup_tables(
 
     from .store import read_min_t, resolve_store
 
+    from .compact import read_bucket_meta
+
     st = resolve_store(path)
     gdir = os.path.dirname(st.samples)
     out: dict[int, DataFrame] = {}
     if st.gen == 0:
         return out
+    bmeta = read_bucket_meta(gdir)
     dirty = os.path.exists(st.dirty_marker)
     horizon = read_min_t(st.root) if dirty else None
     if dirty and horizon is None:
@@ -520,11 +551,37 @@ def read_rollup_tables(
             )
             r = stored.select(*fresh.columns).unionByName(fresh)
         else:
-            r = spark.read.parquet(rdir)
+            r = None
+            if bmeta and w in (bmeta.get("rollups_bucketed") or []):
+                # bucketed rollup table: exchange-free dict join below.
+                # Freeze the listing, then re-check the marker (same
+                # check-after-listing rule as read_samples_table) — a
+                # write that raced us falls back to the plain scan,
+                # which reads bucket-named files like any parquet.
+                try:
+                    r = _bucketed_rollup_frame(
+                        spark, gdir, w, bmeta["buckets"]
+                    )
+                    r.inputFiles()
+                    if os.path.exists(st.dirty_marker):
+                        r = None
+                except Exception:
+                    r = None
+            if r is None:
+                r = spark.read.parquet(rdir)
         if d is None:
-            d = spark.read.parquet(st.series).dropDuplicates(
-                ["series_id", "name"]
-            )
+            d = None
+            if bmeta and not dirty:
+                try:
+                    _, d = _bucketed_frames(spark, gdir, bmeta["buckets"])
+                    d.inputFiles()
+                    if os.path.exists(st.dirty_marker):
+                        d = None
+                except Exception:
+                    d = None
+            if d is None:
+                d = spark.read.parquet(st.series)
+            d = d.dropDuplicates(["series_id", "name"])
         payload = [c for c in r.columns if c not in ("series_id", "day")]
         out[w] = r.join(d, "series_id").select(
             "name", "labels", "series_id", *payload, "day"
