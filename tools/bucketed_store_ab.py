@@ -115,7 +115,6 @@ def main() -> None:
                     t0 = time.monotonic()
                     got = shape(df).collect()
                     walls[sname][arm].append(round(time.monotonic() - t0, 2))
-                    key = (sname, arm)
                     sig = frozenset(
                         (r[0], r["n"] if "n" in r.__fields__ else None,
                          round(r["sv"], 6))

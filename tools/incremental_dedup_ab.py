@@ -33,7 +33,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def synth(spark, n_docs, start_id=0, dup_against=None):
+def synth(spark, n_docs, start_id=0):
     """Distinct 20-token hash-derived docs; 2% of rows duplicate a
     neighbor (same recipe as tools/curation_stress.py so the corpus
     shape matches the proven 20M/50M runs)."""
