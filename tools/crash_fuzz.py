@@ -163,13 +163,21 @@ def run_seed(spark, seed: int) -> str | None:
         backend_mod.set_backend(crashing)
         in_retention = rng.random() < 0.3
         buckets = rng.choice([None, 4])
+        # r9 late: rollup materialization adds its own backend ops
+        # (bucketed build shares, archive links) — cover those kill
+        # points too
+        rollups = rng.choice([(), (3_600_000,)])
         crashed = False
         try:
             if in_retention:
-                compact_store(spark, store, bucket_by_series=buckets)
+                compact_store(
+                    spark, store, bucket_by_series=buckets, rollup_ms=rollups
+                )
                 apply_retention(store, 1_700_080_000_000)
             else:
-                compact_store(spark, store, bucket_by_series=buckets)
+                compact_store(
+                    spark, store, bucket_by_series=buckets, rollup_ms=rollups
+                )
         except InjectedCrash:
             crashed = True
         if in_retention:
