@@ -220,6 +220,38 @@ class TestNgramIncremental:
             ).collect()
 
 
+class TestReplayDegrees:
+    def test_replayed_probe_sees_first_run_degrees(self, spark, tmp_path):
+        """A foreachBatch replay probes AFTER the crash-interrupted
+        run already appended the batch's postings.  The probe must
+        anti-join the batch's own ids out of the matched index rows:
+        otherwise the batch's shingles count twice in the global
+        degree (once from the index replay, once from the batch side)
+        and shingles near the cap are spuriously censored ONLY on the
+        replay, changing the survivor set (r9 ADVICE, medium)."""
+        from timbala_spark.pipeline.incremental import (
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        t = "alpha beta gamma delta"  # 2 3-shingles, shared by all
+        indexed = _mk_docs(spark, [(i, t) for i in range(3)])
+        batch = _mk_docs(spark, [(10 + i, t) for i in range(4)])
+        corpus = indexed.unionByName(batch)
+        d = str(tmp_path / "idx")
+        ngram_index_build(indexed, d, n=3)
+        # cap 8: first-run global degree is 3 (index) + 4 (batch) = 7,
+        # under the cap; a replay double-counting the batch would see
+        # 7 + 4 = 11 and censor every shingle, losing all pairs
+        kw = dict(corpus=corpus, threshold=0.5, max_postings=8)
+        first = _pairs_set(ngram_index_probe(batch, d, **kw))
+        assert len(first) == 3 * 4 + 6  # cross + within, all jaccard 1
+        ngram_index_append(batch, d, batch_tag="b0")
+        replay = _pairs_set(ngram_index_probe(batch, d, **kw))
+        assert replay == first
+
+
 class TestMinHashIncremental:
     @pytest.mark.parametrize("seed,k", [(4, 2), (5, 4)])
     def test_incremental_equals_full_rebuild(self, spark, tmp_path, seed, k):

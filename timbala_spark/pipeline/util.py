@@ -9,15 +9,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 #: Logical-plan nodes that imply the frame is shuffle-derived and so
 #: already arrives with shuffle-partition parallelism (analyzed-plan
 #: node names; Deduplicate = dropDuplicates, RepartitionByExpression =
-#: repartition(cols)/hint).  Two narrow lookalikes are excluded on
-#: their flags: `Repartition n, false` is coalesce and
-#: `Sort [...], false` is sortWithinPartitions — both can leave a
-#: frame at 1 partition, so only their shuffling (true) forms count.
+#: repartition(cols)/hint; the FlatMap*InPandas group-map nodes are
+#: applyInPandas / cogroup-apply / applyInPandasWithState — all keyed,
+#: so shuffle-derived; plain mapInPandas is narrow and excluded).
+#: Two narrow lookalikes are excluded on their flags:
+#: `Repartition n, false` is coalesce and `Sort [...], false` is
+#: sortWithinPartitions — both can leave a frame at 1 partition, so
+#: only their shuffling (true) forms count.  Every alternative is
+#: anchored to the NODE position — line start after tree-drawing
+#: chars (`+- `, `:- `, indentation) — so attribute/alias names
+#: cannot collide (a column aliased `Join` or `Window` appears inside
+#: a node's bracketed argument list mid-line, never at a node slot;
+#: r9 ADVICE).
 _WIDE_NODE = re.compile(
-    r"\b(Join|Aggregate|Window|Distinct|Deduplicate|"
-    r"RepartitionByExpression|Intersect|Except)\b"
+    r"^[\s:+-]*(?:"
+    r"(?:Join|Aggregate|Window|Distinct|Deduplicate|"
+    r"RepartitionByExpression|Intersect|Except|"
+    r"FlatMapGroupsInPandas(?:WithState)?|FlatMapCoGroupsInPandas)\b"
     r"|Repartition \d+, true"
     r"|Sort \[[^\n]*\], true"
+    r")",
+    re.M,
 )
 
 

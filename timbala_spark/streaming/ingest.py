@@ -228,6 +228,33 @@ def start_ingest(
     )
 
 
+def _file_status_cache_enabled(spark) -> bool:
+    """Whether the session FileStatusCache can pin a catalog table's
+    file listing.  The bucketed read path freezes its listing by
+    enumerating ``inputFiles()`` into that cache BEFORE the
+    dirty-marker check; with the cache disabled
+    (``spark.sql.hive.filesourcePartitionFileCacheSize=0``) or
+    filesource partition management off, the freeze is a no-op and the
+    table would re-list per query — so callers must fall back to the
+    eager ``spark.read.parquet`` path instead (r9 ADVICE).  Unknown or
+    unparsable conf values fail OPEN to the default-on behavior only
+    when the key is absent entirely (stock Spark default 250 MB)."""
+    try:
+        if (
+            spark.conf.get(
+                "spark.sql.hive.manageFilesourcePartitions", "true"
+            ).lower()
+            != "true"
+        ):
+            return False
+        size = spark.conf.get(
+            "spark.sql.hive.filesourcePartitionFileCacheSize", "262144000"
+        )
+        return int(size) > 0
+    except Exception:
+        return False
+
+
 def _bucketed_frames(spark, gdir: str, n_buckets: int):
     """Catalog-register the generation's bucketed samples/series
     tables (idempotent per session) and return their frames.
@@ -345,6 +372,18 @@ def read_samples_table(
 
         gdir = os.path.dirname(st.samples)
         bmeta = read_bucket_meta(gdir)
+        if bmeta and not _file_status_cache_enabled(spark):
+            # The freeze below (inputFiles() before the marker check)
+            # only pins the listing while the session FileStatusCache
+            # holds it: with the cache disabled
+            # (spark.sql.hive.filesourcePartitionFileCacheSize=0) a
+            # catalog table re-lists per query, so a later append of
+            # plain-named files could poison an already-returned frame
+            # with INVALID_BUCKET_FILE.  Fall back to the plain path
+            # scan (value-identical, just not exchange-free) rather
+            # than return a frame whose stability we cannot pin
+            # (r9 ADVICE).
+            bmeta = None
         if bmeta:
             # bucketed generation (compact_store(bucket_by_series=N),
             # r9): register both sides as bucketed catalog tables and
@@ -493,6 +532,8 @@ def read_rollup_tables(
     if st.gen == 0:
         return out
     bmeta = read_bucket_meta(gdir)
+    if bmeta and not _file_status_cache_enabled(spark):
+        bmeta = None  # freeze-by-cache unavailable: plain scans (r9 ADVICE)
     dirty = os.path.exists(st.dirty_marker)
     horizon = read_min_t(st.root) if dirty else None
     if dirty and horizon is None:
