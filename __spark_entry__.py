@@ -852,21 +852,86 @@ def q_embeddings_stats(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """HEADLINE embedding dedup — the 100 TB production ordering
-    (PERF.md §6d): exact dedup of bit-identical vectors first (hash
-    aggregation, min vec_id survives), then LSH near-dup on the
-    survivors (random-hyperplane bucket join + exact-cosine verify).
-    No driver collect, no crossJoin anywhere in the plan; the planes
-    are deterministic so the oracle replays the exact bucket
-    assignment."""
+    """HEADLINE embedding dedup — tagged union (50-entry cap): the
+    SAME pair set from both execution models of the 100 TB production
+    ordering (PERF.md §6d — exact dedup of bit-identical vectors
+    first, then hyperplane-LSH near-dup on the survivors).
+
+    * ``full`` — the batch operator (``embedding_near_dup_pairs``
+      mode="lsh": one corpus-wide signature pass per invocation;
+      bucket join + exact-cosine verify, no crossJoin, no collect).
+    * ``incr`` — the r10 incremental embedding index
+      (``pipeline/incremental.py``): survivors processed as two
+      vec_id-parity batches, each probed against the persisted
+      (vec_id, table, bucket) index then appended
+      (probe-before-append), pair union across batches.  Signatures
+      are corpus-independent, so with the bucket cap off the
+      incremental union is EXACTLY the full pair set — ONE oracle
+      pair query serves both tags (the cap never binds at these SFs
+      on the full branch either: ~125 rows/cell at sf0.01 vs the
+      2048 backstop).
+
+    The planes are deterministic, so the oracle replays the exact
+    bucket assignment."""
     from timbala_spark.pipeline import embedding_near_dup_pairs
 
     emb = _tbl(spark, sf_dir, "embeddings")
     surv = emb.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+
+    # build the incr cache FIRST: the probes inside open their own
+    # tracked-pin scope, which would evict the full branch's pins if
+    # the full operator ran first (same ordering rule as
+    # q_dedup_ngram_jaccard)
+    key = ("emb_incr", sf_dir)
+    if key not in _CACHE:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        from timbala_spark.pipeline import (
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        d = tempfile.mkdtemp(prefix="entry_emb_incr_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        idx = os.path.join(d, "idx")
+        pairs_path = os.path.join(d, "pairs")
+        embedding_index_build(
+            surv.limit(0), idx, dim=64, n_planes=4, n_tables=16, seed=42
+        )
+        for parity in (0, 1):
+            batch = surv.filter(F.col("vec_id") % 2 == parity)
+            # probe BEFORE append (the protocol); cap off = exact
+            # identity with the uncapped oracle join
+            embedding_index_probe(
+                batch, idx, corpus=surv, threshold=0.4, max_bucket_rows=None
+            ).write.mode("append").parquet(pairs_path)
+            embedding_index_append(batch, idx)
+        _CACHE[key] = pairs_path
+
     out = embedding_near_dup_pairs(
         surv, threshold=0.4, mode="lsh", n_planes=4, n_tables=16
     )
-    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    full = out.select(
+        F.lit("full").alias("op"),
+        "id_a",
+        "id_b",
+        F.round("cos", 6).alias("cos"),
+    )
+    incr = (
+        spark.read.schema("id_a long, id_b long, cos double")
+        .parquet(_CACHE[key])
+        .select(
+            F.lit("incr").alias("op"),
+            "id_a",
+            "id_b",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+    return full.unionByName(incr).orderBy("op", "id_a", "id_b")
 
 
 def q_dedup_embedding_clusters(spark, sf_dir):
@@ -2421,11 +2486,16 @@ sc AS (
     # dedup_embedding = exact dedup (min vec_id per identical vector)
     # THEN the replayed LSH near-dup join on the survivors — mirrors
     # q_dedup_embedding's production ordering exactly.
+    # tagged union since r10: the incremental-index branch is exactly
+    # the same pair set (corpus-independent signatures, cap off), so
+    # one pair query fans into both tags.
     sql["dedup_embedding"] = f"""
 WITH {_lsh_sig_sql(
         "SELECT min(vec_id) AS vec_id, embedding FROM embeddings GROUP BY embedding"
     )},{_lsh_pairs_tail}
-SELECT id_a, id_b, ROUND(cos, 6) AS cos FROM sc WHERE cos >= 0.4
+SELECT t.op, s.id_a, s.id_b, ROUND(s.cos, 6) AS cos
+FROM sc s CROSS JOIN (VALUES ('full'), ('incr')) AS t(op)
+WHERE s.cos >= 0.4
 """
 
     # clusters: connected components (min reachable id) over the

@@ -284,6 +284,169 @@ class TestMinHashIncremental:
         assert got == full
 
 
+def _vec_rows(seed=3, n=60, dim=8, dup_every=4):
+    """Synthetic embeddings with planted near-dups: every
+    ``dup_every``-th vector is a tiny perturbation of its
+    predecessor (cos ≈ 1)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        if i % dup_every == 1 and rows:
+            v = [x + rng.uniform(-0.01, 0.01) for x in rows[-1][1]]
+        else:
+            v = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        rows.append((i, v))
+    return rows
+
+
+def _mk_vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cos_pairs_set(df):
+    return {(r["id_a"], r["id_b"], round(r["cos"], 9)) for r in df.collect()}
+
+
+_EMB_KW = dict(dim=8, n_planes=4, n_tables=8, seed=42)
+
+
+class TestEmbeddingIncremental:
+    @pytest.mark.parametrize("seed,k", [(6, 2), (7, 4)])
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path, seed, k):
+        """Signatures are corpus-independent, so with the bucket cap
+        off the incremental union is EXACTLY the batch operator's LSH
+        pair set — no prefix caveat (VERDICT r9 task 1)."""
+        from timbala_spark.pipeline.dedup import embedding_near_dup_pairs
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        rows = _vec_rows(seed=seed)
+        vecs = _mk_vecs(spark, rows)
+        full = _cos_pairs_set(
+            embedding_near_dup_pairs(
+                vecs, threshold=0.8, mode="lsh", max_bucket_rows=0, **_EMB_KW
+            )
+        )
+        assert full, "corpus must contain planted near-dups"
+
+        d = str(tmp_path / f"emb{seed}")
+        embedding_index_build(vecs.limit(0), d, **_EMB_KW)
+        got = set()
+        for batch_rows in _splits(rows, k, seed):
+            batch = _mk_vecs(spark, batch_rows)
+            got |= _cos_pairs_set(
+                embedding_index_probe(
+                    batch, d, corpus=vecs, threshold=0.8, max_bucket_rows=None
+                )
+            )
+            embedding_index_append(batch, d)
+        assert got == full
+
+    def test_cap_active_incremental_is_superset(self, spark, tmp_path):
+        """A binding bucket cap censors on PREFIX cell sizes <= final
+        sizes: the incremental union may keep pairs the rebuild's cap
+        censors, every extra exact-cosine verified."""
+        from timbala_spark.pipeline.dedup import embedding_near_dup_pairs
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        # duplicate-heavy: 24 near-copies of one vector land in one
+        # (table, bucket) cell per table and blow a tiny cap
+        rng = random.Random(17)
+        base = [rng.uniform(-1.0, 1.0) for _ in range(8)]
+        rows = [
+            (i, [x + rng.uniform(-0.005, 0.005) for x in base])
+            for i in range(24)
+        ]
+        vecs = _mk_vecs(spark, rows)
+        kw = dict(threshold=0.9, **_EMB_KW)
+        full_capped = _cos_pairs_set(
+            embedding_near_dup_pairs(
+                vecs, mode="lsh", max_bucket_rows=10, **kw
+            )
+        )
+        uncapped = _cos_pairs_set(
+            embedding_near_dup_pairs(vecs, mode="lsh", max_bucket_rows=0, **kw)
+        )
+        d = str(tmp_path / "embcap")
+        embedding_index_build(vecs.limit(0), d, **_EMB_KW)
+        got = set()
+        for batch_rows in _splits(rows, 4, seed=19):
+            batch = _mk_vecs(spark, batch_rows)
+            got |= _cos_pairs_set(
+                embedding_index_probe(
+                    batch, d, corpus=vecs, threshold=0.9, max_bucket_rows=10
+                )
+            )
+            embedding_index_append(batch, d)
+        assert got >= full_capped
+        assert got <= uncapped
+        assert all(c >= 0.9 for (_, _, c) in got - full_capped)
+
+    def test_replayed_probe_matches_first_run(self, spark, tmp_path):
+        """Probe-after-append (a foreachBatch replay) must reproduce
+        the pre-append probe exactly — own-id anti-join + prefix cap
+        degrees, same contract as the n-gram probe."""
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        rows = _vec_rows(seed=23, n=40)
+        vecs = _mk_vecs(spark, rows)
+        idx_rows, batch_rows = rows[:20], rows[20:]
+        d = str(tmp_path / "embreplay")
+        embedding_index_build(_mk_vecs(spark, idx_rows), d, **_EMB_KW)
+        batch = _mk_vecs(spark, batch_rows)
+        kw = dict(corpus=vecs, threshold=0.8, max_bucket_rows=25)
+        first = _cos_pairs_set(embedding_index_probe(batch, d, **kw))
+        embedding_index_append(batch, d, batch_tag="b0")
+        assert _cos_pairs_set(embedding_index_probe(batch, d, **kw)) == first
+
+    def test_reconcile_and_param_guards(self, spark, tmp_path):
+        from timbala_spark.pipeline.incremental import (
+            _check_params,
+            _read_meta,
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+            embedding_index_reconcile,
+            ngram_index_probe,
+        )
+
+        rows = _vec_rows(seed=29, n=30)
+        vecs = _mk_vecs(spark, rows)
+        d = str(tmp_path / "embrec")
+        embedding_index_build(vecs, d, **_EMB_KW)
+        # a deleted vector's signatures vanish on reconcile
+        embedding_index_append(_mk_vecs(spark, [(999, rows[0][1])]), d)
+        embedding_index_reconcile(vecs, d)
+        meta = _read_meta(d)
+        assert meta["generation"] == 1 and meta["appended_batches"] == 0
+        probe = embedding_index_probe(
+            _mk_vecs(spark, [(1000, rows[0][1])]), d, corpus=vecs,
+            threshold=0.99,
+        )
+        ids = set()
+        for r in probe.collect():
+            ids |= {r["id_a"], r["id_b"]}
+        assert 999 not in ids and 0 in ids
+        # kind/param guards
+        with pytest.raises(ValueError, match="kind mismatch"):
+            ngram_index_probe(
+                _mk_docs(spark, [(1, "a b c")]), d, corpus=None
+            )
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            _check_params(_read_meta(d), "embedding", n_planes=5)
+
+
 class TestTaggedAppend:
     def test_tagged_append_is_idempotent(self, spark, tmp_path):
         """A replayed per-batch append (same tag) must overwrite, not

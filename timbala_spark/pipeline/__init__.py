@@ -34,6 +34,10 @@ from .text import (  # noqa: F401
 )
 from .curate import curate_corpus  # noqa: F401
 from .incremental import (  # noqa: F401
+    embedding_index_append,
+    embedding_index_build,
+    embedding_index_probe,
+    embedding_index_reconcile,
     minhash_index_append,
     minhash_index_build,
     minhash_index_probe,

@@ -301,11 +301,23 @@ def sweep_objcrash(spark, a, b) -> int:
     return _sweep(spark, a, b)
 
 
+def sweep_idxcrash(spark, a, b) -> int:
+    """Crash-point fuzz for the curation-index generation protocol
+    (r10): index writer killed at the N-th backend op (lease left
+    held), a live-lease append must fail fast, and a recovery
+    reconcile must steal the expired lease and converge to a
+    fresh-built control index — see tools/idx_crash_fuzz.py."""
+    from tools.idx_crash_fuzz import sweep as _sweep
+
+    return _sweep(spark, a, b)
+
+
 FAMILIES = {
     # family: (sweep fn, default seed range)
     "expr": (sweep_expr, (0, 120 * SCALE)),
     "objstore": (sweep_objstore, (0, 1)),
     "objcrash": (sweep_objcrash, (0, 24)),
+    "idxcrash": (sweep_idxcrash, (0, 24)),
     "store": (sweep_store, (0, 40 * SCALE)),
     "rollup": (sweep_rollup, (0, 60 * SCALE)),
     "frontend": (sweep_frontend, (0, 40 * SCALE)),

@@ -19,6 +19,10 @@ jobs concurrently):
 Usage:
   AB_CORPUS_SIZES=1000000,4000000 AB_BATCH=100000 \
       python tools/incremental_dedup_ab.py
+  AB_KIND=embedding AB_CORPUS_SIZES=1000000,4000000 \
+      python tools/incremental_dedup_ab.py   # r10: vector modality —
+      # full = embedding_near_dup_pairs(mode=lsh) re-signing O(corpus);
+      # probe = persisted (vec_id, table, bucket) index
 """
 
 from __future__ import annotations
@@ -55,10 +59,41 @@ def synth(spark, n_docs, start_id=0):
     return df.withColumn("text", text)
 
 
+def synth_vecs(spark, n_rows, dim=32, start_id=0):
+    """Distinct pseudo-random vectors in [-1, 1]^dim derived from
+    xxhash64; 2% of rows duplicate a neighbor (exact near-dups the
+    LSH probe must find)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(start_id, start_id + n_rows).withColumnRenamed(
+        "id", "vec_id"
+    )
+    base = F.when(
+        F.pmod("vec_id", F.lit(50)) == 0, F.col("vec_id") - 1
+    ).otherwise(F.col("vec_id"))
+    vec = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(base, F.lit(i)), F.lit(1_000_000)).cast(
+                    "double"
+                )
+                / 500_000.0
+                - 1.0
+            )
+            for i in range(dim)
+        ]
+    )
+    return df.withColumn("embedding", vec)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
     from timbala_spark.pipeline import (
+        embedding_index_append,
+        embedding_index_build,
+        embedding_index_probe,
+        embedding_near_dup_pairs,
         ngram_index_append,
         ngram_index_build,
         ngram_index_probe,
@@ -86,49 +121,109 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    kind = os.environ.get("AB_KIND", "ngram")
     root = tempfile.mkdtemp(prefix="incr_ab_")
     try:
         for n in sizes:
-            cdir = os.path.join(root, f"corpus_{n}")
-            synth(spark, n).write.mode("overwrite").parquet(cdir)
-            corpus = spark.read.parquet(cdir)
-            bdir = os.path.join(root, f"batch_{n}")
-            # fresh ids; ~2% of batch docs duplicate a CORPUS doc so the
-            # probe's cross join has real work
             from pyspark.sql import functions as F
 
-            fresh = synth(spark, batch_n, start_id=n)
-            dup_src = corpus.limit(batch_n // 50).select(
-                (F.col("doc_id") + n + batch_n).alias("doc_id"), "text"
-            )
-            fresh.unionByName(dup_src).write.mode("overwrite").parquet(bdir)
+            cdir = os.path.join(root, f"corpus_{n}")
+            bdir = os.path.join(root, f"batch_{n}")
+            if kind == "embedding":
+                # Plane depth follows the corpus on the log2 ladder
+                # (AB_PLANES may be a comma list, one per corpus size):
+                # random pairs collide at T/2^planes per table, so a
+                # FIXED depth makes batch×corpus candidate volume — and
+                # probe cost — grow linearly with the corpus, while
+                # planes ∝ log2(corpus) pins it constant.  This mirrors
+                # lsh_params_for's auto shape and reconcile()'s
+                # re-parameterization path; the full-rebuild arm uses
+                # the same shape per size, so each size's comparison is
+                # apples-to-apples.
+                dim = int(os.environ.get("AB_DIM", "32"))
+                planes_list = [
+                    int(x)
+                    for x in os.environ.get("AB_PLANES", "20").split(",")
+                ]
+                n_planes = planes_list[
+                    min(sizes.index(n), len(planes_list) - 1)
+                ]
+                n_tables = int(os.environ.get("AB_TABLES", "4"))
+                synth_vecs(spark, n, dim).write.mode("overwrite").parquet(
+                    cdir
+                )
+                corpus = spark.read.parquet(cdir)
+                fresh = synth_vecs(spark, batch_n, dim, start_id=n)
+                dup_src = corpus.limit(batch_n // 50).select(
+                    (F.col("vec_id") + n + batch_n).alias("vec_id"),
+                    "embedding",
+                )
+                fresh.unionByName(dup_src).write.mode("overwrite").parquet(
+                    bdir
+                )
+            else:
+                synth(spark, n).write.mode("overwrite").parquet(cdir)
+                corpus = spark.read.parquet(cdir)
+                # fresh ids; ~2% of batch docs duplicate a CORPUS doc so
+                # the probe's cross join has real work
+                fresh = synth(spark, batch_n, start_id=n)
+                dup_src = corpus.limit(batch_n // 50).select(
+                    (F.col("doc_id") + n + batch_n).alias("doc_id"), "text"
+                )
+                fresh.unionByName(dup_src).write.mode("overwrite").parquet(
+                    bdir
+                )
             batch = spark.read.parquet(bdir)
             both = corpus.unionByName(batch)
 
             idx = os.path.join(root, f"idx_{n}")
             t0 = time.time()
-            ngram_index_build(corpus, idx, n=7)
+            if kind == "embedding":
+                embedding_index_build(
+                    corpus, idx, dim=dim, n_planes=n_planes, n_tables=n_tables
+                )
+            else:
+                ngram_index_build(corpus, idx, n=7)
             t_build = time.time() - t0
 
             t_full, t_probe = [], []
             n_pairs_full = n_pairs_probe = None
             for r in range(reps):
                 t0 = time.time()
-                n_pairs_full = ngram_jaccard_pairs(
-                    both, n=7, threshold=0.5
-                ).count()
+                if kind == "embedding":
+                    n_pairs_full = embedding_near_dup_pairs(
+                        both,
+                        threshold=0.9,
+                        mode="lsh",
+                        dim=dim,
+                        n_planes=n_planes,
+                        n_tables=n_tables,
+                    ).count()
+                else:
+                    n_pairs_full = ngram_jaccard_pairs(
+                        both, n=7, threshold=0.5
+                    ).count()
                 t_full.append(time.time() - t0)
                 t0 = time.time()
-                n_pairs_probe = ngram_index_probe(
-                    batch, idx, corpus=both, threshold=0.5
-                ).count()
+                if kind == "embedding":
+                    n_pairs_probe = embedding_index_probe(
+                        batch, idx, corpus=both, threshold=0.9
+                    ).count()
+                else:
+                    n_pairs_probe = ngram_index_probe(
+                        batch, idx, corpus=both, threshold=0.5
+                    ).count()
                 t_probe.append(time.time() - t0)
             t0 = time.time()
-            ngram_index_append(batch, idx)
+            if kind == "embedding":
+                embedding_index_append(batch, idx)
+            else:
+                ngram_index_append(batch, idx)
             t_append = time.time() - t0
             print(
                 json.dumps(
                     {
+                        "kind": kind,
                         "corpus": n,
                         "batch": batch_n + batch_n // 50,
                         "build_s": round(t_build, 2),
