@@ -214,6 +214,200 @@ def near_dup_batch_stage(
     return survivors
 
 
+# ---------------------------------------------------------------------------
+# survivors-tree maintenance (r10, VERDICT r9 task 4): every micro-batch
+# writes one `batch=<id>` dir, so a long-lived stream accumulates one
+# directory per batch and the per-batch corpus listing grows without
+# bound.  compact_survivors() runs a two-level LSM scheme behind a
+# CAS'd meta pointer with the same crash-discipline as the index
+# generations (backend lock, pointer moves by conditional PUT, sweeps
+# only after the pointer moves):
+#
+#   fold   — rewrite the LIVE batch dirs (only them: O(new batches),
+#            NOT O(corpus)) into one new `settled-<k>` dir and append
+#            it to the meta's generation list;
+#   merge  — rewrite ALL settled generations into one (O(corpus), run
+#            rarely: auto-triggered when the generation list exceeds
+#            merge_threshold, amortizing to O(corpus / threshold·N)
+#            per batch).
+#
+# The READER RULE makes every crash point benign: the corpus is
+# exactly the meta's settled generations plus the batch dirs with
+# id > settled_through — a folded batch dir whose delete never ran is
+# IGNORED (its rows are in a listed generation), and a stray settled
+# dir a crashed fold left behind is invisible (not in the list) and
+# swept by the next pass.
+
+_SURV_META = "_survivors_meta.json"
+
+
+def _surv_meta_path(survivors_path: str) -> str:
+    import os
+
+    return os.path.join(survivors_path, _SURV_META)
+
+
+def _read_surv_meta(survivors_path: str) -> tuple[dict, bytes | None]:
+    """(meta, raw bytes) — (never-compacted defaults, None) when no
+    meta exists.  The default ``through`` is a deep sentinel (not -1)
+    so NEGATIVE batch ids stay live before the first fold — the
+    seeding pattern (tools/streaming_neardup_bench.py) lands a
+    pre-existing corpus as ``batch=-1`` precisely so the stream's own
+    ids (0, 1, …) never collide with it."""
+    import json
+
+    from ..streaming.backend import get_backend
+
+    try:
+        raw = get_backend().read_small(_surv_meta_path(survivors_path))
+        return json.loads(raw), raw
+    except FileNotFoundError:
+        return {"gens": [], "through": -(1 << 62)}, None
+
+
+def survivor_paths(survivors_path: str) -> list[str]:
+    """The reader rule: the meta's settled generations plus live
+    ``batch=<id>`` dirs with id > settled_through.  Folded batch dirs
+    whose delete a crash skipped, and stray settled dirs a crashed
+    fold left, are both excluded — readers never double-count."""
+    import os
+
+    meta, _ = _read_surv_meta(survivors_path)
+    out = [os.path.join(survivors_path, g) for g in meta["gens"]]
+    try:
+        entries = os.listdir(survivors_path)
+    except FileNotFoundError:
+        return out
+    for e in entries:
+        if e.startswith("batch="):
+            try:
+                bid = int(e.split("=", 1)[1])
+            except ValueError:
+                continue
+            if bid > meta["through"]:
+                out.append(os.path.join(survivors_path, e))
+    return out
+
+
+def read_survivors(spark, survivors_path: str, schema) -> DataFrame | None:
+    """The survivors corpus under the reader rule; ``None`` when no
+    survivors have landed yet.  Listing cost is O(settled generations
+    + live batch dirs) — bounded by (merge_threshold + compaction
+    cadence), not stream lifetime."""
+    paths = survivor_paths(survivors_path)
+    if not paths:
+        return None
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def compact_survivors(
+    spark,
+    survivors_path: str,
+    schema=None,
+    mode: str = "auto",
+    merge_threshold: int = 16,
+    lock_timeout_s: float = 30.0,
+) -> int:
+    """Survivors-tree maintenance; returns the number of batch dirs
+    folded.
+
+    ``mode="fold"`` rewrites only the live batch dirs into one new
+    settled generation — O(new batches) per call, which is what makes
+    it safe to run from inside the stream's own ``foreachBatch``
+    (``streaming_near_dup(compact_every=N)``; the stream is quiescent
+    there and the runner is the single writer).  ``mode="merge"``
+    additionally consolidates all settled generations into one —
+    O(corpus), the offline/reconcile-time operation.  ``mode="auto"``
+    folds, then merges only when the generation list exceeds
+    ``merge_threshold``.
+
+    Crash-safe by the reader rule (module comment): new dirs become
+    visible only when the meta pointer CASes forward; sweeps run
+    after, and a skipped sweep leaves reader-invisible strays that the
+    next call removes."""
+    import json
+    import os
+
+    from ..streaming.backend import ANY_CONTENT, get_backend
+
+    be = get_backend()
+    os.makedirs(survivors_path, exist_ok=True)
+    with be.lock(survivors_path, timeout_s=lock_timeout_s):
+        meta, raw = _read_surv_meta(survivors_path)
+        paths = survivor_paths(survivors_path)
+        live = [p for p in paths if os.path.basename(p).startswith("batch=")]
+        # sweep STALE dirs first (reader-invisible, so always safe
+        # under the lock): batch dirs at/below settled_through — a
+        # crashed sweep's leftovers or a replayed batch's rewrite of a
+        # folded dir — and settled dirs absent from the meta's list
+        for e in list(os.listdir(survivors_path)):
+            p = os.path.join(survivors_path, e)
+            if e.startswith("batch="):
+                try:
+                    if int(e.split("=", 1)[1]) <= meta["through"]:
+                        be.delete_tree(p)
+                except ValueError:
+                    pass
+            elif e.startswith("settled-") and e not in meta["gens"]:
+                be.delete_tree(p)
+
+        def _next_gen_name() -> str:
+            used = [
+                int(g.split("-", 1)[1])
+                for g in meta["gens"]
+                if g.split("-", 1)[1].isdigit()
+            ]
+            return f"settled-{(max(used) + 1) if used else 0}"
+
+        reader = (
+            spark.read.schema(schema) if schema is not None else spark.read
+        )
+        folded = 0
+        if live and mode in ("fold", "auto", "merge"):
+            # FOLD: only the live batch dirs — never the settled data
+            new_gen = _next_gen_name()
+            reader.parquet(*live).write.mode("overwrite").parquet(
+                os.path.join(survivors_path, new_gen)
+            )
+            meta = {
+                "gens": meta["gens"] + [new_gen],
+                "through": max(
+                    int(os.path.basename(p).split("=", 1)[1]) for p in live
+                ),
+            }
+            data = json.dumps(meta).encode()
+            be.put_small_cas(
+                _surv_meta_path(survivors_path),
+                data,
+                raw if raw is not None else ANY_CONTENT,
+            )
+            raw = data
+            for p in live:
+                be.delete_tree(p)
+            folded = len(live)
+        if len(meta["gens"]) > 1 and (
+            mode == "merge"
+            or (mode == "auto" and len(meta["gens"]) > merge_threshold)
+        ):
+            # MERGE: consolidate the generation list into one
+            old = list(meta["gens"])
+            merged = _next_gen_name()
+            reader.parquet(
+                *[os.path.join(survivors_path, g) for g in old]
+            ).write.mode("overwrite").parquet(
+                os.path.join(survivors_path, merged)
+            )
+            meta = {"gens": [merged], "through": meta["through"]}
+            be.put_small_cas(
+                _surv_meta_path(survivors_path),
+                json.dumps(meta).encode(),
+                raw,
+            )
+            for g in old:
+                be.delete_tree(os.path.join(survivors_path, g))
+        return folded
+
+
 def streaming_near_dup(
     stream: DataFrame,
     index_dir: str,
@@ -225,6 +419,7 @@ def streaming_near_dup(
     n: int = 7,
     max_postings: int | None = 256,
     trigger_available_now: bool = True,
+    compact_every: int | None = None,
 ):
     """Online near-dup dedup at ingest: each micro-batch is probed
     against the persisted posting index, survivors land under
@@ -236,7 +431,20 @@ def streaming_near_dup(
     gate only): the candidate join still gets corpus-wide visibility —
     through the INDEX, priced per batch — instead of requiring a
     periodic O(corpus) rebuild (PERF §22).  Returns the started
-    streaming query."""
+    streaming query.
+
+    ``compact_every=N`` folds the accumulated ``batch=<id>`` dirs into
+    a settled generation every N micro-batches (from inside
+    ``foreachBatch``, where the stream is quiescent and the runner is
+    the single writer; O(N batches) per fold — settled data is NOT
+    rewritten, generations auto-merge only past ``compact_survivors``'
+    merge_threshold), bounding the per-batch corpus listing at
+    O(merge_threshold + N) dirs instead of O(stream lifetime) — the
+    r9 unbounded-listing finding.  Compaction only moves files;
+    a replayed batch whose dir was folded is IGNORED by the reader
+    rule (its rows are in the settled generation) and its rewrite of
+    ``batch=<id>`` is swept by the next compaction, so replay
+    idempotence is preserved."""
     import os
 
     from .incremental import _check_params, _read_meta, ngram_index_build
@@ -255,15 +463,13 @@ def streaming_near_dup(
         # parameters — silently probing with the index's own n would
         # dedup with different shingles than requested
         _check_params(_read_meta(index_dir), "ngram", n=n)
-        survivors_corpus = (
-            # the per-batch layout adds a `batch` partition column —
-            # project it away so the corpus frame matches the batch
-            spark.read.schema(batch_df.schema)
-            .parquet(survivors_path)
-            .select(*batch_df.columns)
-            if os.path.isdir(survivors_path)
-            else batch_df.limit(0)
+        survivors_corpus = read_survivors(
+            spark, survivors_path, batch_df.schema
         )
+        if survivors_corpus is None:
+            survivors_corpus = batch_df.limit(0)
+        else:
+            survivors_corpus = survivors_corpus.select(*batch_df.columns)
         survivors = near_dup_batch_stage(
             batch_df,
             index_dir,
@@ -278,6 +484,8 @@ def streaming_near_dup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch={batch_id}")
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_survivors(spark, survivors_path, batch_df.schema)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
