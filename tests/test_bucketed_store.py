@@ -261,3 +261,87 @@ class TestBucketedStore:
             ).collect()[0]
 
         assert tuple(h(rb)) == tuple(h(rp))
+
+
+class TestAutoBucketLadder:
+    """r10: bucket_by_series="auto" — the power-of-two ladder picks the
+    count from the series-dict size, so a store growing 100x re-buckets
+    on rung crossings instead of silently degrading a fixed count."""
+
+    def test_ladder_shape(self):
+        from timbala_spark.streaming.compact import (
+            AUTO_SERIES_PER_BUCKET,
+            auto_bucket_count,
+        )
+
+        assert auto_bucket_count(0) == 4  # clamp floor
+        assert auto_bucket_count(1) == 4
+        assert auto_bucket_count(AUTO_SERIES_PER_BUCKET) == 4
+        assert auto_bucket_count(5 * AUTO_SERIES_PER_BUCKET) == 8
+        assert auto_bucket_count(40_000_000) == 64  # the reference bar
+        assert auto_bucket_count(10**12) == 4096  # clamp ceiling
+        # monotone, power-of-two, and stable within a rung
+        prev = 0
+        for n in range(1, 200):
+            c = auto_bucket_count(n * AUTO_SERIES_PER_BUCKET // 3)
+            assert c >= prev and (c & (c - 1)) == 0
+            prev = c
+
+    def test_auto_compact_composes_and_grow_rebuckets(
+        self, spark, store, monkeypatch
+    ):
+        """Two auto passes compose at the same rung; a rung crossing
+        (simulated by shrinking the target) re-buckets via the
+        sanctioned full rewrite, value-identically."""
+        from timbala_spark.streaming import compact as compact_mod
+        from timbala_spark.streaming.compact import (
+            compact_store,
+            read_bucket_meta,
+        )
+        from timbala_spark.streaming.ingest import (
+            read_samples_table,
+            write_samples_batch,
+        )
+        from timbala_spark.streaming.store import resolve_store
+
+        compact_store(spark, store, bucket_by_series="auto")
+        gdir = os.path.dirname(resolve_store(store).samples)
+        assert read_bucket_meta(gdir)["buckets"] == 4  # clamp floor
+        base_hash = _hash(read_samples_table(spark, store))
+
+        # same rung: the second auto pass keeps the count (incremental
+        # compaction composes — equal counts)
+        write_samples_batch(_mk(spark, 100, 1_700_180_000_000), store)
+        compact_store(spark, store, bucket_by_series="auto")
+        gdir = os.path.dirname(resolve_store(store).samples)
+        assert read_bucket_meta(gdir)["buckets"] == 4
+
+        # rung crossing: 800 distinct series (the batches share ids)
+        # with a 100-series target → 8
+        monkeypatch.setattr(compact_mod, "AUTO_SERIES_PER_BUCKET", 100)
+        compact_store(spark, store, bucket_by_series="auto")
+        gdir = os.path.dirname(resolve_store(store).samples)
+        assert read_bucket_meta(gdir)["buckets"] == 8
+        got = read_samples_table(spark, store)
+        assert got.count() == 1700
+        # value-identical across the re-bucket (the 100 extra rows
+        # change the hash vs base, so compare against a fresh plain
+        # read of the same store instead)
+        plain = spark.read.parquet(resolve_store(store).samples)
+        d = spark.read.parquet(resolve_store(store).series).dropDuplicates(
+            ["series_id", "name"]
+        )
+        want = plain.join(d, "series_id").select(*got.columns)
+        assert _hash(got) == _hash(want)
+
+    def test_env_auto(self, spark, store, monkeypatch):
+        from timbala_spark.streaming.compact import (
+            compact_store,
+            read_bucket_meta,
+        )
+        from timbala_spark.streaming.store import resolve_store
+
+        monkeypatch.setenv("TIMBALA_BUCKET_BY_SERIES", "auto")
+        compact_store(spark, store)
+        gdir = os.path.dirname(resolve_store(store).samples)
+        assert read_bucket_meta(gdir)["buckets"] == 4

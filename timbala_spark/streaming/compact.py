@@ -94,6 +94,31 @@ def read_bucket_meta(gdir: str) -> dict | None:
         return None
 
 
+#: Auto-ladder target: ~1M series per bucket.  At the reference's 40M
+#: active-series bar this lands on 64 buckets — the shape the r9/r10
+#: A/Bs measured (3.28× on the name-selector dict join, PERF §12) —
+#: and a store growing 100× climbs to 4096 instead of silently
+#: degrading one fixed count.  Power-of-two rungs mean growth WITHIN a
+#: rung keeps the count stable (incremental compaction composes: equal
+#: counts ⇒ linked settled files keep valid bucket names); crossing a
+#: rung triggers exactly one sanctioned full re-bucket rewrite (the
+#: existing count-transition path).
+AUTO_SERIES_PER_BUCKET = 1 << 20
+
+
+def auto_bucket_count(n_series: int) -> int:
+    """The power-of-two bucket ladder: smallest power of two keeping
+    buckets at or under :data:`AUTO_SERIES_PER_BUCKET` series, clamped
+    to [4, 4096] (below 4 the exchange-free join saves nothing; above
+    4096 the one-file-per-bucket-per-day layout outruns any realistic
+    executor count on the 100 TB target)."""
+    import math
+
+    need = max(1, math.ceil(max(0, n_series) / AUTO_SERIES_PER_BUCKET))
+    n = 1 << (need - 1).bit_length()
+    return max(4, min(4096, n))
+
+
 def _write_bucketed(spark, df, dst, n_buckets, sort_cols, partition_day):
     """Write ``df`` as a Spark-bucketed parquet layout AT ``dst``.
 
@@ -148,7 +173,7 @@ def compact_store(
     gc_grace_s: float | None = None,
     lock_timeout_s: float = 0.0,
     rollup_ms: tuple[int, ...] = (),
-    bucket_by_series: int | None = None,
+    bucket_by_series: int | str | None = None,
     _after_rewrite=None,
 ) -> None:
     """Rewrite the store as a new generation with large sorted files
@@ -204,12 +229,18 @@ def compact_store(
     SOURCE generation is already bucketed with the same count (bucket
     assignment is deterministic in series_id, so linked untouched-day
     files keep valid bucket names); otherwise the first bucketed pass
-    is a full rewrite.  Defaults to the ``TIMBALA_BUCKET_BY_SERIES``
-    env var (0/unset = off) so the store suites can run wholesale with
-    the option on."""
+    is a full rewrite.  ``bucket_by_series="auto"`` (r10) picks the
+    count from the source series dictionary's distinct-series count on
+    the power-of-two ladder (:func:`auto_bucket_count`): stable within
+    a rung (incremental composes), one sanctioned full re-bucket when
+    growth crosses a rung.  Defaults to the
+    ``TIMBALA_BUCKET_BY_SERIES`` env var (0/unset = off, ``auto`` =
+    the ladder) so the store suites can run wholesale with the option
+    on."""
     if bucket_by_series is None:
+        _env = os.environ.get("TIMBALA_BUCKET_BY_SERIES", "0")
         bucket_by_series = (
-            int(os.environ.get("TIMBALA_BUCKET_BY_SERIES", "0")) or None
+            "auto" if _env == "auto" else (int(_env) or None)
         )
     with maintenance_lock(path, timeout_s=lock_timeout_s):
         _compact_locked(
@@ -229,6 +260,18 @@ def _compact_locked(
     src = resolve_store(path)
     if not os.path.isdir(src.samples):
         return  # nothing written yet
+    if buckets == "auto":
+        # one distinct-count over the (small, dict-sized) series table
+        # per maintenance pass; the ladder keeps the count stable
+        # within a power-of-two rung so incremental passes compose
+        buckets = auto_bucket_count(
+            spark.read.parquet(src.series)
+            .select("series_id")
+            .distinct()
+            .count()
+            if os.path.isdir(src.series)
+            else 0
+        )
     new_gen = src.gen + 1
     gdir = os.path.join(path, gen_dirname(new_gen))
     if os.path.exists(gdir):  # crashed uncommitted attempt: discard
