@@ -14,6 +14,13 @@ per refresh, every request at a UNIQUE timestamp — three ways:
   check     every frontend response compared to its direct twin
             (exact envelope equality — correctness while timing)
 
+r10: each arm runs QPS_PASSES (default 3) INTERLEAVED passes — the
+advance continues across passes so every request stays unique — and
+reports the best pass (min wall).  A single serial pass is
+indistinguishable from box weather on this multi-tenant machine
+(VERDICT r9: the round trend 7.14 → 11.15 → 10.63 → 5.56 q/s with no
+code change), the same reason the headline bench is min-of-4.
+
 Usage: python tools/qps_advancing.py [sf_dir] [n_requests]
 """
 
@@ -65,20 +72,40 @@ def main() -> None:
     # warm codegen/JIT on both paths
     req(direct, 0, 0), req(frontend, 0, 0)
 
-    def run(api) -> tuple[float, list]:
+    passes = int(os.environ.get("QPS_PASSES", "3"))
+
+    def run(api, p: int) -> tuple[float, list]:
+        # pass p continues the advance at request offset p*N: every
+        # request across ALL passes is at a unique timestamp, so the
+        # frontend arm keeps its steady-state quantum-boundary miss
+        # pattern instead of replaying cached keys
         t0 = time.monotonic()
-        out = [req(api, i, 1 + i // len(SHAPES)) for i in range(N)]
+        out = [
+            req(api, p * N + i, 1 + (p * N + i) // len(SHAPES))
+            for i in range(N)
+        ]
         return time.monotonic() - t0, out
 
-    dt_direct, res_direct = run(direct)
-    dt_front, res_front = run(frontend)
-    mismatches = sum(1 for a, b in zip(res_direct, res_front) if a != b)
+    dts_direct, dts_front, mismatches = [], [], 0
+    for p in range(passes):  # interleaved: a slow window hits both arms
+        dt_d, res_d = run(direct, p)
+        dt_f, res_f = run(frontend, p)
+        dts_direct.append(dt_d)
+        dts_front.append(dt_f)
+        mismatches += sum(1 for a, b in zip(res_d, res_f) if a != b)
+    dt_direct, dt_front = min(dts_direct), min(dts_front)
     rc = frontend._range_cache
+
+    def _fmt(ws):
+        return "[" + ", ".join(f"{w:.2f}" for w in ws) + "]"
+
     print(
         f"direct:   {N / dt_direct:6.2f} q/s  ({dt_direct / N * 1000:.0f} ms/q)"
+        f"  best of {passes} walls {_fmt(dts_direct)}"
     )
     print(
         f"frontend: {N / dt_front:6.2f} q/s  ({dt_front / N * 1000:.0f} ms/q)"
+        f"  best of {passes} walls {_fmt(dts_front)}"
         f"  hits={rc.hits} misses={rc.misses}"
     )
     print(f"speedup:  {dt_direct / dt_front:.2f}x   mismatches={mismatches}")
@@ -100,13 +127,19 @@ def main() -> None:
         return time.monotonic() - t0, out
 
     h0, m0 = rc.hits, rc.misses
-    dt_fi, res_fi = run_i(frontend, 0)
-    dt_di, res_di = run_i(direct, 5000)  # different times: cache-off twin
-    # exactness check at SHARED times
+    dts_fi, dts_di = [], []
+    for p in range(passes):  # interleaved, advance continuing per arm
+        dt_f, _ = run_i(frontend, p * N)
+        dt_d, res_di = run_i(direct, 5000 + p * N)
+        dts_fi.append(dt_f)
+        dts_di.append(dt_d)
+    dt_fi, dt_di = min(dts_fi), min(dts_di)
+    # exactness check at SHARED times (the last direct pass's keys)
+    last_off = 5000 + (passes - 1) * N
     mism = sum(
         1
         for i in range(N)
-        if frontend.query(i_exprs[i % len(i_exprs)], base + 5000 + i)
+        if frontend.query(i_exprs[i % len(i_exprs)], base + last_off + i)
         != res_di[i]
     )
     print(
