@@ -495,3 +495,89 @@ class TestTaggedAppend:
         )
         assert any(a == 0 and b == 2000 for a, b, _ in pairs)
         assert any(a == 1000 and b == 2000 for a, b, _ in pairs)
+
+
+class TestIndexCompact:
+    def test_compact_folds_appends_probe_identical(self, spark, tmp_path):
+        """index_compact consolidates append-<tag> dirs into one
+        generation WITHOUT recomputing signatures: probe results are
+        identical before and after, the generation advances, and the
+        append dirs are gone."""
+        import os
+
+        from timbala_spark.pipeline.incremental import (
+            _gen_dir,
+            _read_meta,
+            index_compact,
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        rows = _corpus(seed=31)
+        docs = _mk_docs(spark, rows)
+        d = str(tmp_path / "idx")
+        ngram_index_build(docs.limit(0), d, n=3)
+        for k in range(3):
+            ngram_index_append(
+                _mk_docs(spark, rows[k * 20 : (k + 1) * 20]),
+                d,
+                batch_tag=f"b{k}",
+            )
+        probe = _mk_docs(spark, [(1000, rows[0][1])])
+        before = _pairs_set(
+            ngram_index_probe(probe, d, corpus=docs, threshold=0.2)
+        )
+        assert before
+        index_compact(spark, d)
+        meta = _read_meta(d)
+        assert meta["generation"] == 1 and meta["appended_batches"] == 0
+        gen = _gen_dir(d, 1)
+        assert not any(e.startswith("append-") for e in os.listdir(gen))
+        after = _pairs_set(
+            ngram_index_probe(probe, d, corpus=docs, threshold=0.2)
+        )
+        assert after == before
+
+    def test_replay_after_compact_is_neutralized(self, spark, tmp_path):
+        """A tagged append replayed AFTER its dir was folded duplicates
+        its rows in the generation; probes must dedup matched index
+        rows so degrees (and candidates) match the duplicate-free
+        index, and the next compact collapses the rows for good."""
+        from timbala_spark.pipeline.incremental import (
+            index_compact,
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        t = "alpha beta gamma delta"
+        indexed = _mk_docs(spark, [(i, t) for i in range(3)])
+        batch = _mk_docs(spark, [(10 + i, t) for i in range(4)])
+        corpus = indexed.unionByName(batch)
+        d = str(tmp_path / "idx")
+        ngram_index_build(indexed.limit(0), d, n=3)
+        ngram_index_append(indexed, d, batch_tag="b0")
+        ngram_index_append(batch, d, batch_tag="b1")
+        index_compact(spark, d)
+        # replay b1 post-compact: its rows now exist twice on disk
+        ngram_index_append(batch, d, batch_tag="b1")
+        probe = _mk_docs(spark, [(100, t)])
+        # cap 9: true global degree is 7 (index) + 1 (probe batch) = 8;
+        # double-counted b1 rows would read 12 and censor everything
+        got = _pairs_set(
+            ngram_index_probe(
+                probe, d, corpus=corpus.unionByName(probe),
+                threshold=0.5, max_postings=9,
+            )
+        )
+        assert len(got) == 7  # one probe doc pairs with all 7 indexed
+        # and the next compact collapses the duplicates physically
+        index_compact(spark, d)
+        n_rows = (
+            spark.read.schema("doc_id long, s long")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "idx" / "gen-2"))
+            .count()
+        )
+        assert n_rows == 7 * 2  # 7 docs x 2 distinct 3-shingles

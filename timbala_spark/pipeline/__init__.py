@@ -38,6 +38,7 @@ from .incremental import (  # noqa: F401
     embedding_index_build,
     embedding_index_probe,
     embedding_index_reconcile,
+    index_compact,
     minhash_index_append,
     minhash_index_build,
     minhash_index_probe,

@@ -264,6 +264,46 @@ def _publish_reconcile(
         _drop_other_generations(index_dir, new_gen)
 
 
+#: physical row schema per index kind (what probes read and
+#: index_compact rewrites)
+_KIND_SCHEMAS = {
+    "ngram": "doc_id long, s long",
+    "minhash": "doc_id long, band int, bucket long",
+    "embedding": "vec_id long, tbl int, bkt long",
+}
+
+
+def index_compact(
+    spark: SparkSession, index_dir: str, lock_timeout_s: float = 30.0
+) -> None:
+    """Consolidate the current generation's files — including the
+    per-batch ``append-<tag>`` subdirs a streaming feeder accumulates
+    one-per-micro-batch — into a new generation, WITHOUT recomputing
+    any signatures: a pure rewrite of the ≤24 B/row index rows,
+    O(index bytes), vs ``reconcile``'s O(corpus) re-shingle/re-sign.
+    Works for every index kind (the schema comes from the meta).
+
+    Rows are ``distinct()``-ed in the rewrite: an at-least-once feeder
+    that replays a batch whose tagged append dir was already folded
+    re-creates the dir with rows the consolidated files now also hold
+    — the duplicates are neutralized at probe time (the probes dedup
+    matched index rows) and collapsed for good by the next compact.
+    Crash-safety is :func:`_publish_reconcile`'s (CAS'd pointer swap,
+    post-pointer sweep)."""
+    meta = _read_meta(index_dir)
+    schema = _KIND_SCHEMAS[meta["kind"]]
+
+    def out_fn(m):
+        return (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(_gen_dir(index_dir, m["generation"]))
+            .distinct()
+        )
+
+    _publish_reconcile(index_dir, meta["kind"], out_fn, {}, lock_timeout_s)
+
+
 # ---------------------------------------------------------------------------
 # shared candidate/verify machinery
 
@@ -577,6 +617,11 @@ def ngram_index_probe(
         idx.join(bkeys, "s")
         .select(F.col("doc_id").alias("_oid"), "s")
         .join(F.broadcast(b_ids), "_oid", "left_anti")
+        # a healthy index has unique (doc, shingle) rows; the dedup
+        # neutralizes the one anomaly the protocol admits — a tagged
+        # append replayed AFTER index_compact folded its dir — so
+        # duplicated postings can never inflate degree counts
+        .dropDuplicates(["_oid", "s"])
     )
     # pinned: matched feeds the degree count AND the cross join —
     # unpinned, each consumer re-executes the index scan (the fan-out
@@ -786,6 +831,7 @@ def minhash_index_probe(
         idx.join(bkeys, ["band", "bucket"])
         .select(F.col("doc_id").alias("_oid"), "band", "bucket")
         .join(F.broadcast(b_ids), "_oid", "left_anti")
+        .dropDuplicates(["_oid", "band", "bucket"])  # see ngram probe
     )
     matched = tracked_persist(matched, release_previous=False)
     cross = (
@@ -1142,6 +1188,7 @@ def embedding_index_probe(
         idx.join(bkeys, ["tbl", "bkt"])
         .select(F.col("vec_id").alias("_oid"), "tbl", "bkt")
         .join(F.broadcast(b_ids), "_oid", "left_anti")
+        .dropDuplicates(["_oid", "tbl", "bkt"])  # see ngram probe
     )
     matched = tracked_persist(matched, release_previous=False)
 

@@ -485,7 +485,13 @@ def streaming_near_dup(
             os.path.join(survivors_path, f"batch={batch_id}")
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
+            from .incremental import index_compact
+
             compact_survivors(spark, survivors_path, batch_df.schema)
+            # the INDEX side accumulates one append-<tag> dir per
+            # micro-batch too: fold them the cheap way — a pure rewrite
+            # of the hashed index rows (O(index bytes)), no re-shingling
+            index_compact(spark, index_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -126,7 +126,7 @@ def run_seed(spark, seed: int) -> str | None:
         if rng.random() < 0.5:
             reconcile(base, idx)
 
-        doomed_op = rng.choice(["append", "reconcile"])
+        doomed_op = rng.choice(["append", "reconcile", "compact"])
         crashing = _make_crashing_backend(
             kill_at=rng.randrange(1, 8), after_op=rng.random() < 0.5
         )
@@ -136,6 +136,13 @@ def run_seed(spark, seed: int) -> str | None:
         try:
             if doomed_op == "append":
                 append(batch2, idx, batch_tag="b2")
+            elif doomed_op == "compact":
+                # fold a tagged append first (clean), then kill the
+                # pure-rewrite compaction mid-protocol
+                backend_mod.set_backend(backend_mod.FakeObjectStoreBackend())
+                append(batch2, idx, batch_tag="b2")
+                backend_mod.set_backend(crashing)
+                inc.index_compact(spark, idx)
             else:
                 reconcile(base.unionByName(batch2), idx)
         except InjectedCrash:
