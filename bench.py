@@ -300,14 +300,15 @@ def _query_throughput_metric(spark, qs) -> dict:
     admitted, main.go:218-223) — measured warmed, 8 in flight — plus
     the dashboard-honest ADVANCING flavors: the same query shapes
     re-issued with start/end advancing one step per refresh, every
-    request at a UNIQUE timestamp (also across passes — pass j
-    continues the advance where pass j-1 stopped), so the engine's
-    absolute-time plan cache never hits and only the frontend's
-    widened-window results cache can help; serial requests (the
-    advancing pattern measures per-request latency economics, not the
-    gate).  Each secondary is the BEST of TPUT_PASSES interleaved
-    passes (min wall = max q/s), matching the headline min-of-N
-    discipline on this multi-tenant box."""
+    request at a UNIQUE timestamp, so the engine's absolute-time plan
+    cache never hits and only the frontend's widened-window results
+    cache can help; serial requests (the advancing pattern measures
+    per-request latency economics, not the gate).  Each secondary is
+    the BEST of TPUT_PASSES interleaved passes (min wall = max q/s),
+    matching the headline min-of-N discipline on this multi-tenant
+    box; each advancing pass runs in its OWN time region (see
+    region_s) so every pass repeats the same steady-state hit/miss
+    structure instead of riding the previous pass's widened cache."""
     from concurrent.futures import ThreadPoolExecutor
 
     import __spark_entry__ as em
@@ -351,14 +352,24 @@ def _query_throughput_metric(spark, qs) -> dict:
         rc = api._range_cache
         n_rng, n_inst = 32, 24
 
+        #: per-pass time-region jump: the frontend's widened-window
+        #: quantum is ≤1 h with ≤2 h of forward prefetch, so 3 h
+        #: guarantees each pass starts on FRESH cache keys and repeats
+        #: the r9 single-pass structure exactly (untimed initial load
+        #: seeds the region, timed advancing refreshes then mix
+        #: boundary misses with prefetch hits) — without the jump,
+        #: passes 2..N ride the prior pass's widened windows and the
+        #: min measures the pure cache-hit path, not the steady state.
+        region_s = 3 * 3600
+
         def rng_pass(p: int) -> float:
-            # pass p continues advancing at offset p*n_rng: every
-            # request in the WHOLE bench is at a unique timestamp
+            base = now0 + p * region_s
+            for expr, extent, step in shapes:  # untimed region load
+                api.query_range(expr, base - extent, base, step)
             t0 = time.monotonic()
-            for j in range(n_rng):
-                i = p * n_rng + j
+            for i in range(n_rng):
                 expr, extent, step = shapes[i % len(shapes)]
-                end = now0 + (1 + i // len(shapes)) * step
+                end = base + (1 + i // len(shapes)) * step
                 r = api.query_range(expr, end - extent, end, step)
                 assert r.get("status") == "success", r
             return time.monotonic() - t0
@@ -367,14 +378,15 @@ def _query_throughput_metric(spark, qs) -> dict:
         now_i = int(now0)
 
         def inst_pass(p: int) -> float:
+            base = now_i + p * region_s
+            api.query(i_exprs[0], base - 1)  # untimed region load
             t0 = time.monotonic()
-            for j in range(n_inst):
-                i = p * n_inst + j
-                r = api.query(i_exprs[i % len(i_exprs)], now_i + i)
+            for i in range(n_inst):
+                r = api.query(i_exprs[i % len(i_exprs)], base + i)
                 assert r.get("status") == "success", r
             return time.monotonic() - t0
 
-        # warm codegen (not the advancing cache keys)
+        # warm codegen once (plan shapes, Python workers)
         for i in range(len(shapes)):
             api.query_range(
                 shapes[i][0], now0 - shapes[i][1], now0, shapes[i][2]
