@@ -525,3 +525,110 @@ class TestSurvivorCompaction:
             for r in read_survivors(spark, surv, schema).collect()
         }
         assert got2 == want
+
+
+class TestStreamingNearDupEmbedding:
+    """r10: the online near-dup stage over the VECTOR modality —
+    kind="embedding" probes the hyperplane-bucket index per
+    micro-batch with the same survivor rules as the text stage."""
+
+    def _rows(self):
+        # three batches of 8-d vectors; planted near-dups mirror the
+        # text test's structure:
+        #   1 dups 0 (within batch 0)       -> 1 dropped
+        #   15 dups 0 (cross batch, later)  -> 15 dropped
+        #   22 dups 21 (within batch 2)     -> 22 dropped
+        #   27 dups 15 (15 dropped; its canonical 0 is indexed,
+        #               so 27 matches 0 and drops too)
+        import random
+
+        rng = random.Random(11)
+        vecs = {}
+        for i in range(30):
+            vecs[i] = [rng.uniform(-1.0, 1.0) for _ in range(8)]
+        jig = lambda v: [x + rng.uniform(-0.002, 0.002) for x in v]
+        vecs[1] = jig(vecs[0])
+        vecs[15] = jig(vecs[0])
+        vecs[22] = jig(vecs[21])
+        vecs[27] = jig(vecs[15])
+        b0 = [(i, vecs[i]) for i in range(10)]
+        b1 = [(i, vecs[i]) for i in range(10, 20)]
+        b2 = [(i, vecs[i]) for i in range(20, 30)]
+        return b0, b1, b2
+
+    def test_matches_sequential_protocol_and_expectation(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from timbala_spark.pipeline.incremental import embedding_index_build
+        from timbala_spark.pipeline.streaming import (
+            near_dup_batch_stage,
+            read_survivors,
+            streaming_near_dup,
+        )
+
+        schema = "vec_id long, embedding array<double>"
+        batches = self._rows()
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for k, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, schema)
+            tmp = str(tmp_path / f"stage{k}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+        emb_kw = dict(dim=8, n_planes=4, n_tables=8, seed=42)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        surv = str(tmp_path / "surv")
+        q = streaming_near_dup(
+            stream,
+            str(tmp_path / "idx"),
+            surv,
+            str(tmp_path / "ckpt"),
+            id_col="vec_id",
+            text_col="embedding",
+            threshold=0.99,
+            kind="embedding",
+            compact_every=2,
+            **emb_kw,
+        )
+        q.awaitTermination()
+        got = {
+            r["vec_id"]
+            for r in read_survivors(spark, surv, schema)
+            .select("vec_id")
+            .collect()
+        }
+        assert got == set(range(30)) - {1, 15, 22, 27}
+
+        # sequential batch protocol over the same batches == streaming
+        idx2 = str(tmp_path / "idx2")
+        first = spark.createDataFrame(batches[0], schema)
+        embedding_index_build(
+            first.limit(0), idx2, id_col="vec_id", vec_col="embedding",
+            **emb_kw,
+        )
+        acc = None
+        for rows in batches:
+            df = spark.createDataFrame(rows, schema)
+            s = near_dup_batch_stage(
+                df,
+                idx2,
+                acc if acc is not None else df.limit(0),
+                id_col="vec_id",
+                text_col="embedding",
+                threshold=0.99,
+                kind="embedding",
+            )
+            acc = s if acc is None else acc.unionByName(s)
+            acc = acc.localCheckpoint(eager=True)
+        seq = {r["vec_id"] for r in acc.collect()}
+        assert seq == got

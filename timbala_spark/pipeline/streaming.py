@@ -103,10 +103,21 @@ def near_dup_batch_stage(
     threshold: float = 0.5,
     max_postings: int | None = 256,
     batch_tag: str | None = None,
+    kind: str = "ngram",
 ) -> DataFrame:
     """One micro-batch of ONLINE near-dup dedup against the persisted
-    posting index (``pipeline.incremental``): returns the batch's
-    SURVIVORS and appends their postings to the index.
+    index (``pipeline.incremental``): returns the batch's SURVIVORS
+    and appends their index rows.
+
+    ``kind`` selects the modality (r10): ``"ngram"`` probes the
+    posting index over a TEXT column (``text_col``; exact-Jaccard
+    pairs at ``threshold``, ``max_postings`` = the stop-shingle cap);
+    ``"embedding"`` probes the hyperplane-bucket index over a VECTOR
+    column (``text_col`` names it, e.g. ``"embedding"``; exact-cosine
+    pairs at ``threshold``, ``max_postings`` = the stop-bucket cap).
+    The survivor rules, replay safety and append idempotence below are
+    modality-independent — both probes share the anti-join/degree
+    discipline and tagged appends.
 
     Semantics (deterministic, replay-safe): a document survives iff
 
@@ -136,19 +147,52 @@ def near_dup_batch_stage(
     survivors parquet the runner maintains) — probe's verify reads
     only candidate docs from it (ids-only semi-join)."""
     from .dedup import connected_components
-    from .incremental import ngram_index_append, ngram_index_probe
+    from .incremental import (
+        embedding_index_append,
+        embedding_index_probe,
+        ngram_index_append,
+        ngram_index_probe,
+    )
+
+    if kind == "embedding":
+        def _probe(b, corpus):
+            return embedding_index_probe(
+                b,
+                index_dir,
+                corpus=corpus,
+                id_col=id_col,
+                vec_col=text_col,
+                threshold=threshold,
+                max_bucket_rows=max_postings,
+            )
+
+        def _append(b, tag):
+            embedding_index_append(
+                b, index_dir, id_col=id_col, vec_col=text_col, batch_tag=tag
+            )
+    elif kind == "ngram":
+        def _probe(b, corpus):
+            return ngram_index_probe(
+                b,
+                index_dir,
+                corpus=corpus,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+                max_postings=max_postings,
+            )
+
+        def _append(b, tag):
+            ngram_index_append(
+                b, index_dir, id_col=id_col, text_col=text_col, batch_tag=tag
+            )
+    else:
+        raise ValueError(f"unknown near-dup kind {kind!r}")
 
     batch = batch.localCheckpoint(eager=True)  # stabilize the batch
-    pairs = ngram_index_probe(
+    pairs = _probe(
         batch,
-        index_dir,
-        corpus=survivors_corpus.unionByName(
-            batch.select(survivors_corpus.columns)
-        ),
-        id_col=id_col,
-        text_col=text_col,
-        threshold=threshold,
-        max_postings=max_postings,
+        survivors_corpus.unionByName(batch.select(survivors_corpus.columns)),
     ).localCheckpoint(eager=True)
     b_ids = batch.select(F.col(id_col).alias("_bid")).distinct()
     # tag each pair end with batch membership (ids are globally unique)
@@ -204,13 +248,7 @@ def near_dup_batch_stage(
         .drop("component")
         .localCheckpoint(eager=True)
     )
-    ngram_index_append(
-        survivors,
-        index_dir,
-        id_col=id_col,
-        text_col=text_col,
-        batch_tag=batch_tag,
-    )
+    _append(survivors, batch_tag)
     return survivors
 
 
@@ -420,12 +458,29 @@ def streaming_near_dup(
     max_postings: int | None = 256,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
+    kind: str = "ngram",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
 ):
     """Online near-dup dedup at ingest: each micro-batch is probed
-    against the persisted posting index, survivors land under
+    against the persisted index, survivors land under
     ``survivors_path/batch=<id>/`` (per-batch overwrite → idempotent
-    under foreachBatch's at-least-once replay) and their postings
-    append to the index.
+    under foreachBatch's at-least-once replay) and their index rows
+    append.
+
+    ``kind="ngram"`` (default) dedups a TEXT column by exact n-gram
+    Jaccard (``n``-word shingles, stop-shingle cap ``max_postings``);
+    ``kind="embedding"`` (r10) dedups a VECTOR column (``id_col``
+    e.g. ``"vec_id"``, ``text_col`` naming the array column, e.g.
+    ``"embedding"``) by exact cosine over hyperplane-LSH candidates —
+    (``dim``, ``n_planes``, ``n_tables``, ``seed``) shape the bucket
+    index, ``max_postings`` becomes the stop-bucket cap.  Pick
+    ``n_planes`` for the EXPECTED lake size (random pairs collide at
+    n_tables/2^n_planes per table) and climb it later with
+    ``embedding_index_reconcile`` — the ladder that keeps per-batch
+    probe cost flat (PERF §22 r10 addendum).
 
     This closes the r8 split (streaming tier = exact dedup + quality
     gate only): the candidate join still gets corpus-wide visibility —
@@ -447,22 +502,52 @@ def streaming_near_dup(
     idempotence is preserved."""
     import os
 
-    from .incremental import _check_params, _read_meta, ngram_index_build
+    from .incremental import (
+        _check_params,
+        _read_meta,
+        embedding_index_build,
+        ngram_index_build,
+    )
+
+    if kind not in ("ngram", "embedding"):
+        raise ValueError(f"unknown near-dup kind {kind!r}")
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
         if not os.path.exists(os.path.join(index_dir, "_index_meta.json")):
-            ngram_index_build(
-                batch_df.limit(0),
-                index_dir,
-                id_col=id_col,
-                text_col=text_col,
-                n=n,
-            )
+            if kind == "embedding":
+                embedding_index_build(
+                    batch_df.limit(0),
+                    index_dir,
+                    id_col=id_col,
+                    vec_col=text_col,
+                    dim=dim,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    seed=seed,
+                )
+            else:
+                ngram_index_build(
+                    batch_df.limit(0),
+                    index_dir,
+                    id_col=id_col,
+                    text_col=text_col,
+                    n=n,
+                )
         # an EXISTING index must have been built with the caller's
-        # parameters — silently probing with the index's own n would
-        # dedup with different shingles than requested
-        _check_params(_read_meta(index_dir), "ngram", n=n)
+        # parameters — silently probing with the index's own shape
+        # would dedup with different shingles/buckets than requested
+        if kind == "embedding":
+            _check_params(
+                _read_meta(index_dir),
+                "embedding",
+                dim=dim,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                seed=seed,
+            )
+        else:
+            _check_params(_read_meta(index_dir), "ngram", n=n)
         survivors_corpus = read_survivors(
             spark, survivors_path, batch_df.schema
         )
@@ -479,6 +564,7 @@ def streaming_near_dup(
             threshold=threshold,
             max_postings=max_postings,
             batch_tag=f"b{batch_id}",
+            kind=kind,
         )
         # per-batch dir overwrite: replays rewrite the same files
         survivors.write.mode("overwrite").parquet(
