@@ -20,6 +20,8 @@ the survivors tree covers every indexed id.
 Usage:
   SNB_CORPUS=4000000 SNB_BATCHES=20 SNB_BATCH=100000 \
       SNB_COMPACT_EVERY=5 python tools/streaming_neardup_bench.py
+  SNB_KIND=embedding SNB_CORPUS=1000000 SNB_PLANES=22 \
+      python tools/streaming_neardup_bench.py   # vector modality
 
 Prints one JSON line per micro-batch ({"batch": i, "wall_s": ...})
 and a summary line; the claim under test is that per-batch wall is
@@ -38,22 +40,29 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.incremental_dedup_ab import synth  # noqa: E402
+from tools.incremental_dedup_ab import synth, synth_vecs  # noqa: E402
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    from timbala_spark.pipeline.incremental import ngram_index_build
+    from timbala_spark.pipeline.incremental import (
+        embedding_index_build,
+        ngram_index_build,
+    )
     from timbala_spark.pipeline.streaming import (
         compact_survivors,
         streaming_near_dup,
     )
 
+    kind = os.environ.get("SNB_KIND", "ngram")
     n_corpus = int(os.environ.get("SNB_CORPUS", "4000000"))
     n_batches = int(os.environ.get("SNB_BATCHES", "20"))
     batch_n = int(os.environ.get("SNB_BATCH", "100000"))
     compact_every = int(os.environ.get("SNB_COMPACT_EVERY", "5")) or None
+    dim = int(os.environ.get("SNB_DIM", "16"))
+    n_planes = int(os.environ.get("SNB_PLANES", "22"))
+    n_tables = int(os.environ.get("SNB_TABLES", "4"))
 
     spark = (
         SparkSession.builder.master(
@@ -74,19 +83,28 @@ def main() -> None:
     surv = os.path.join(root, "surv")
     src = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
-    schema = "doc_id long, text string"
+    if kind == "embedding":
+        schema = f"vec_id long, embedding array<double>"
+        id_col, content_col = "vec_id", "embedding"
+        mk = lambda n, start=0: synth_vecs(spark, n, dim, start_id=start)
+    else:
+        schema = "doc_id long, text string"
+        id_col, content_col = "doc_id", "text"
+        mk = lambda n, start=0: synth(spark, n, start_id=start)
     try:
-        # seed: corpus -> settled survivors + posting index
-        corpus = synth(spark, n_corpus)
+        # seed: corpus -> settled survivors + index
+        corpus = mk(n_corpus)
         corpus.write.parquet(os.path.join(surv, "batch=-1"))
         compact_survivors(spark, surv, schema)
-        ngram_index_build(
-            spark.read.schema(schema).parquet(
-                os.path.join(surv, "settled-0")
-            ),
-            idx,
-            n=7,
+        settled = spark.read.schema(schema).parquet(
+            os.path.join(surv, "settled-0")
         )
+        if kind == "embedding":
+            embedding_index_build(
+                settled, idx, dim=dim, n_planes=n_planes, n_tables=n_tables
+            )
+        else:
+            ngram_index_build(settled, idx, n=7)
 
         # land the stream's input files, one per micro-batch; ~2% of
         # each batch duplicates a corpus doc so probes do real work
@@ -95,9 +113,10 @@ def main() -> None:
 
         for k in range(n_batches):
             start = n_corpus + k * batch_n
-            fresh = synth(spark, batch_n - batch_n // 50, start_id=start)
+            fresh = mk(batch_n - batch_n // 50, start=start)
             dup = corpus.limit(batch_n // 50).select(
-                (F.col("doc_id") + start + batch_n).alias("doc_id"), "text"
+                (F.col(id_col) + start + batch_n).alias(id_col),
+                content_col,
             )
             stage = os.path.join(root, f"stage{k}")
             fresh.unionByName(dup).coalesce(1).write.mode(
@@ -116,15 +135,31 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = streaming_near_dup(
-            stream,
-            idx,
-            surv,
-            ckpt,
-            threshold=0.5,
-            n=7,
-            compact_every=compact_every,
-        )
+        if kind == "embedding":
+            q = streaming_near_dup(
+                stream,
+                idx,
+                surv,
+                ckpt,
+                id_col=id_col,
+                text_col=content_col,
+                threshold=0.95,
+                kind="embedding",
+                dim=dim,
+                n_planes=n_planes,
+                n_tables=n_tables,
+                compact_every=compact_every,
+            )
+        else:
+            q = streaming_near_dup(
+                stream,
+                idx,
+                surv,
+                ckpt,
+                threshold=0.5,
+                n=7,
+                compact_every=compact_every,
+            )
         q.awaitTermination()
         walls = []
         for p in q.recentProgress:
@@ -144,6 +179,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
+                    "kind": kind,
                     "corpus": n_corpus,
                     "batches": len(ws),
                     "batch_rows": batch_n,
