@@ -581,3 +581,42 @@ class TestIndexCompact:
             .count()
         )
         assert n_rows == 7 * 2  # 7 docs x 2 distinct 3-shingles
+
+
+class TestBatchBroadcastOff:
+    """The large-batch degradation path (batch_broadcast=False: the
+    index join becomes a plain hash join of ≤24 B rows instead of a
+    broadcast map-side join) must be value-identical — it is the same
+    logical plan with a different physical strategy."""
+
+    def test_ngram_and_embedding_identical(self, spark, tmp_path):
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_build,
+            embedding_index_probe,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+
+        rows = _corpus(seed=37)
+        docs = _mk_docs(spark, rows)
+        d = str(tmp_path / "idx")
+        ngram_index_build(docs, d, n=3)
+        batch = _mk_docs(spark, [(1000, rows[0][1]), (1001, rows[4][1])])
+        kw = dict(corpus=docs.unionByName(batch), threshold=0.2)
+        on = _pairs_set(ngram_index_probe(batch, d, **kw))
+        off = _pairs_set(
+            ngram_index_probe(batch, d, batch_broadcast=False, **kw)
+        )
+        assert on and on == off
+
+        vrows = _vec_rows(seed=41, n=40)
+        vecs = _mk_vecs(spark, vrows)
+        dv = str(tmp_path / "vidx")
+        embedding_index_build(vecs, dv, **_EMB_KW)
+        vbatch = _mk_vecs(spark, [(1000, vrows[0][1]), (1001, vrows[8][1])])
+        vkw = dict(corpus=vecs.unionByName(vbatch), threshold=0.99)
+        von = _cos_pairs_set(embedding_index_probe(vbatch, dv, **vkw))
+        voff = _cos_pairs_set(
+            embedding_index_probe(vbatch, dv, batch_broadcast=False, **vkw)
+        )
+        assert von and von == voff
