@@ -620,3 +620,28 @@ class TestBatchBroadcastOff:
             embedding_index_probe(vbatch, dv, batch_broadcast=False, **vkw)
         )
         assert von and von == voff
+
+
+class TestEmbeddingProbePlan:
+    def test_probe_reads_only_candidate_vectors(self, spark, tmp_path):
+        """The embedding probe must not re-sign or re-read the corpus:
+        its plan touches the corpus table only under the candidate
+        semi-join reduction (the vector twin of the ngram plan gate)."""
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        rows = _vec_rows(seed=43, n=50)
+        vecs = _mk_vecs(spark, rows)
+        corpus_path = str(tmp_path / "corpus")
+        vecs.write.parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        d = str(tmp_path / "idx")
+        embedding_index_build(corpus, d, **_EMB_KW)
+        batch = _mk_vecs(spark, [(1000, rows[0][1])])
+        out = embedding_index_probe(batch, d, corpus=corpus, threshold=0.99)
+        plan = out._jdf.queryExecution().optimizedPlan().treeString()
+        assert "LeftSemi" in plan
+        pairs = _cos_pairs_set(out)
+        assert any(a == 0 and b == 1000 for a, b, _ in pairs)
