@@ -243,8 +243,18 @@ class TestServerRetention:
 
         store = str(tmp_path / "srvstore")
         now_ms = int(time.time() * 1000)
-        # hour-aligned recent origin so the grid tiles W
-        t1 = now_ms - (now_ms % W)
+        # DAY-aligned recent origin (r11, VERDICT r10 #1): with an
+        # hour-aligned origin the archive region below the horizon
+        # shrank to (0, 2h] when the suite ran in UTC [22:00, 24:00) —
+        # leaving only the t0 grid point below the horizon, whose
+        # rate[2h] window holds a single sample (unanswerable by
+        # definition), so the final assertion was structurally
+        # unsatisfiable for two hours of every day.  Day alignment
+        # makes horizon - t0 exactly one DAY at every run hour (the
+        # retention drop is whole UTC day partitions), guaranteeing
+        # ~11 answerable sub-horizon grid points; the arithmetic is
+        # pinned hour-by-hour in test_archive_grid_answerable_any_hour.
+        t1 = now_ms - (now_ms % DAY)
         t0 = t1 - 3 * DAY
         rows, v = [], 0.0
         t = t0
@@ -287,6 +297,31 @@ class TestServerRetention:
             assert pts and min(pts) * 1000 < horizon
         finally:
             srv.stop()
+
+    @pytest.mark.parametrize("hour", range(24))
+    def test_archive_grid_answerable_any_hour(self, hour):
+        """The origin arithmetic of the maintenance-loop test, checked
+        at every run hour WITHOUT Spark (VERDICT r10 #1 regression
+        pin — the old hour-aligned origin failed this for hour in
+        {22, 23}): with a day-aligned corpus origin there are always
+        >= 2 grid points strictly below the retention horizon whose
+        rate[2h] windows hold >= 2 samples."""
+        # a run instant at the given UTC hour (plus odd minutes, so
+        # nothing accidentally aligns)
+        now_ms = D0 + 10 * DAY + hour * 3_600_000 + 37 * 60_000 + 11_000
+        t1 = now_ms - (now_ms % DAY)
+        t0 = t1 - 3 * DAY
+        # apply_retention drops whole day partitions with day-string
+        # strictly below the cutoff day: horizon = day_floor(cutoff)
+        horizon = ((now_ms - 2 * DAY) // DAY) * DAY
+        assert horizon > t0
+        step = 7200_000
+        answerable = [
+            t
+            for t in range(t0, t1, step)
+            if t < horizon and t - t0 >= step  # full 2h window in-corpus
+        ]
+        assert len(answerable) >= 2
 
     def test_tier_soak_archive_never_flickers(self, spark, tmp_path):
         """Concurrency soak on the tier machinery: readers hammer a
