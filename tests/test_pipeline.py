@@ -636,6 +636,27 @@ class TestConnectedComponents:
         got = connected_components(nodes, edges).collect()
         assert all(r["component"] == 0 for r in got)
 
+    def test_duplicate_node_ids_one_row_per_id_both_paths(self, spark):
+        """Non-distinct ``nodes`` must yield one output row per id on
+        BOTH return paths — the edgeless early return used to pass
+        duplicates through while the loop path normalized (r10
+        ADVICE)."""
+        from timbala_spark.pipeline import connected_components
+
+        nodes = spark.createDataFrame(
+            [(1,), (1,), (2,), (2,), (3,)], ["id"]
+        )
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        got = connected_components(nodes, empty).collect()
+        assert sorted((r["id"], r["component"]) for r in got) == [
+            (1, 1), (2, 2), (3, 3)
+        ]
+        edges = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        got = connected_components(nodes, edges).collect()
+        assert sorted((r["id"], r["component"]) for r in got) == [
+            (1, 1), (2, 1), (3, 3)
+        ]
+
 
 class TestCurationPipeline:
     def test_near_dup_pipeline_with_exact_dups(self, spark):

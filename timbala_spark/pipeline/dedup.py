@@ -999,9 +999,13 @@ def connected_components(
         # no edges: every node is its own component.  Skipping the
         # loop saves ~3 jobs on the streaming stage's common case (a
         # micro-batch with no within-batch near-dups among kept docs).
+        # dropDuplicates matches the loop path's one-row-per-id
+        # normalization (its groupBy collapses duplicate node ids) —
+        # without it the two return paths disagreed on non-distinct
+        # ``nodes`` (r10 ADVICE).
         return nodes.select(
             F.col(node_col), F.col(node_col).alias("component")
-        )
+        ).dropDuplicates([node_col])
     for _ in range(max_iter):
         msgs = und.join(
             labels.withColumnRenamed("_id", "_src"), "_src"
