@@ -345,6 +345,39 @@ class TestEmbeddingIncremental:
             embedding_index_append(batch, d)
         assert got == full
 
+    def test_width_mismatch_raises_not_degenerates(self, spark, tmp_path):
+        """A vector whose width disagrees with the index dim must FAIL
+        LOUDLY at build/append/probe (r10 ADVICE): zip_with null-pads
+        the mismatch, so without the guard every plane dot is NULL,
+        every signature collapses to bucket 0, and the bucket cap then
+        silently censors the one giant cell — recall loss with no
+        error."""
+        from timbala_spark.pipeline.incremental import (
+            embedding_index_append,
+            embedding_index_build,
+            embedding_index_probe,
+        )
+
+        good = _mk_vecs(spark, _vec_rows(seed=5, n=10))
+        bad = _mk_vecs(spark, [(100, [0.1, 0.2, 0.3])])  # 3-wide, dim=8
+        d = str(tmp_path / "embdim")
+        with pytest.raises(Exception, match="components, index dim"):
+            embedding_index_build(bad, d, **_EMB_KW)
+        embedding_index_build(good, d, **_EMB_KW)
+        with pytest.raises(Exception, match="components, index dim"):
+            embedding_index_append(bad, d)
+        with pytest.raises(Exception, match="components, index dim"):
+            embedding_index_probe(
+                bad, d, corpus=good, threshold=0.8
+            ).collect()
+        # NULL vectors fail the same guard (size(NULL) is NULL,
+        # failing the width equality)
+        null_vec = spark.createDataFrame(
+            [(101, None)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="components, index dim"):
+            embedding_index_append(null_vec, d)
+
     def test_cap_active_incremental_is_superset(self, spark, tmp_path):
         """A binding bucket cap censors on PREFIX cell sizes <= final
         sizes: the incremental union may keep pairs the rebuild's cap

@@ -913,11 +913,41 @@ def _embedding_buckets(
     through the optional bucket-size cap)."""
     from .similarity import _planes, as_double_array, lsh_bucket_expr
 
+    # width guard (r10 ADVICE): zip_with null-pads a width mismatch,
+    # so without this every plane dot of a wrong-width vector is NULL,
+    # every signature collapses into bucket 0 of every table, and the
+    # default bucket cap then censors the one giant cell — the probe
+    # silently returns zero pairs.  A persisted-index API must fail
+    # loudly instead: raise per offending row (NULL vectors too —
+    # size(NULL) is NULL, failing the equality).
     return (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            as_double_array(F.col(vec_col)).alias("_v"),
+            F.when(
+                F.size(F.col(vec_col)) == dim,
+                as_double_array(F.col(vec_col)),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("embedding index: vector "),
+                        F.col(id_col).cast("string"),
+                        F.lit(" has "),
+                        F.coalesce(
+                            F.size(F.col(vec_col)).cast("string"),
+                            F.lit("NULL"),
+                        ),
+                        F.lit(
+                            f" components, index dim is {dim} — "
+                            "signatures would silently collapse to "
+                            "bucket 0; fix the column or rebuild the "
+                            "index with the right dim"
+                        ),
+                    )
+                ).cast("array<double>")
+            )
+            .alias("_v"),
         )
         .select(
             "_id",
