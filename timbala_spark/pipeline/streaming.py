@@ -246,6 +246,15 @@ def near_dup_batch_stage(
         batch,
         survivors_corpus.unionByName(batch.select(survivors_corpus.columns)),
     ).localCheckpoint(eager=True)
+    # no-pair fast path (r11, VERDICT r10 #3): a batch with no
+    # near-dup pair anywhere — the common case on a well-mixed feed —
+    # survives whole.  Skipping the membership tagging, the drop
+    # joins and the component machinery cuts ~6 fixed jobs off the
+    # per-batch floor; isEmpty on the checkpointed pairs is one
+    # limit-1 job.
+    if pairs.isEmpty():
+        _append(batch, batch_tag)
+        return batch
     b_ids = batch.select(F.col(id_col).alias("_bid")).distinct()
     # tag each pair end with batch membership (ids are globally unique)
     tagged = (
@@ -359,16 +368,16 @@ def survivor_paths(survivors_path: str) -> list[str]:
     """The reader rule: the meta's settled generations plus live
     ``batch=<id>`` dirs with id > settled_through.  Folded batch dirs
     whose delete a crash skipped, and stray settled dirs a crashed
-    fold left, are both excluded — readers never double-count."""
+    fold left, are both excluded — readers never double-count.
+    Enumeration goes through the backend seam (``list_dir``; r11) so
+    an object-store backend can serve the listing."""
     import os
+
+    from ..streaming.backend import get_backend
 
     meta, _ = _read_surv_meta(survivors_path)
     out = [os.path.join(survivors_path, g) for g in meta["gens"]]
-    try:
-        entries = os.listdir(survivors_path)
-    except FileNotFoundError:
-        return out
-    for e in entries:
+    for e in get_backend().list_dir(survivors_path):
         if e.startswith("batch="):
             try:
                 bid = int(e.split("=", 1)[1])
@@ -430,7 +439,7 @@ def compact_survivors(
         # under the lock): batch dirs at/below settled_through — a
         # crashed sweep's leftovers or a replayed batch's rewrite of a
         # folded dir — and settled dirs absent from the meta's list
-        for e in list(os.listdir(survivors_path)):
+        for e in be.list_dir(survivors_path):
             p = os.path.join(survivors_path, e)
             if e.startswith("batch="):
                 try:
@@ -582,8 +591,12 @@ def streaming_near_dup(
         bands = minhash_params_for(threshold, num_hashes)
 
     def _process(batch_df, batch_id):
+        from ..streaming.backend import get_backend
+
         spark = batch_df.sparkSession
-        if not os.path.exists(os.path.join(index_dir, "_index_meta.json")):
+        if not get_backend().exists(
+            os.path.join(index_dir, "_index_meta.json")
+        ):
             if kind == "embedding":
                 embedding_index_build(
                     batch_df.limit(0),
