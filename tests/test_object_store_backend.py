@@ -217,6 +217,103 @@ class TestObjectStoreProtocol:
         finally:
             shutil.rmtree(store, ignore_errors=True)
 
+    def test_list_dir_and_exists_contract(self, tmp_path):
+        be = FakeObjectStoreBackend()
+        root = str(tmp_path / "pfx")
+        assert be.list_dir(root) == []  # missing prefix lists empty
+        assert not be.exists(os.path.join(root, "k"))
+        be.put_small(os.path.join(root, "k"), b"v")
+        assert be.exists(os.path.join(root, "k"))
+        assert be.list_dir(root) == ["k"]
+        # emulation artifacts (key-mutex locks, in-flight PUT temps)
+        # are not keys and never appear in listings
+        open(os.path.join(root, "k.__keylock"), "w").close()
+        open(os.path.join(root, "x.__put.123"), "w").close()
+        assert be.list_dir(root) == ["k"]
+
+    def test_protocol_enumeration_routes_through_backend(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Survivor-tree reader rule, survivors compaction, the index
+        generation sweep and the streaming runner's meta check must
+        enumerate through the backend seam (r11, VERDICT r10 missing
+        #2) — ``os.listdir``/``os.path.exists`` on the protocol roots
+        are booby-trapped here, the same discipline the fixture
+        applies to ``os.link``/``fcntl.flock``.  (The backend's own
+        disk emulation captured the real calls at import, so the seam
+        keeps working under the trap.)"""
+        from timbala_spark.pipeline.incremental import (
+            index_compact,
+            ngram_index_append,
+            ngram_index_build,
+            ngram_index_probe,
+        )
+        from timbala_spark.pipeline.streaming import (
+            compact_survivors,
+            read_survivors,
+            survivor_paths,
+        )
+
+        surv = str(tmp_path / "surv")
+        idx = str(tmp_path / "idx")
+        schema = "doc_id long, text string"
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "f g h i j")], schema
+        )
+        ngram_index_build(docs, idx, n=2)
+        ngram_index_append(
+            spark.createDataFrame([(3, "k l m n o")], schema),
+            idx,
+            batch_tag="b1",
+        )
+        for bid in (0, 1):
+            spark.createDataFrame([(bid * 10, f"t{bid}")], schema) \
+                .write.parquet(os.path.join(surv, f"batch={bid}"))
+
+        real_listdir, real_exists = os.listdir, os.path.exists
+
+        def trap_listdir(path="."):
+            p = os.fspath(path)
+            if isinstance(p, bytes):
+                p = p.decode(errors="replace")
+            if p.startswith(surv) or p.startswith(idx):
+                raise AssertionError(
+                    f"protocol listed {p} with os.listdir"
+                )
+            return real_listdir(path)
+
+        def trap_exists(path):
+            p = os.fspath(path)
+            if isinstance(p, bytes):
+                p = p.decode(errors="replace")
+            if p.startswith(surv) or p.startswith(idx):
+                raise AssertionError(
+                    f"protocol existence-checked {p} with os.path.exists"
+                )
+            return real_exists(path)
+
+        monkeypatch.setattr(os, "listdir", trap_listdir)
+        monkeypatch.setattr(os.path, "exists", trap_exists)
+
+        # reader rule + fold + read-back, all enumerating under traps
+        assert len(survivor_paths(surv)) == 2
+        assert compact_survivors(spark, surv, schema) == 2
+        got = {
+            (r["doc_id"], r["text"])
+            for r in read_survivors(spark, surv, schema).collect()
+        }
+        assert got == {(0, "t0"), (10, "t1")}
+        # generation swap sweeps old gens through the seam, and the
+        # probe still answers afterwards
+        index_compact(spark, idx)
+        pairs = ngram_index_probe(
+            spark.createDataFrame([(9, "a b c d e")], schema),
+            idx,
+            corpus=docs,
+            threshold=0.5,
+        )
+        assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 9)}
+
     def test_put_small_any_content(self, tmp_path):
         be = FakeObjectStoreBackend()
         p = str(tmp_path / "obj")
