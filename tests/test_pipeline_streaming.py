@@ -527,6 +527,174 @@ class TestSurvivorCompaction:
         assert got2 == want
 
 
+class TestEmbeddingAutoLadder:
+    """r11 (VERDICT r10 task 1): n_planes="auto" climbs the
+    plane-depth ladder from inside foreachBatch — the index meta owns
+    the bucket shape, rung crossings trigger an automatic reconcile,
+    and the stream stays green across the climb."""
+
+    def test_params_for_is_a_monotone_ladder(self):
+        from timbala_spark.pipeline.incremental import embedding_params_for
+
+        prev_p = 0
+        for n in (0, 100, 1_000, 10_000, 100_000, 1_000_000, 4_000_000):
+            p, t = embedding_params_for(n, 0.8)
+            assert p >= prev_p and p >= 2 and t >= 1
+            prev_p = p
+        # the rung function grows log2: 1M → 4M at the default target
+        # is exactly two planes deeper
+        p1, _ = embedding_params_for(1_000_000, 0.8)
+        p4, _ = embedding_params_for(4_000_000, 0.8)
+        assert p4 == p1 + 2
+
+    def _rows(self):
+        # 60 vectors in three batches of 20; planted near-dups:
+        #   1 dups 0 (within batch 0)      -> 1 dropped
+        #   25 dups 0 (cross batch)        -> 25 dropped
+        #   42 dups 41 (within batch 2)    -> 42 dropped
+        #   47 dups 25 (25 dropped; canonical 0 indexed -> 47 drops)
+        import random
+
+        rng = random.Random(23)
+        vecs = {}
+        for i in range(60):
+            vecs[i] = [rng.uniform(-1.0, 1.0) for _ in range(8)]
+        jig = lambda v: [x + rng.uniform(-0.002, 0.002) for x in v]
+        vecs[1] = jig(vecs[0])
+        vecs[25] = jig(vecs[0])
+        vecs[42] = jig(vecs[41])
+        vecs[47] = jig(vecs[25])
+        return (
+            [(i, vecs[i]) for i in range(20)],
+            [(i, vecs[i]) for i in range(20, 40)],
+            [(i, vecs[i]) for i in range(40, 60)],
+        )
+
+    def test_stream_climbs_rung_and_stays_green(self, spark, tmp_path):
+        import os
+
+        from timbala_spark.pipeline.incremental import (
+            _read_meta,
+            embedding_index_build,
+            embedding_index_probe,
+            embedding_params_for,
+        )
+        from timbala_spark.pipeline.streaming import (
+            read_survivors,
+            streaming_near_dup,
+        )
+
+        schema = "vec_id long, embedding array<double>"
+        batches = self._rows()
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for k, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, schema)
+            tmp = str(tmp_path / f"stage{k}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"{k}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_000_000 + k, 1_000_000 + k))
+
+        idx = str(tmp_path / "idx")
+        surv = str(tmp_path / "surv")
+        ckpt = str(tmp_path / "ckpt")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        # ladder_target_rows=8: the first batch (20 vecs) sizes the
+        # index at 2 planes; after batch 1 (~38 survivors) the rung
+        # function wants 3 — a mid-stream crossing
+        run = lambda: streaming_near_dup(
+            stream,
+            idx,
+            surv,
+            ckpt,
+            id_col="vec_id",
+            text_col="embedding",
+            threshold=0.99,
+            kind="embedding",
+            dim=8,
+            n_planes="auto",
+            ladder_target_rows=8,
+        )
+        run().awaitTermination()
+        expected = set(range(60)) - {1, 25, 42, 47}
+        got = {
+            r["vec_id"]
+            for r in read_survivors(spark, surv, schema)
+            .select("vec_id")
+            .collect()
+        }
+        assert got == expected
+        meta = _read_meta(idx)
+        assert meta["n_planes"] == 3  # climbed from the initial 2
+        assert meta["indexed_vecs"] == len(expected)
+        p_want, t_want = embedding_params_for(
+            len(expected), 0.99, target_bucket_rows=8
+        )
+        assert (meta["n_planes"], meta["n_tables"]) == (p_want, t_want)
+
+        # incremental == rebuild ACROSS the crossing: probing a new
+        # batch against the climbed index equals probing a fresh
+        # control index built over the same corpus at the same shape
+        nb = spark.createDataFrame(
+            [(100, batches[0][0][1]), (101, [9.0] * 8)], schema
+        )
+        corpus = read_survivors(spark, surv, schema)
+        live = embedding_index_probe(
+            nb, idx, corpus=corpus, threshold=0.99, max_bucket_rows=None
+        )
+        ctl_dir = str(tmp_path / "ctl")
+        embedding_index_build(
+            corpus, ctl_dir, dim=8,
+            n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+        )
+        ctl = embedding_index_probe(
+            nb, ctl_dir, corpus=corpus, threshold=0.99, max_bucket_rows=None
+        )
+        pairs = lambda df: {
+            (r["id_a"], r["id_b"], round(r["cos"], 9)) for r in df.collect()
+        }
+        assert pairs(live) == pairs(ctl)
+        assert (0, 100) in {(a, b) for a, b, _ in pairs(live)}
+
+        # a replayed availableNow run adopts the climbed shape and
+        # changes nothing
+        run().awaitTermination()
+        assert _read_meta(idx)["n_planes"] == meta["n_planes"]
+        got2 = {
+            r["vec_id"]
+            for r in read_survivors(spark, surv, schema)
+            .select("vec_id")
+            .collect()
+        }
+        assert got2 == expected
+
+    def test_auto_rejected_for_text_kinds(self, spark, tmp_path):
+        from timbala_spark.pipeline.streaming import streaming_near_dup
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([], "doc_id long, text string").write.parquet(
+            src
+        )
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        with pytest.raises(ValueError, match="auto"):
+            streaming_near_dup(
+                stream,
+                str(tmp_path / "idx"),
+                str(tmp_path / "surv"),
+                str(tmp_path / "ckpt"),
+                kind="ngram",
+                n_planes="auto",
+            )
+
+
 class TestStreamingNearDupMinhash:
     """r11 (VERDICT r10 missing #3): the online near-dup stage over the
     banded-MinHash index — kind="minhash" probes per micro-batch with

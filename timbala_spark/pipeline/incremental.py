@@ -219,12 +219,18 @@ def _publish_append(
     out_fn,
     batch_tag: str | None,
     lock_timeout_s: float,
+    meta_update_fn=None,
 ) -> None:
     """Append under the lock with a CAS'd counter bump: ``out_fn(meta)``
     builds the rows from the CURRENT parameters.  A kill after the
     data write but before the CAS leaves the postings visible with a
     stale counter — benign (the counter is informational), and a
-    tagged replay overwrites the same subdir."""
+    tagged replay overwrites the same subdir.  ``meta_update_fn(meta)``
+    (optional) returns extra meta fields to fold into the same CAS —
+    the embedding kind uses it to advance ``indexed_vecs``, the
+    counter the plane-depth ladder climbs on (same advisory tolerance
+    as ``appended_batches``: a replayed append double-bumps, the next
+    reconcile resets it exactly)."""
     with _writer_lock(index_dir, lock_timeout_s):
         raw = _read_meta_bytes(index_dir)
         meta = json.loads(raw)
@@ -232,6 +238,8 @@ def _publish_append(
         out = out_fn(meta)
         _write_append(out, _gen_dir(index_dir, meta["generation"]), batch_tag)
         meta["appended_batches"] += 1
+        if meta_update_fn is not None:
+            meta.update(meta_update_fn(meta))
         _write_meta(index_dir, meta, expect=raw)
 
 
@@ -894,6 +902,39 @@ def minhash_index_reconcile(
 # embedding (hyperplane-LSH) index
 
 
+def embedding_params_for(
+    n_vectors: int,
+    threshold: float = 0.4,
+    target_bucket_rows: int = 200,
+    target_recall: float = 0.9,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """The plane-depth LADDER: (n_planes, n_tables) for an embedding
+    index expected to hold ``n_vectors`` — the rung function
+    ``streaming_near_dup(n_planes="auto")`` climbs (r11, VERDICT r10
+    task 1).
+
+    Same math as the batch operator's auto shape
+    (:func:`~timbala_spark.pipeline.similarity.lsh_params_for`, which
+    this delegates to): balanced cells hold ~N/2^planes rows, so
+    planes must grow with log2(N / target_bucket_rows) or probe
+    candidate volume grows LINEARLY with the corpus — PERF §22 r10
+    measured exactly that (fixed depth 19.4 → 84.2 s probe at
+    1M → 4M vectors; flat ON the ladder).  n_tables is the smallest
+    count restoring ``target_recall`` at the deeper planes.
+    Monotone non-decreasing in ``n_vectors`` by construction, so
+    rung crossings only ever DEEPEN the index."""
+    from .similarity import lsh_params_for
+
+    return lsh_params_for(
+        max(2, n_vectors),
+        threshold,
+        target_recall=target_recall,
+        target_bucket_rows=target_bucket_rows,
+        max_tables=max_tables,
+    )
+
+
 def _embedding_buckets(
     df: DataFrame,
     id_col: str,
@@ -1122,6 +1163,9 @@ def embedding_index_build(
             "seed": seed,
             "generation": 0,
             "appended_batches": 0,
+            # the ladder counter (embedding_params_for): appends
+            # advance it, reconcile resets it exactly
+            "indexed_vecs": vecs.select(F.col(id_col)).distinct().count(),
         },
         lock_timeout_s,
     )
@@ -1137,7 +1181,11 @@ def embedding_index_append(
 ) -> None:
     """Append a batch's bucket signatures (probe the batch first).
     ``batch_tag``: idempotent per-batch append, see
-    :func:`ngram_index_append`."""
+    :func:`ngram_index_append`.  Advances the meta's ``indexed_vecs``
+    ladder counter by the batch's distinct-id count (one ids-only
+    count job; advisory — a replayed append double-bumps, which only
+    climbs the ladder a rung early, and reconcile resets it
+    exactly)."""
     _publish_append(
         index_dir,
         "embedding",
@@ -1156,6 +1204,10 @@ def embedding_index_append(
         ),
         batch_tag,
         lock_timeout_s,
+        meta_update_fn=lambda meta: {
+            "indexed_vecs": meta.get("indexed_vecs", 0)
+            + vecs.select(F.col(id_col)).distinct().count()
+        },
     )
 
 
@@ -1295,10 +1347,14 @@ def embedding_index_reconcile(
     Re-parameterization is the LADDER step for a growing lake: random
     pairs collide at n_tables/2^n_planes per table, so a fixed plane
     depth makes probe candidate volume grow linearly with the corpus —
-    climbing n_planes with log2(corpus) (what ``lsh_params_for`` picks
-    for the batch operator) keeps the per-batch probe flat.  Probes
+    climbing n_planes with log2(corpus) (what
+    :func:`embedding_params_for` picks, the batch operator's
+    ``lsh_params_for`` math) keeps the per-batch probe flat.  Probes
     and appends refuse a mismatched shape (``_check_params``), so the
-    swap is the one sanctioned transition."""
+    swap is the one sanctioned transition — and
+    ``streaming_near_dup(n_planes="auto")`` performs it automatically
+    on rung crossings (r11).  Resets the ``indexed_vecs`` ladder
+    counter to the corpus's exact distinct-id count."""
 
     def out_fn(meta):
         return _embedding_buckets(
@@ -1315,7 +1371,9 @@ def embedding_index_reconcile(
             F.col("_bkt").alias("bkt"),
         )
 
-    upd: dict = {}
+    upd: dict = {
+        "indexed_vecs": corpus.select(F.col(id_col)).distinct().count()
+    }
     if n_planes is not None:
         upd["n_planes"] = n_planes
     if n_tables is not None:

@@ -521,11 +521,12 @@ def streaming_near_dup(
     compact_every: int | None = None,
     kind: str = "ngram",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 8,
     seed: int = 42,
     num_hashes: int = 64,
     bands: int | None = 16,
+    ladder_target_rows: int = 200,
 ):
     """Online near-dup dedup at ingest: each micro-batch is probed
     against the persisted index, survivors land under
@@ -541,9 +542,25 @@ def streaming_near_dup(
     (``dim``, ``n_planes``, ``n_tables``, ``seed``) shape the bucket
     index, ``max_postings`` becomes the stop-bucket cap.  Pick
     ``n_planes`` for the EXPECTED lake size (random pairs collide at
-    n_tables/2^n_planes per table) and climb it later with
-    ``embedding_index_reconcile`` — the ladder that keeps per-batch
-    probe cost flat (PERF §22 r10 addendum).
+    n_tables/2^n_planes per table) — or pass ``n_planes="auto"``
+    (r11, VERDICT r10 task 1) and the runner climbs the plane-depth
+    LADDER itself: the first batch sizes the initial shape
+    (``embedding_params_for``), every batch adopts the index meta's
+    current (n_planes, n_tables), and when the meta's
+    ``indexed_vecs`` counter crosses a rung —
+    ``embedding_params_for(total, threshold, ladder_target_rows)``
+    wants more planes than the index has — the runner reconciles the
+    index to the deeper shape from inside ``foreachBatch`` (where it
+    is the single writer, the same spot ``compact_every`` uses).
+    This is what keeps per-batch probe cost FLAT as the lake grows
+    (PERF §22 r10: fixed depth measured LINEAR, 19.4 → 84.2 s at
+    1M → 4M; the in-repo template is the bucketed store's
+    ``auto_bucket_count``, ``streaming/compact.py``; the reference
+    analog is the leveled compactor's automatic range escalation,
+    ``vendor/github.com/prometheus/tsdb/compact.go:128-167``).  In
+    auto mode ``dim`` and ``seed`` stay pinned; explicit ``n_planes``
+    keeps the r10 behavior (shape pinned, manual reconcile +
+    restart).
     ``kind="minhash"`` (r11) dedups a TEXT column by exact Jaccard
     over banded-MinHash candidates — (``n``, ``num_hashes``,
     ``bands``) shape the signatures (``bands=None`` derives the band
@@ -578,6 +595,8 @@ def streaming_near_dup(
         _check_params,
         _read_meta,
         embedding_index_build,
+        embedding_index_reconcile,
+        embedding_params_for,
         minhash_index_build,
         ngram_index_build,
     )
@@ -589,6 +608,9 @@ def streaming_near_dup(
         # resolve the threshold-derived band count up front so the
         # per-batch parameter check pins a concrete shape
         bands = minhash_params_for(threshold, num_hashes)
+    auto_ladder = n_planes == "auto"
+    if auto_ladder and kind != "embedding":
+        raise ValueError('n_planes="auto" applies to kind="embedding"')
 
     def _process(batch_df, batch_id):
         from ..streaming.backend import get_backend
@@ -598,14 +620,24 @@ def streaming_near_dup(
             os.path.join(index_dir, "_index_meta.json")
         ):
             if kind == "embedding":
+                if auto_ladder:
+                    # size the initial shape to the first batch — the
+                    # ladder only ever deepens from here
+                    p0, t0 = embedding_params_for(
+                        batch_df.count(),
+                        threshold,
+                        target_bucket_rows=ladder_target_rows,
+                    )
+                else:
+                    p0, t0 = n_planes, n_tables
                 embedding_index_build(
                     batch_df.limit(0),
                     index_dir,
                     id_col=id_col,
                     vec_col=text_col,
                     dim=dim,
-                    n_planes=n_planes,
-                    n_tables=n_tables,
+                    n_planes=p0,
+                    n_tables=t0,
                     seed=seed,
                 )
             elif kind == "minhash":
@@ -628,16 +660,25 @@ def streaming_near_dup(
                 )
         # an EXISTING index must have been built with the caller's
         # parameters — silently probing with the index's own shape
-        # would dedup with different shingles/buckets than requested
+        # would dedup with different shingles/buckets than requested.
+        # In auto-ladder mode the bucket shape (n_planes, n_tables) is
+        # the INDEX's to own — the runner adopts the meta's current
+        # rung, which is exactly what makes an automatic climb safe
+        # mid-stream — while dim and seed stay caller-pinned.
         if kind == "embedding":
-            _check_params(
-                _read_meta(index_dir),
-                "embedding",
-                dim=dim,
-                n_planes=n_planes,
-                n_tables=n_tables,
-                seed=seed,
-            )
+            if auto_ladder:
+                _check_params(
+                    _read_meta(index_dir), "embedding", dim=dim, seed=seed
+                )
+            else:
+                _check_params(
+                    _read_meta(index_dir),
+                    "embedding",
+                    dim=dim,
+                    n_planes=n_planes,
+                    n_tables=n_tables,
+                    seed=seed,
+                )
         elif kind == "minhash":
             _check_params(
                 _read_meta(index_dir),
@@ -670,6 +711,30 @@ def streaming_near_dup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch={batch_id}")
         )
+        if auto_ladder:
+            # rung check AFTER the append advanced indexed_vecs and
+            # the survivors dir landed (the reconcile corpus must
+            # cover every indexed id).  The climb is a full
+            # re-signing — O(corpus), but it fires only on log2
+            # crossings, exactly the leveled-compactor cadence.
+            meta = _read_meta(index_dir)
+            want_p, want_t = embedding_params_for(
+                meta.get("indexed_vecs", 0),
+                threshold,
+                target_bucket_rows=ladder_target_rows,
+            )
+            if want_p > meta["n_planes"]:
+                corpus = read_survivors(
+                    spark, survivors_path, batch_df.schema
+                )
+                embedding_index_reconcile(
+                    corpus,
+                    index_dir,
+                    id_col=id_col,
+                    vec_col=text_col,
+                    n_planes=want_p,
+                    n_tables=want_t,
+                )
         if compact_every and (batch_id + 1) % compact_every == 0:
             from .incremental import index_compact
 
