@@ -22,10 +22,22 @@ Usage:
       SNB_COMPACT_EVERY=5 python tools/streaming_neardup_bench.py
   SNB_KIND=embedding SNB_CORPUS=1000000 SNB_PLANES=22 \
       python tools/streaming_neardup_bench.py   # vector modality
+  SNB_KIND=embedding SNB_PLANES=auto SNB_LADDER_TARGET=200 \
+      python tools/streaming_neardup_bench.py   # r11 auto ladder —
+      # the seed index takes the rung shape for SNB_CORPUS and the
+      # stream reconciles itself on rung crossings; the summary
+      # reports the final meta shape so the climb is visible
+
+Knobs: SNB_DUP_PER_BATCH (rows per batch duplicating a corpus doc;
+default batch/50 — 0 streams all-fresh batches, exercising the
+no-pair fast path) and SNB_LADDER_TARGET (auto mode's
+target_bucket_rows).
 
 Prints one JSON line per micro-batch ({"batch": i, "wall_s": ...})
-and a summary line; the claim under test is that per-batch wall is
-FLAT across the run (bounded listing via compaction) instead of
+and a summary line (including the final survivor count, so two arms
+of an A/B can assert identical survivor sets); the claim under test
+is that per-batch wall is FLAT across the run (bounded listing via
+compaction; bounded candidates via the plane ladder) instead of
 growing with accumulated batches.
 """
 
@@ -61,8 +73,22 @@ def main() -> None:
     batch_n = int(os.environ.get("SNB_BATCH", "100000"))
     compact_every = int(os.environ.get("SNB_COMPACT_EVERY", "5")) or None
     dim = int(os.environ.get("SNB_DIM", "16"))
-    n_planes = int(os.environ.get("SNB_PLANES", "22"))
+    planes_env = os.environ.get("SNB_PLANES", "22")
+    auto_ladder = planes_env == "auto"
+    ladder_target = int(os.environ.get("SNB_LADDER_TARGET", "200"))
     n_tables = int(os.environ.get("SNB_TABLES", "4"))
+    dup_per_batch = int(
+        os.environ.get("SNB_DUP_PER_BATCH", str(batch_n // 50))
+    )
+    threshold_emb = 0.95
+    if auto_ladder:
+        from timbala_spark.pipeline.incremental import embedding_params_for
+
+        n_planes, n_tables = embedding_params_for(
+            n_corpus, threshold_emb, target_bucket_rows=ladder_target
+        )
+    else:
+        n_planes = int(planes_env)
 
     spark = (
         SparkSession.builder.master(
@@ -113,13 +139,16 @@ def main() -> None:
 
         for k in range(n_batches):
             start = n_corpus + k * batch_n
-            fresh = mk(batch_n - batch_n // 50, start=start)
-            dup = corpus.limit(batch_n // 50).select(
-                (F.col(id_col) + start + batch_n).alias(id_col),
-                content_col,
-            )
+            fresh = mk(batch_n - dup_per_batch, start=start)
+            batch_frame = fresh
+            if dup_per_batch:
+                dup = corpus.limit(dup_per_batch).select(
+                    (F.col(id_col) + start + batch_n).alias(id_col),
+                    content_col,
+                )
+                batch_frame = fresh.unionByName(dup)
             stage = os.path.join(root, f"stage{k}")
-            fresh.unionByName(dup).coalesce(1).write.mode(
+            batch_frame.coalesce(1).write.mode(
                 "overwrite"
             ).parquet(stage)
             part = [
@@ -143,12 +172,13 @@ def main() -> None:
                 ckpt,
                 id_col=id_col,
                 text_col=content_col,
-                threshold=0.95,
+                threshold=threshold_emb,
                 kind="embedding",
                 dim=dim,
-                n_planes=n_planes,
+                n_planes="auto" if auto_ladder else n_planes,
                 n_tables=n_tables,
                 compact_every=compact_every,
+                ladder_target_rows=ladder_target,
             )
         else:
             q = streaming_near_dup(
@@ -176,6 +206,11 @@ def main() -> None:
         ).stdout.split()[0]
         ws = [w for _, w in walls]
         half = max(1, len(ws) // 2)
+        from timbala_spark.pipeline.incremental import _read_meta
+        from timbala_spark.pipeline.streaming import read_survivors
+
+        meta = _read_meta(idx)
+        n_survivors = read_survivors(spark, surv, schema).count()
         print(
             json.dumps(
                 {
@@ -184,6 +219,14 @@ def main() -> None:
                     "batches": len(ws),
                     "batch_rows": batch_n,
                     "compact_every": compact_every,
+                    "survivors": n_survivors,
+                    "final_shape": {
+                        k: meta[k]
+                        for k in ("n_planes", "n_tables", "indexed_vecs")
+                        if k in meta
+                    }
+                    if kind == "embedding"
+                    else None,
                     "wall_first_half_avg_s": round(sum(ws[:half]) / half, 2),
                     "wall_second_half_avg_s": round(
                         sum(ws[half:]) / max(1, len(ws) - half), 2
