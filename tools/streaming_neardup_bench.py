@@ -165,6 +165,13 @@ def main() -> None:
             .parquet(src)
         )
         if kind == "embedding":
+            # ladder kwargs only in auto mode, so the pinned-shape
+            # config also runs on pre-r11 checkouts (worktree A/B arms)
+            ladder_kw = (
+                {"n_planes": "auto", "ladder_target_rows": ladder_target}
+                if auto_ladder
+                else {"n_planes": n_planes}
+            )
             q = streaming_near_dup(
                 stream,
                 idx,
@@ -175,10 +182,9 @@ def main() -> None:
                 threshold=threshold_emb,
                 kind="embedding",
                 dim=dim,
-                n_planes="auto" if auto_ladder else n_planes,
                 n_tables=n_tables,
                 compact_every=compact_every,
-                ladder_target_rows=ladder_target,
+                **ladder_kw,
             )
         else:
             q = streaming_near_dup(
