@@ -351,6 +351,39 @@ class TestMultimodal:
         assert len(feats) == 9
 
 
+class TestLshBucketSqlParity:
+    def test_string_built_bucket_is_value_identical(self, spark):
+        """lsh_bucket_sql (one F.expr parse; r11 — the Column forest
+        cost ~4 s of driver time per operator call at 22 planes ×
+        4 tables) must produce bit-identical buckets to
+        lsh_bucket_expr, including planes whose repr uses exponent
+        notation."""
+        import random
+
+        from timbala_spark.pipeline.similarity import (
+            _planes,
+            lsh_bucket_expr,
+            lsh_bucket_sql,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-3, 3) for _ in range(16)]) for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<double>")
+        cases = [
+            _planes(16, 22, 99),
+            # exponent-notation reprs must parse to the same doubles
+            [[1e-7, -2.5e-12, 3.0, -4.5e-05] + [0.1] * 12],
+        ]
+        for planes in cases:
+            bad = df.select(
+                lsh_bucket_expr(F.col("v"), planes).alias("a"),
+                lsh_bucket_sql("v", planes).alias("b"),
+            ).filter("a <> b OR a IS NULL OR b IS NULL")
+            assert bad.count() == 0
+
+
 class TestLshParams:
     def test_collision_math(self):
         import math as m

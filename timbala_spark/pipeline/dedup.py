@@ -686,7 +686,7 @@ def embedding_near_dup_pairs(
       (planes, tables) and a default bucket cap. The decision is
       logged (``timbala_spark.pipeline.dedup`` logger).
     """
-    from .similarity import as_double_array, dot_expr, lsh_bucket_expr, norm_expr, _planes
+    from .similarity import as_double_array, dot_expr, norm_expr, _planes
 
     # norm once per row (bit-identical to computing it per pair; see the
     # cosine_topk note) — the per-pair cost is a single dot fold.
@@ -845,6 +845,8 @@ def embedding_near_dup_pairs(
         # the array conversion n_tables times. Values are identical:
         # lsh_bucket_expr over the same planes, just evaluated in a
         # single projection.
+        from .similarity import lsh_bucket_sql
+
         banded = e.select(
             "_id",
             F.explode(
@@ -852,8 +854,11 @@ def embedding_near_dup_pairs(
                     *[
                         F.struct(
                             F.lit(t).alias("_tbl"),
-                            lsh_bucket_expr(
-                                F.col("_v"), _planes(dim, n_planes, seed + t)
+                            # string-built fold (r11): one F.expr parse
+                            # per table vs a py4j Column forest —
+                            # value-identical, see lsh_bucket_sql
+                            lsh_bucket_sql(
+                                "_v", _planes(dim, n_planes, seed + t)
                             ).alias("_bkt"),
                         )
                         for t in range(n_tables)

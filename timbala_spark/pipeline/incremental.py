@@ -952,7 +952,7 @@ def _embedding_buckets(
     a vector's buckets never change as the lake grows, which is what
     makes the incremental identity EXACT (no prefix effect except
     through the optional bucket-size cap)."""
-    from .similarity import _planes, as_double_array, lsh_bucket_expr
+    from .similarity import _planes, as_double_array, lsh_bucket_sql
 
     # width guard (r10 ADVICE): zip_with null-pads a width mismatch,
     # so without this every plane dot of a wrong-width vector is NULL,
@@ -997,8 +997,12 @@ def _embedding_buckets(
                     *[
                         F.struct(
                             F.lit(t).alias("tbl"),
-                            lsh_bucket_expr(
-                                F.col("_v"), _planes(dim, n_planes, seed + t)
+                            # string-built fold: one F.expr parse per
+                            # table vs a py4j Column forest costing
+                            # ~4 s of driver time per call at
+                            # 22 planes × 4 tables (r11; PERF §13)
+                            lsh_bucket_sql(
+                                "_v", _planes(dim, n_planes, seed + t)
                             ).alias("bkt"),
                         )
                         for t in range(n_tables)

@@ -157,6 +157,32 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_bucket_sql(col_name: str, planes: list[list[float]]) -> Column:
+    """:func:`lsh_bucket_expr` built as ONE parsed SQL expression over a
+    NAMED column — value-identical (same zip_with/aggregate fold, same
+    term order, same comparisons; ``repr`` round-trips every double
+    exactly), but the construction is a single ``F.expr`` parse instead
+    of thousands of py4j Column calls.  At 22 planes × 16 dims ×
+    4 tables the Column forest costs ~4 s of DRIVER time per operator
+    call (measured r11 — the per-batch append and probe each paid it),
+    the same plan-construction pathology PERF §13 fixed for the
+    engine's batched projections.  Use this form wherever the vector
+    column has a name; keep :func:`lsh_bucket_expr` for callers holding
+    an anonymous Column (a parity test pins the two identical)."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{float(x)!r}D" for x in p)
+        d = (
+            f"aggregate(zip_with(`{col_name}`, array({arr}), "
+            "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(terms))
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,7 +209,8 @@ def lsh_cosine_topk(
     # one pass per side: every table's bucket in a single projection
     # (explode of a struct array) instead of one union branch per table
     # re-scanning the source n_tables times — identical values, same
-    # lsh_bucket_expr over the same planes
+    # bucket fold over the same planes (string-built: one F.expr parse
+    # per table instead of a py4j Column forest — see lsh_bucket_sql)
     def _banded(src: DataFrame, vec: str, carry: list[str]) -> DataFrame:
         return src.select(
             *carry,
@@ -192,8 +219,8 @@ def lsh_cosine_topk(
                     *[
                         F.struct(
                             F.lit(t).alias("_tbl"),
-                            lsh_bucket_expr(
-                                F.col(vec), _planes(dim, n_planes, seed + t)
+                            lsh_bucket_sql(
+                                vec, _planes(dim, n_planes, seed + t)
                             ).alias("_bkt"),
                         )
                         for t in range(n_tables)
