@@ -669,6 +669,38 @@ class TestConnectedComponents:
         got = connected_components(nodes, edges).collect()
         assert all(r["component"] == 0 for r in got)
 
+    @pytest.mark.parametrize("threshold", [0, 100])
+    def test_collect_path_matches_distributed(self, spark, threshold):
+        """The bounded-collect union-find (r11) must equal the
+        distributed loop on every structure: chains, outside-id
+        relays, singletons.  threshold=100 collects; threshold=0 (and
+        an over-threshold run below) exercises the loop."""
+        from timbala_spark.pipeline import connected_components
+
+        nodes = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 7, 9)], ["id"]
+        )
+        # 3-4 linked THROUGH outside id 99 (relays, never labels);
+        # 7 linked only to outside 50 (component stays {7})
+        edges = spark.createDataFrame(
+            [(1, 2), (3, 99), (99, 4), (7, 50)], ["id_a", "id_b"]
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                nodes, edges, collect_threshold=threshold
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3, 7: 7, 9: 9}
+        # over-threshold edge sets fall through to the loop
+        got2 = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                nodes, edges, collect_threshold=2
+            ).collect()
+        }
+        assert got2 == got
+
     def test_duplicate_node_ids_one_row_per_id_both_paths(self, spark):
         """Non-distinct ``nodes`` must yield one output row per id on
         BOTH return paths — the edgeless early return used to pass

@@ -970,6 +970,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 30,
+    collect_threshold: int = 0,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by min-label
     propagation: every node starts as its own component; each round a
@@ -987,7 +988,79 @@ def connected_components(
     ``localCheckpoint`` cuts the iterative lineage so plans stay flat.
     Edges referencing ids outside ``nodes`` propagate labels but are
     excluded from the output.
+
+    ``collect_threshold`` > 0 enables a BOUNDED-collect fast path for
+    small edge sets (r11, VERDICT r10 #3): when the graph has at most
+    that many edges, the ids-only edge list (16 B/row) is collected
+    and resolved by driver-side union-find instead of the iterative
+    loop — 2 jobs instead of ~7, which matters on the streaming
+    stage's per-micro-batch floor where within-batch graphs are tiny.
+    Identical output by construction: a component's label is the min
+    NODE id reachable through the edge set (outside ids relay but
+    never label, exactly the propagation semantics).  Edge sets above
+    the threshold fall through to the distributed loop — the 100 TB
+    path is unchanged.
     """
+    if collect_threshold > 0:
+        probe = edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        ).limit(collect_threshold + 1)
+        e_rows = probe.collect()
+        if len(e_rows) <= collect_threshold:
+            if not e_rows:
+                return nodes.select(
+                    F.col(node_col), F.col(node_col).alias("component")
+                ).dropDuplicates([node_col])
+            # union-find over the collected edges; component label =
+            # min NODE id in the component, so membership of endpoints
+            # in `nodes` is needed (outside ids relay, never label)
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in e_rows:
+                a, b = find(r["_src"]), find(r["_dst"])
+                if a != b:
+                    parent[a] = b
+            endpoints = {r["_src"] for r in e_rows} | {
+                r["_dst"] for r in e_rows
+            }
+            spark = nodes.sparkSession
+            ep_df = spark.createDataFrame(
+                [(i,) for i in endpoints], nodes.select(node_col).schema
+            )
+            node_eps = {
+                r[node_col]
+                for r in nodes.join(
+                    F.broadcast(ep_df), node_col, "left_semi"
+                ).collect()
+            }
+            comp_min: dict = {}
+            for i in node_eps:
+                root = find(i)
+                comp_min[root] = min(comp_min.get(root, i), i)
+            mapping = [(i, comp_min[find(i)]) for i in node_eps]
+            map_df = spark.createDataFrame(
+                mapping,
+                f"{node_col} {nodes.schema[node_col].dataType.simpleString()},"
+                f" _cc {nodes.schema[node_col].dataType.simpleString()}",
+            )
+            return (
+                nodes.select(node_col)
+                .join(F.broadcast(map_df), node_col, "left")
+                .select(
+                    F.col(node_col),
+                    F.coalesce("_cc", F.col(node_col)).alias("component"),
+                )
+                .dropDuplicates([node_col])
+            )
+        # over threshold: fall through to the distributed loop
     # materialize the (possibly expensive) edge lineage ONCE — the
     # per-round msgs join would otherwise re-evaluate the whole pair
     # generation every iteration (measured 60 s vs 11 s at sf0.1 when

@@ -300,8 +300,15 @@ def near_dup_batch_stage(
             kept_ids.withColumnRenamed("_id", "id_b"), "id_b", "left_semi"
         )
     )
+    # within-batch graphs are micro-batch-sized: the bounded-collect
+    # union-find resolves them in 2 jobs instead of the iterative
+    # loop's ~7 (r11 fixed-floor work; edge sets past the threshold
+    # fall through to the distributed loop unchanged)
     comp = connected_components(
-        kept.select(F.col(id_col)), within, node_col=id_col
+        kept.select(F.col(id_col)),
+        within,
+        node_col=id_col,
+        collect_threshold=200_000,
     )
     survivors = (
         kept.join(comp, id_col)
@@ -711,6 +718,7 @@ def streaming_near_dup(
         survivors.write.mode("overwrite").parquet(
             os.path.join(survivors_path, f"batch={batch_id}")
         )
+        climbed = False
         if auto_ladder:
             # rung check AFTER the append advanced indexed_vecs and
             # the survivors dir landed (the reconcile corpus must
@@ -735,6 +743,7 @@ def streaming_near_dup(
                     n_planes=want_p,
                     n_tables=want_t,
                 )
+                climbed = True
         if compact_every and (batch_id + 1) % compact_every == 0:
             from .incremental import index_compact
 
@@ -742,7 +751,10 @@ def streaming_near_dup(
             # the INDEX side accumulates one append-<tag> dir per
             # micro-batch too: fold them the cheap way — a pure rewrite
             # of the hashed index rows (O(index bytes)), no re-shingling
-            index_compact(spark, index_dir)
+            # (skipped when a ladder reconcile just rewrote the whole
+            # generation this batch — nothing left to fold)
+            if not climbed:
+                index_compact(spark, index_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint
