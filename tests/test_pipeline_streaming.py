@@ -538,14 +538,14 @@ class TestEmbeddingAutoLadder:
 
         prev_p = 0
         for n in (0, 100, 1_000, 10_000, 100_000, 1_000_000, 4_000_000):
-            p, t = embedding_params_for(n, 0.8)
-            assert p >= prev_p and p >= 2 and t >= 1
+            p = embedding_params_for(n)
+            assert p >= prev_p and p >= 2
             prev_p = p
         # the rung function grows log2: 1M → 4M at the default target
-        # is exactly two planes deeper
-        p1, _ = embedding_params_for(1_000_000, 0.8)
-        p4, _ = embedding_params_for(4_000_000, 0.8)
-        assert p4 == p1 + 2
+        # is exactly two planes deeper — and the default rung matches
+        # the PERF §22 recorded ladder points (22 @ 1M, 24 @ 4M)
+        assert embedding_params_for(1_000_000) == 22
+        assert embedding_params_for(4_000_000) == 24
 
     def _rows(self):
         # 60 vectors in three batches of 20; planted near-dups:
@@ -605,9 +605,9 @@ class TestEmbeddingAutoLadder:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        # ladder_target_rows=8: the first batch (20 vecs) sizes the
-        # index at 2 planes; after batch 1 (~38 survivors) the rung
-        # function wants 3 — a mid-stream crossing
+        # ladder_target_collisions=8: the first batch (20 vecs) sizes
+        # the index at 2 planes; after batch 1 (~38 survivors) the
+        # rung function wants 3 — a mid-stream crossing
         run = lambda: streaming_near_dup(
             stream,
             idx,
@@ -619,7 +619,7 @@ class TestEmbeddingAutoLadder:
             kind="embedding",
             dim=8,
             n_planes="auto",
-            ladder_target_rows=8,
+            ladder_target_collisions=8,
         )
         run().awaitTermination()
         expected = set(range(60)) - {1, 25, 42, 47}
@@ -633,10 +633,9 @@ class TestEmbeddingAutoLadder:
         meta = _read_meta(idx)
         assert meta["n_planes"] == 3  # climbed from the initial 2
         assert meta["indexed_vecs"] == len(expected)
-        p_want, t_want = embedding_params_for(
-            len(expected), 0.99, target_bucket_rows=8
-        )
-        assert (meta["n_planes"], meta["n_tables"]) == (p_want, t_want)
+        assert meta["n_planes"] == embedding_params_for(len(expected), 8)
+        # tables are the caller's recall knob — never laddered
+        assert meta["n_tables"] == 8
 
         # incremental == rebuild ACROSS the crossing: probing a new
         # batch against the climbed index equals probing a fresh

@@ -904,34 +904,39 @@ def minhash_index_reconcile(
 
 def embedding_params_for(
     n_vectors: int,
-    threshold: float = 0.4,
-    target_bucket_rows: int = 200,
-    target_recall: float = 0.9,
-    max_tables: int = 64,
-) -> tuple[int, int]:
-    """The plane-depth LADDER: (n_planes, n_tables) for an embedding
-    index expected to hold ``n_vectors`` — the rung function
+    target_collisions: float = 0.25,
+) -> int:
+    """The plane-depth LADDER: n_planes for an embedding index
+    expected to hold ``n_vectors`` — the rung function
     ``streaming_near_dup(n_planes="auto")`` climbs (r11, VERDICT r10
     task 1).
 
-    Same math as the batch operator's auto shape
-    (:func:`~timbala_spark.pipeline.similarity.lsh_params_for`, which
-    this delegates to): balanced cells hold ~N/2^planes rows, so
-    planes must grow with log2(N / target_bucket_rows) or probe
-    candidate volume grows LINEARLY with the corpus — PERF §22 r10
-    measured exactly that (fixed depth 19.4 → 84.2 s probe at
-    1M → 4M vectors; flat ON the ladder).  n_tables is the smallest
-    count restoring ``target_recall`` at the deeper planes.
-    Monotone non-decreasing in ``n_vectors`` by construction, so
-    rung crossings only ever DEEPEN the index."""
-    from .similarity import lsh_params_for
+    PROBE economics, not the batch self-join's: a probe batch meets
+    ~``N / 2^planes`` random collisions per vector per table, so the
+    rung is ``planes = ceil(log2(N / target_collisions))`` — depth
+    follows log2(corpus) and the per-batch candidate volume stays
+    pinned at ~``|batch| · n_tables · target_collisions`` no matter
+    how the lake grows.  PERF §22 r10 measured exactly this: fixed
+    depth is LINEAR (probe 19.4 → 84.2 s at 1M → 4M), flat only on
+    the ladder — and the recorded ladder points (22 planes at 1M, 24
+    at 4M) are precisely this rung at the 0.25 default.  ``n_tables``
+    is NOT part of the rung: table count is the caller's recall knob
+    (near-exact duplicates collide per table at ~(1-θ/π)^planes ≈
+    0.7+ even at depth 22, so a handful of tables keeps near-dup
+    recall high regardless of depth), and climbing it with the corpus
+    would multiply probe cost for recall the dedup use case does not
+    need.  Do NOT confuse with
+    :func:`~timbala_spark.pipeline.similarity.lsh_params_for`
+    (``target_bucket_rows=200``): that shape is tuned for the batch
+    operator's corpus×corpus self-join under a bucket cap; at probe
+    scale it admits ~800× the candidates (measured: OOM at 1M corpus
+    × 100k batch on 13 planes vs 200k candidates on this rung).
+    Monotone non-decreasing in ``n_vectors`` by construction, so rung
+    crossings only ever DEEPEN the index."""
+    import math
 
-    return lsh_params_for(
-        max(2, n_vectors),
-        threshold,
-        target_recall=target_recall,
-        target_bucket_rows=target_bucket_rows,
-        max_tables=max_tables,
+    return max(
+        2, math.ceil(math.log2(max(2, n_vectors) / target_collisions))
     )
 
 

@@ -533,7 +533,7 @@ def streaming_near_dup(
     seed: int = 42,
     num_hashes: int = 64,
     bands: int | None = 16,
-    ladder_target_rows: int = 200,
+    ladder_target_collisions: float = 0.25,
 ):
     """Online near-dup dedup at ingest: each micro-batch is probed
     against the persisted index, survivors land under
@@ -551,14 +551,17 @@ def streaming_near_dup(
     ``n_planes`` for the EXPECTED lake size (random pairs collide at
     n_tables/2^n_planes per table) — or pass ``n_planes="auto"``
     (r11, VERDICT r10 task 1) and the runner climbs the plane-depth
-    LADDER itself: the first batch sizes the initial shape
-    (``embedding_params_for``), every batch adopts the index meta's
-    current (n_planes, n_tables), and when the meta's
-    ``indexed_vecs`` counter crosses a rung —
-    ``embedding_params_for(total, threshold, ladder_target_rows)``
-    wants more planes than the index has — the runner reconciles the
-    index to the deeper shape from inside ``foreachBatch`` (where it
-    is the single writer, the same spot ``compact_every`` uses).
+    LADDER itself: the first batch sizes the initial depth
+    (``embedding_params_for``; ``n_tables`` stays the caller's recall
+    knob at every depth), every batch adopts the index meta's current
+    (n_planes, n_tables), and when the meta's ``indexed_vecs``
+    counter crosses a rung —
+    ``embedding_params_for(total, ladder_target_collisions)`` wants
+    more planes than the index has — the runner reconciles the index
+    to the deeper depth from inside ``foreachBatch`` (where it is the
+    single writer, the same spot ``compact_every`` uses).
+    ``ladder_target_collisions`` pins per-batch candidate volume at
+    ~``|batch| · n_tables · target`` random collisions.
     This is what keeps per-batch probe cost FLAT as the lake grows
     (PERF §22 r10: fixed depth measured LINEAR, 19.4 → 84.2 s at
     1M → 4M; the in-repo template is the bucketed store's
@@ -628,15 +631,15 @@ def streaming_near_dup(
         ):
             if kind == "embedding":
                 if auto_ladder:
-                    # size the initial shape to the first batch — the
-                    # ladder only ever deepens from here
-                    p0, t0 = embedding_params_for(
-                        batch_df.count(),
-                        threshold,
-                        target_bucket_rows=ladder_target_rows,
+                    # size the initial depth to the first batch — the
+                    # ladder only ever deepens from here; tables stay
+                    # the caller's recall knob
+                    p0 = embedding_params_for(
+                        batch_df.count(), ladder_target_collisions
                     )
                 else:
-                    p0, t0 = n_planes, n_tables
+                    p0 = n_planes
+                t0 = n_tables
                 embedding_index_build(
                     batch_df.limit(0),
                     index_dir,
@@ -726,10 +729,8 @@ def streaming_near_dup(
             # re-signing — O(corpus), but it fires only on log2
             # crossings, exactly the leveled-compactor cadence.
             meta = _read_meta(index_dir)
-            want_p, want_t = embedding_params_for(
-                meta.get("indexed_vecs", 0),
-                threshold,
-                target_bucket_rows=ladder_target_rows,
+            want_p = embedding_params_for(
+                meta.get("indexed_vecs", 0), ladder_target_collisions
             )
             if want_p > meta["n_planes"]:
                 corpus = read_survivors(
@@ -741,7 +742,6 @@ def streaming_near_dup(
                     id_col=id_col,
                     vec_col=text_col,
                     n_planes=want_p,
-                    n_tables=want_t,
                 )
                 climbed = True
         if compact_every and (batch_id + 1) % compact_every == 0:

@@ -22,16 +22,17 @@ Usage:
       SNB_COMPACT_EVERY=5 python tools/streaming_neardup_bench.py
   SNB_KIND=embedding SNB_CORPUS=1000000 SNB_PLANES=22 \
       python tools/streaming_neardup_bench.py   # vector modality
-  SNB_KIND=embedding SNB_PLANES=auto SNB_LADDER_TARGET=200 \
+  SNB_KIND=embedding SNB_PLANES=auto \
       python tools/streaming_neardup_bench.py   # r11 auto ladder —
-      # the seed index takes the rung shape for SNB_CORPUS and the
+      # the seed index takes the rung depth for SNB_CORPUS and the
       # stream reconciles itself on rung crossings; the summary
       # reports the final meta shape so the climb is visible
 
 Knobs: SNB_DUP_PER_BATCH (rows per batch duplicating a corpus doc;
 default batch/50 — 0 streams all-fresh batches, exercising the
 no-pair fast path) and SNB_LADDER_TARGET (auto mode's
-target_bucket_rows).
+target_collisions rung parameter, default 0.25 — the probe-economics
+rung, NOT the batch self-join's bucket target).
 
 Prints one JSON line per micro-batch ({"batch": i, "wall_s": ...})
 and a summary line (including the final survivor count, so two arms
@@ -75,7 +76,7 @@ def main() -> None:
     dim = int(os.environ.get("SNB_DIM", "16"))
     planes_env = os.environ.get("SNB_PLANES", "22")
     auto_ladder = planes_env == "auto"
-    ladder_target = int(os.environ.get("SNB_LADDER_TARGET", "200"))
+    ladder_target = float(os.environ.get("SNB_LADDER_TARGET", "0.25"))
     n_tables = int(os.environ.get("SNB_TABLES", "4"))
     dup_per_batch = int(
         os.environ.get("SNB_DUP_PER_BATCH", str(batch_n // 50))
@@ -84,9 +85,7 @@ def main() -> None:
     if auto_ladder:
         from timbala_spark.pipeline.incremental import embedding_params_for
 
-        n_planes, n_tables = embedding_params_for(
-            n_corpus, threshold_emb, target_bucket_rows=ladder_target
-        )
+        n_planes = embedding_params_for(n_corpus, ladder_target)
     else:
         n_planes = int(planes_env)
 
@@ -168,7 +167,10 @@ def main() -> None:
             # ladder kwargs only in auto mode, so the pinned-shape
             # config also runs on pre-r11 checkouts (worktree A/B arms)
             ladder_kw = (
-                {"n_planes": "auto", "ladder_target_rows": ladder_target}
+                {
+                    "n_planes": "auto",
+                    "ladder_target_collisions": ladder_target,
+                }
                 if auto_ladder
                 else {"n_planes": n_planes}
             )
