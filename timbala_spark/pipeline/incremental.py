@@ -1356,9 +1356,9 @@ def embedding_index_reconcile(
     Re-parameterization is the LADDER step for a growing lake: random
     pairs collide at n_tables/2^n_planes per table, so a fixed plane
     depth makes probe candidate volume grow linearly with the corpus —
-    climbing n_planes with log2(corpus) (what
-    :func:`embedding_params_for` picks, the batch operator's
-    ``lsh_params_for`` math) keeps the per-batch probe flat.  Probes
+    climbing n_planes with log2(corpus) (the
+    :func:`embedding_params_for` probe rung) keeps the per-batch
+    probe flat.  Probes
     and appends refuse a mismatched shape (``_check_params``), so the
     swap is the one sanctioned transition — and
     ``streaming_near_dup(n_planes="auto")`` performs it automatically
