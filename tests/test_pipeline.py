@@ -383,6 +383,74 @@ class TestLshBucketSqlParity:
             ).filter("a <> b OR a IS NULL OR b IS NULL")
             assert bad.count() == 0
 
+    def test_bucket_width_mismatch_falls_back_to_fold(self, spark):
+        """A vector whose width differs from the planes' must keep the
+        fold's null-pad degeneracy (bucket 0 for every table) — the
+        r11 unrolled fast path only fires on exact-width rows."""
+        from timbala_spark.pipeline.similarity import (
+            _planes,
+            lsh_bucket_expr,
+            lsh_bucket_sql,
+        )
+
+        planes = _planes(16, 6, 3)
+        df = spark.createDataFrame(
+            [(1, [0.5] * 15), (2, [0.5] * 17), (3, []), (4, None)],
+            "id long, v array<double>",
+        )
+        rows = df.select(
+            "id",
+            lsh_bucket_expr(F.col("v"), planes).alias("a"),
+            lsh_bucket_sql("v", planes).alias("b"),
+        ).collect()
+        for r in rows:
+            assert r["a"] == r["b"], r
+
+
+class TestDotSqlParity:
+    def test_unrolled_dot_and_norm_are_bit_identical(self, spark):
+        """dot_sql/norm_sql (r11): the guarded unrolled codegen kernel
+        must be BIT-identical to the interpreted zip_with/aggregate
+        fold — same left-associated addition order on exact-width rows,
+        verbatim fold on every other width (empty/short/long/NULL/NaN),
+        so no operator's values can move."""
+        import random
+
+        from timbala_spark.pipeline.similarity import (
+            dot_expr,
+            dot_sql,
+            norm_expr,
+            norm_sql,
+        )
+
+        rng = random.Random(11)
+        rows = [
+            (
+                i,
+                [rng.uniform(-3, 3) for _ in range(16)],
+                [rng.uniform(-3, 3) for _ in range(16)],
+            )
+            for i in range(500)
+        ]
+        rows += [
+            (1000, [], []),
+            (1001, [1.0] * 15, [2.0] * 15),
+            (1002, [1.0] * 17, [2.0] * 17),
+            (1003, None, [1.0] * 16),
+            (1004, [float("nan")] * 16, [1.0] * 16),
+            (1005, [0.0] * 16, [-1.0] * 16),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, a array<double>, b array<double>"
+        )
+        bad = df.select(
+            dot_expr(F.col("a"), F.col("b")).alias("f"),
+            dot_sql("a", "b", 16).alias("u"),
+            norm_expr(F.col("a")).alias("nf"),
+            norm_sql("a", 16).alias("nu"),
+        ).filter("NOT (f <=> u) OR NOT (nf <=> nu)")
+        assert bad.count() == 0
+
 
 class TestLshParams:
     def test_collision_math(self):

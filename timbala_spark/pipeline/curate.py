@@ -27,6 +27,23 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import connected_components, ngram_jaccard_pairs
 
+#: Bounded-collect union-find opt-in for the pipeline's components
+#: stage (r11): near-dup pair graphs are a vanishing fraction of the
+#: corpus (ids-only, 16 B/edge — 200k edges is ~3 MB on the driver),
+#: and below this bound the driver-side union-find resolves them in
+#: 2 jobs instead of the distributed loop's ~7 (identical labels by
+#: construction — see ``connected_components``).  Same bound the
+#: streaming stage already opts in at; above it the 100 TB distributed
+#: loop runs unchanged.  Override via ``TIMBALA_CC_COLLECT_EDGES``
+#: (0 disables).
+CC_COLLECT_EDGES = 200_000
+
+
+def _cc_collect_edges() -> int:
+    import os
+
+    return int(os.environ.get("TIMBALA_CC_COLLECT_EDGES", CC_COLLECT_EDGES))
+
 
 def near_dup_pipeline(
     docs: DataFrame,
@@ -89,7 +106,14 @@ def near_dup_pipeline(
     # once per such action at 20M docs (PERF §20c take 8). Same ids:
     # survivors ≡ reps._rep by construction.
     comp = connected_components(
-        reps.select(F.col("_rep").alias(id_col)), pairs, node_col=id_col
+        reps.select(F.col("_rep").alias(id_col)),
+        pairs,
+        node_col=id_col,
+        # the pair list is already eagerly checkpointed above, so the
+        # bounded probe reads a materialized frame; small graphs then
+        # resolve driver-side in 2 jobs instead of the loop's ~7
+        # (identical labels — the streaming stage's r11 fast path)
+        collect_threshold=_cc_collect_edges(),
     )
     return (
         mapping.join(comp, mapping["_rep"] == comp[id_col])

@@ -122,6 +122,27 @@ def _estimated_input_bytes(df: DataFrame) -> int | None:
     return total
 
 
+def _small_corpus(df: DataFrame) -> bool:
+    """The small-corpus gate shared by the candidate-cap operators
+    (n-gram stop-shingles, embedding stop-buckets): ``True`` when the
+    frame's leaf-scan bytes fit under ``SMALL_CORPUS_INPUT_BYTES``
+    (env ``TIMBALA_NGRAM_SMALL_CORPUS_BYTES``; 0 disables, i.e. never
+    small).  Metadata-only (no job), fails CLOSED: unknown size ⇒ big
+    ⇒ full machinery.  Gates only PURE-ACTION work — the fired-cap
+    REPORT counts — never anything that changes results."""
+    import os
+
+    cut = int(
+        os.environ.get(
+            "TIMBALA_NGRAM_SMALL_CORPUS_BYTES", SMALL_CORPUS_INPUT_BYTES
+        )
+    )
+    if cut <= 0:
+        return False
+    est = _estimated_input_bytes(df)
+    return est is not None and est <= cut
+
+
 def _resolve_persist_shingles(
     df: DataFrame, text_col: str, n: int
 ) -> bool:
@@ -241,7 +262,6 @@ def ngram_jaccard_pairs(
     differ.
     """
     del persist_shingles  # r8: single design; kept for API compat
-    import os
 
     # Small-corpus fast path (r9): skip the one PURE-ACTION job — the
     # stop-shingle count (the fired-cap report) — whose fixed job cost
@@ -253,13 +273,7 @@ def ngram_jaccard_pairs(
     # metadata-only (leaf file sizes — no job) and fails CLOSED:
     # unknown size ⇒ big ⇒ full machinery.  Results are identical on
     # both paths — only actions and the cap log differ.
-    _small_cut = int(
-        os.environ.get(
-            "TIMBALA_NGRAM_SMALL_CORPUS_BYTES", SMALL_CORPUS_INPUT_BYTES
-        )
-    )
-    _est = _estimated_input_bytes(df) if _small_cut > 0 else None
-    small = _est is not None and _est <= _small_cut
+    small = _small_corpus(df)
     _local_pins: list[DataFrame] = []
 
     def _pin(frame: DataFrame, release_previous: bool) -> DataFrame:
@@ -686,16 +700,18 @@ def embedding_near_dup_pairs(
       (planes, tables) and a default bucket cap. The decision is
       logged (``timbala_spark.pipeline.dedup`` logger).
     """
-    from .similarity import as_double_array, dot_expr, norm_expr, _planes
+    from .similarity import as_double_array, dot_sql, norm_sql, _planes
 
     # norm once per row (bit-identical to computing it per pair; see the
-    # cosine_topk note) — the per-pair cost is a single dot fold.
+    # cosine_topk note) — the per-pair cost is a single dot kernel.
     # Persisted: every mode consumes `e` from 2+ plan branches (both
     # sides of the pair join at minimum), and the array conversion +
-    # norm fold are interpreted-HOF work worth computing exactly once.
+    # norm are worth computing exactly once.  norm_sql/dot_sql (r11):
+    # the guarded unrolled codegen kernel — bit-identical to the fold
+    # at every width, 3.8× per row (similarity.dot_sql).
     e = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), as_double_array(F.col(vec_col)).alias("_v")
-    ).withColumn("_norm", norm_expr(F.col("_v")))
+    ).withColumn("_norm", norm_sql("_v", dim))
     e = tracked_persist(e)
     if mode == "auto":
         import logging
@@ -882,39 +898,52 @@ def embedding_near_dup_pairs(
             # verified exactly, so the cap is recall-only
             import logging
 
-            cells = tracked_persist(
-                banded.groupBy("_tbl", "_bkt").count(),
-                release_previous=False,
-            )
-            n_cells = cells.count()
+            cells = banded.groupBy("_tbl", "_bkt").count()
             hot = cells.filter(F.col("count") > max_bucket_rows).select(
                 "_tbl", "_bkt"
             )
-            n_hot = hot.count()
-            if n_hot:
-                # the fired-cap report (VERDICT r6 #3 recall contract):
-                # the cap silently costing a FEW degenerate buckets is
-                # the design; the cap wiping out most cells means the
-                # (planes, tables) shape cannot separate this corpus —
-                # at 2^planes buckets per table, N rows put N/2^planes
-                # in every bucket, and once that exceeds the cap recall
-                # collapses toward zero. That deserves a WARNING, not a
-                # debug line.
-                lg = logging.getLogger(__name__)
-                pct = 100.0 * n_hot / max(1, n_cells)
-                msg = (
-                    "embedding_near_dup lsh: %d of %d (table,bucket) "
-                    "cells exceed max_bucket_rows=%d (%.0f%%) and "
-                    "generate no candidates. Recall-only, but if most "
-                    "cells are capped the corpus is not separable at "
-                    "this (n_planes=%d, n_tables=%d) — run exact_dedup "
-                    "first, raise n_planes, or use mode='auto'."
-                )
-                args = (n_hot, n_cells, max_bucket_rows, pct, n_planes, n_tables)
-                if 2 * n_hot >= n_cells:
-                    lg.warning(msg, *args)
-                else:
-                    lg.info(msg, *args)
+            # Small corpora skip the two PURE-ACTION report jobs (the
+            # cell count + fired-cap count — the same r9 gate the
+            # n-gram path applies to its stop-shingle report; r11).
+            # The anti-join below is UNCONDITIONAL either way, so the
+            # candidate set is identical on both paths; `hot` is then
+            # a single-consumer subplan over the banded cache and
+            # needs no pin of its own.
+            if not _small_corpus(df):
+                cells = tracked_persist(cells, release_previous=False)
+                n_cells = cells.count()
+                hot = cells.filter(
+                    F.col("count") > max_bucket_rows
+                ).select("_tbl", "_bkt")
+                n_hot = hot.count()
+                if n_hot:
+                    # the fired-cap report (VERDICT r6 #3 recall
+                    # contract): the cap silently costing a FEW
+                    # degenerate buckets is the design; the cap wiping
+                    # out most cells means the (planes, tables) shape
+                    # cannot separate this corpus — at 2^planes buckets
+                    # per table, N rows put N/2^planes in every bucket,
+                    # and once that exceeds the cap recall collapses
+                    # toward zero. That deserves a WARNING, not a
+                    # debug line.
+                    lg = logging.getLogger(__name__)
+                    pct = 100.0 * n_hot / max(1, n_cells)
+                    msg = (
+                        "embedding_near_dup lsh: %d of %d (table,bucket) "
+                        "cells exceed max_bucket_rows=%d (%.0f%%) and "
+                        "generate no candidates. Recall-only, but if most "
+                        "cells are capped the corpus is not separable at "
+                        "this (n_planes=%d, n_tables=%d) — run exact_dedup "
+                        "first, raise n_planes, or use mode='auto'."
+                    )
+                    args = (
+                        n_hot, n_cells, max_bucket_rows, pct, n_planes,
+                        n_tables,
+                    )
+                    if 2 * n_hot >= n_cells:
+                        lg.warning(msg, *args)
+                    else:
+                        lg.info(msg, *args)
             banded = banded.join(
                 F.broadcast(hot), ["_tbl", "_bkt"], "left_anti"
             )
@@ -953,7 +982,7 @@ def embedding_near_dup_pairs(
         cand.withColumn(
             "cos",
             cosine_from_parts(
-                dot_expr(F.col("_va"), F.col("_vb")),
+                dot_sql("_va", "_vb", dim),
                 F.col("_na"),
                 F.col("_nb"),
             ),

