@@ -213,44 +213,30 @@ def lsh_bucket_sql(col_name: str, planes: list[list[float]]) -> Column:
     column has a name; keep :func:`lsh_bucket_expr` for callers holding
     an anonymous Column (a parity test pins the two identical).
 
-    The signature additionally runs in WHOLE-STAGE CODEGEN for vectors
-    of exactly the planes' width (r11): each plane dot is the fold's
-    own left-associated ``0.0 + v[0]*p0 + v[1]*p1 + …`` chain unrolled
-    over literal weights — bit-identical term order — behind ONE
-    ``size(v) = dim`` guard; any other width takes the verbatim
-    interpreted fold, preserving zip_with's null-pad degeneracy (the
-    batch operator's documented wrong-width behavior).  Same 3.8×
-    per-row win as :func:`dot_sql`, on the signature build that feeds
-    every LSH candidate join."""
-    dim = len(planes[0]) if planes else 0
-
-    def _bit(i: int, d: str) -> str:
-        return (
-            f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
-            "ELSE CAST(0 AS BIGINT) END)"
-        )
-
-    fold_terms = ["CAST(0 AS BIGINT)"]
-    unrolled_terms = ["CAST(0 AS BIGINT)"]
+    Deliberately NOT unrolled the way :func:`dot_sql` is (r11 negative
+    result, on record): an unrolled signature is
+    planes × dim × tables terms in ONE projection — ~4k expression
+    nodes at the batch operator's 16 tables × 4 planes × 64 dims — and
+    the per-invocation Catalyst/codegen cost of that tree measured
+    2–4.8× WORSE end-to-end on the LSH entries (interleaved worktree
+    A/B, 8f8b45d vs 184983b: dedup_embedding ratio 1.97, sim_lsh_topk
+    4.77) even though the per-row kernel is faster.  The signature is
+    evaluated once per row per table, not once per candidate pair, so
+    the interpreted fold is not the bottleneck the pair-verify dot
+    was; keep the fold here, keep :func:`dot_sql` for the pair
+    kernels."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i, p in enumerate(planes):
         arr = ", ".join(f"{float(x)!r}D" for x in p)
-        d_fold = (
+        d = (
             f"aggregate(zip_with(`{col_name}`, array({arr}), "
             "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
-        fold_terms.append(_bit(i, d_fold))
-        d_unrolled = "CAST(0.0 AS DOUBLE) + " + " + ".join(
-            f"(get(`{col_name}`, {j}) * {float(x)!r}D)"
-            for j, x in enumerate(p)
+        terms.append(
+            f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
         )
-        unrolled_terms.append(_bit(i, f"({d_unrolled})"))
-    if not planes:
-        return F.expr(fold_terms[0])
-    return F.expr(
-        f"CASE WHEN size(`{col_name}`) = {dim} "
-        f"THEN {' + '.join(unrolled_terms)} "
-        f"ELSE {' + '.join(fold_terms)} END"
-    )
+    return F.expr(" + ".join(terms))
 
 
 def lsh_cosine_topk(
