@@ -62,6 +62,73 @@ class TestTextOps:
         fps = with_fingerprint(dup).select("fingerprint").collect()
         assert fps[0][0] == fps[1][0]
 
+    def test_fingerprint_matches_per_position_reference(self, spark):
+        """The r11 LEAST-chain window minima (O(len·window) per row)
+        must reproduce the original per-position
+        array_min(slice(hashes, i+1, window)) form (O(len²) under the
+        HOF interpreter) bit-for-bit — incl. texts shorter than the
+        window, shorter than k, empty, and multi-k edge shapes."""
+        import random
+        import string
+
+        from pyspark.sql import functions as F
+
+        from timbala_spark.pipeline import with_fingerprint
+        from timbala_spark.pipeline.util import hash64_expr
+
+        rng = random.Random(5)
+        texts = [
+            "",
+            "ab",                      # < k
+            "abcdefgh",                # exactly k -> one shingle
+            "abcdefghij",              # k < len < k+window-1
+            *(
+                "".join(
+                    rng.choice(string.ascii_lowercase + " ")
+                    for _ in range(rng.randint(1, 200))
+                )
+                for _ in range(200)
+            ),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+        def reference(k: int, window: int, algo: str):
+            text = F.col("text")
+            n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+            hashes = F.when(
+                n_sh < 1, F.array().cast("array<long>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+                    lambda i: hash64_expr(text.substr(i, F.lit(k)), algo),
+                )
+            )
+            mins = F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_sh - window, F.lit(0))),
+                    lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+                )
+            )
+            fp = hash64_expr(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(mins), lambda h: h.cast("string")
+                    ),
+                    ",",
+                ),
+                algo,
+            )
+            return F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long"))
+
+        for k, window, algo in ((8, 4, "xxhash64"), (3, 2, "md5"), (5, 7, "xxhash64")):
+            got = with_fingerprint(df, k=k, window=window, hash_algo=algo)
+            bad = got.withColumn("_ref", reference(k, window, algo)).filter(
+                "NOT (fingerprint <=> _ref)"
+            )
+            assert bad.count() == 0, (k, window, algo)
+
     def test_decontamination_known_overlap(self, spark):
         from timbala_spark.pipeline import flag_contaminated
 

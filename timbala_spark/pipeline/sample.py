@@ -197,11 +197,24 @@ def pack_greedy(
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism
-    # Split points: n-quantiles of order_col (Greenwald–Khanna — one
-    # pass, deterministic, no RNG).  Bucket = #splits strictly below
-    # the row's order value; equal order values land in one bucket.
-    probs = [i / n_partitions for i in range(1, n_partitions)]
-    splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    # Small-corpus gate (r11): below the shared metadata-only cut the
+    # distributed prefix sum degenerates to ONE bucket — no quantile
+    # action, no subtotal collect (the offset is 0 by definition), one
+    # global window that a small frame fits in a single task anyway.
+    # Output is identical (the prefix sum never depended on where the
+    # bucket boundaries fell); at scale the gate reads "big" and the
+    # two-phase machinery runs unchanged.  The two skipped jobs were a
+    # fixed per-call driver cost that dominated small invocations.
+    from .dedup import _small_corpus
+
+    if _small_corpus(df):
+        splits: list[float] = []
+    else:
+        # Split points: n-quantiles of order_col (Greenwald–Khanna —
+        # one pass, deterministic, no RNG).  Bucket = #splits strictly
+        # below the row's order value; equal values share a bucket.
+        probs = [i / n_partitions for i in range(1, n_partitions)]
+        splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
     x = F.col(order_col).cast("double")
 
     def _bucket_tree(lo: int, hi: int):
@@ -222,16 +235,20 @@ def pack_greedy(
     bucket = _bucket_tree(0, len(splits)) if splits else F.lit(0)
     with_b = df.withColumn("__bkt", bucket)
 
-    subtotals = (
-        with_b.groupBy("__bkt")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("__sub"))
-        .orderBy("__bkt")
-        .collect()  # bounded: one row per bucket
-    )
-    offsets, acc = [], 0
-    for r in subtotals:
-        offsets.append((r["__bkt"], acc))
-        acc += r["__sub"] or 0
+    if splits:
+        subtotals = (
+            with_b.groupBy("__bkt")
+            .agg(F.sum(F.col(token_col).cast("long")).alias("__sub"))
+            .orderBy("__bkt")
+            .collect()  # bounded: one row per bucket
+        )
+        offsets, acc = [], 0
+        for r in subtotals:
+            offsets.append((r["__bkt"], acc))
+            acc += r["__sub"] or 0
+    else:
+        # single bucket: its exclusive offset is 0, no pass needed
+        offsets = [(0, 0)]
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__bkt int, __off long")
     local = Window.partitionBy("__bkt").orderBy(F.col(order_col).asc())
     cum_excl = F.coalesce(

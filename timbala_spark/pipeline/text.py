@@ -127,20 +127,51 @@ def with_fingerprint(
             lambda i: hash64_expr(text.substr(i, F.lit(k)), hash_algo),
         )
     )
+    # The shingle-hash array is STAGED as its own column and the
+    # window minima taken by a LEAST chain over `window` shifted
+    # slices (r11).  The previous form — per-position
+    # ``array_min(slice(hashes, i+1, window))`` inside a transform —
+    # re-evaluated the whole `hashes` subexpression for EVERY window
+    # position under the higher-order-function interpreter: O(len²)
+    # substring hashes per document (measured 42 s for one noop pass
+    # over the 5k-doc sf0.1 corpus; ~1 s after).  The stage column is
+    # referenced ``window`` times, so Catalyst's CollapseProject keeps
+    # it single-evaluation (the scrub_pii rule: expensive producers
+    # with >1 consumer are not inlined).  Values are bit-identical:
+    # ``least`` over the k-th shifted slices sees exactly the elements
+    # ``slice(hashes, i+1, window)`` saw — zip_with's null padding at
+    # the tail is skipped by ``least`` precisely where the old slice
+    # truncated — and the prefix-slice keeps the same count of window
+    # positions, so the distinct/sort/join/hash pipeline on top is
+    # unchanged.  (The fingerprint oracle replays the whole pipeline;
+    # a parity test pins old == new on random + short/empty texts.)
+    h = F.col("__fp_hashes")
+    mins_full = h
+    for j in range(1, window):
+        shifted = F.slice(
+            h, j + 1, F.greatest(F.size(h) - j, F.lit(0))
+        )
+        mins_full = F.zip_with(mins_full, shifted, lambda x, y: F.least(x, y))
     mins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_sh - window, F.lit(0))),
-            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        F.slice(
+            mins_full,
+            1,
+            F.greatest(F.size(h) - F.lit(window - 1), F.lit(1)),
         )
     )
     fp = hash64_expr(
         F.array_join(
-            F.transform(F.array_sort(mins), lambda h: h.cast("string")), ","
+            F.transform(F.array_sort(mins), lambda x: x.cast("string")), ","
         ),
         hash_algo,
     )
-    return df.withColumn(
-        "fingerprint", F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long"))
+    return (
+        df.withColumn("__fp_hashes", hashes)
+        .withColumn(
+            "fingerprint",
+            F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long")),
+        )
+        .drop("__fp_hashes")
     )
 
 
