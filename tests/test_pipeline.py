@@ -260,6 +260,96 @@ class TestDedup:
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert {(0, 1000), (1, 1001), (2, 1002)} <= got
 
+    @pytest.mark.parametrize("hash_algo", ["xxhash64", "md5"])
+    def test_minhash_banding_matches_fold_reference(self, spark, hash_algo):
+        """r11: the codegen signature aggregation (_minhash_sigs_by_id
+        + _minhash_band_structs) must reproduce the interpreted
+        minhash_signature_expr fold bit-for-bit — same (id, band,
+        bucket) set, unshingleable docs absent on both paths."""
+        from timbala_spark.pipeline.dedup import (
+            hash64_expr,
+            minhash_signature_expr,
+            word_shingles_expr,
+        )
+        from timbala_spark.pipeline.incremental import _minhash_bands
+
+        rows = [(0, ""), (1, "one two"), (2, "   "), (3, None)]
+        rows += [
+            (
+                10 + i,
+                " ".join(
+                    f"w{(i * 31 + j * 7) % 97}" for j in range((i % 40) + 5)
+                ),
+            )
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        num_hashes, bands = 64, 16
+        rpb = num_hashes // bands
+        ref_base = (
+            docs.select(
+                F.col("doc_id").alias("_id"),
+                word_shingles_expr(F.col("text"), 5).alias("_sh"),
+            )
+            .filter(F.size("_sh") > 0)
+            .withColumn(
+                "_hs",
+                F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo)),
+            )
+            .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
+        )
+        ref = ref_base.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        hash64_expr(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(F.col("_sig"), b * rpb + 1, rpb),
+                                    lambda h: h.cast("string"),
+                                ),
+                                ",",
+                            ),
+                            hash_algo,
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select("_id", "bb.band", "bb.bucket")
+        got = _minhash_bands(
+            docs, "doc_id", "text", 5, num_hashes, bands, hash_algo
+        ).select("_id", F.col("_band").alias("band"), F.col("_bucket").alias("bucket"))
+        assert ref.exceptAll(got).count() == 0
+        assert got.exceptAll(ref).count() == 0
+
+    def test_minhash_small_and_big_arms_identical(
+        self, spark, documents, tmp_path, monkeypatch
+    ):
+        """r11: the small-corpus (interpreted fold) and big-corpus
+        (codegen aggregation) signature arms of minhash_lsh_pairs must
+        return the identical pair set.  Parquet-backed input so the
+        metadata gate can actually read a size."""
+        from timbala_spark.pipeline import minhash_lsh_pairs
+
+        p = str(tmp_path / "docs")
+        documents.limit(60).union(
+            documents.limit(6).withColumn("doc_id", F.col("doc_id") + 1000)
+        ).write.parquet(p)
+        docs = spark.read.parquet(p)
+        monkeypatch.setenv("TIMBALA_NGRAM_SMALL_CORPUS_BYTES", str(1 << 40))
+        small_arm = sorted(
+            map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect())
+        )
+        monkeypatch.setenv("TIMBALA_NGRAM_SMALL_CORPUS_BYTES", "0")
+        big_arm = sorted(
+            map(tuple, minhash_lsh_pairs(docs, threshold=0.5).collect())
+        )
+        assert small_arm == big_arm
+        assert {(0, 1000), (1, 1001)} <= {(a, b) for a, b, _ in small_arm}
+
     def test_simhash(self, spark, documents):
         from timbala_spark.pipeline import simhash_pairs, with_simhash
 

@@ -128,8 +128,10 @@ def _small_corpus(df: DataFrame) -> bool:
     frame's leaf-scan bytes fit under ``SMALL_CORPUS_INPUT_BYTES``
     (env ``TIMBALA_NGRAM_SMALL_CORPUS_BYTES``; 0 disables, i.e. never
     small).  Metadata-only (no job), fails CLOSED: unknown size ⇒ big
-    ⇒ full machinery.  Gates only PURE-ACTION work — the fired-cap
-    REPORT counts — never anything that changes results."""
+    ⇒ full machinery.  Gates PURE-ACTION work (the fired-cap REPORT
+    counts) and result-identical PLAN-SHAPE choices (pack_greedy's
+    single-bucket fast path, the r11 MinHash signature arm) — never
+    anything that changes results."""
     import os
 
     cut = int(
@@ -498,6 +500,101 @@ def minhash_signature_expr(shingle_hashes: Column, num_hashes: int) -> Column:
     )
 
 
+def _minhash_sigs_by_id(
+    sh: DataFrame,
+    num_hashes: int,
+    hash_algo: str,
+    id_col: str = "_id",
+    shingle_col: str = "_sh",
+) -> DataFrame:
+    """(``id_col``, _m0.._m{num_hashes-1}): the MinHash signature as 64
+    codegen MIN aggregates over exploded shingle hashes — bit-identical
+    to ``minhash_signature_expr``'s fold (min over the same XOR'd hash
+    set, order-independent) but the hot loop runs in whole-stage
+    codegen instead of the interpreted higher-order-function evaluator,
+    and the shingle-string hash itself moves out of ``transform()``
+    into a post-explode codegen projection (the same §9 HOF trap the
+    n-gram posting build avoids).  Measured 14.6 s → 2.2 s on
+    2M rows × 20 hashes (interleaved minima, r11).
+
+    Requires ``id_col`` unique and every row shingleable (callers
+    filter ``size(shingle_col) > 0`` first — an empty set has no
+    minimum; the fold path yields an all-NULL signature there and
+    every caller already drops such rows before banding).  The
+    explode keeps each document's hashes inside its input partition,
+    so the partial MIN collapses to one row per id map-side and the
+    exchange carries ids × (8 + 8·num_hashes) bytes."""
+    cs = _perm_constants(num_hashes)
+    ex = sh.select(
+        F.col(id_col), F.explode(F.col(shingle_col)).alias("_str")
+    ).select(id_col, hash64_expr(F.col("_str"), hash_algo).alias("_h"))
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.col("_h").bitwiseXOR(F.lit(cs[j]))).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def _minhash_band_structs_fold(
+    sig: Column, num_hashes: int, bands: int, hash_algo: str
+) -> Column:
+    """array<struct<band, bucket>> from an array<long> signature column
+    (the ``minhash_signature_expr`` fold form) — the small-corpus arm
+    of the banding construction; see :func:`_minhash_band_structs` for
+    the codegen arm and the gate rationale."""
+    rows_per_band = num_hashes // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            hash64_expr(
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
+                ),
+                hash_algo,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def _minhash_band_structs(
+    num_hashes: int, bands: int, hash_algo: str
+) -> Column:
+    """array<struct<band, bucket>> over the ``_m*`` signature columns of
+    :func:`_minhash_sigs_by_id` — the banding construction of
+    ``minhash_lsh_pairs`` (band bucket = 64-bit hash of the
+    comma-joined decimal signature slice) with the slice/cast/join
+    running on flat columns in codegen instead of array HOFs.
+    ``concat_ws`` equals the fold path's ``array_join`` because no
+    signature element is NULL (callers shingle-filter first)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64_expr(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"_m{j}").cast("string")
+                            for j in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    ),
+                    hash_algo,
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_params_for(threshold: float, num_hashes: int = 64) -> int:
     """Pick the band count whose S-curve inflection sits nearest the
     target Jaccard threshold.
@@ -547,24 +644,33 @@ def minhash_lsh_pairs(
     """
     if bands is None:
         bands = minhash_params_for(threshold, num_hashes)
-    rows_per_band = num_hashes // bands
-    base = (
-        ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"),
-            word_shingles_expr(F.col(text_col), n).alias("_sh"),
-        )
-        .withColumn("_n", F.size("_sh"))
-        .withColumn(
+    # r11 (guide §4): above the shared small-corpus gate the signature
+    # runs as 64 codegen MIN aggregates over exploded, post-explode-
+    # hashed shingles — bit-identical to the interpreted
+    # minhash_signature_expr fold (parity-tested both algos) and 6.7×
+    # faster on the signature stage (14.6 → 2.2 s at 2M rows × 20
+    # hashes, interleaved minima).  BELOW the gate the fold form is
+    # kept: the codegen arm's fixed costs (one extra ids-keyed
+    # exchange, a second pin materialization, wide-aggregate codegen
+    # compile) measured 1.64× at the 5k-doc bench corpus (interleaved
+    # worktree A/B) — the same fixed-cost-vs-throughput split every
+    # other gated path in this module records.  Gate is metadata-only
+    # and fails CLOSED to the big-corpus (codegen) arm.
+    small = _small_corpus(df)
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles_expr(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_n", F.size("_sh"))
+    if small:
+        # small arm: signature inside the pin — it feeds FOUR plan
+        # branches (both sides of the band self-join + both verify
+        # joins); without a persist each branch re-evaluates the
+        # interpreted-HOF signature work — and when AQE
+        # broadcast-converts those joins the rebuilds serialize
+        # (measured 162 s vs 11 s at sf0.01 local[8]).
+        base = base.withColumn(
             "_hs", F.transform(F.col("_sh"), lambda s: hash64_expr(s, hash_algo))
-        )
-        .withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
-        # the signature pipeline feeds FOUR plan branches (both sides of
-        # the band self-join + both verify joins); without a persist each
-        # branch re-evaluates the interpreted-HOF signature work — and
-        # when AQE broadcast-converts those joins the rebuilds serialize
-        # (measured 162 s vs 11 s at sf0.01 local[8]). Persist computes
-        # it once, in parallel, at every scale.
-    )
+        ).withColumn("_sig", minhash_signature_expr(F.col("_hs"), num_hashes))
     base = tracked_persist(base)
     # a document too short/empty to shingle has no MinHash (min over
     # an empty set) and no Jaccard (0/0 — would ANSI-abort the
@@ -575,27 +681,32 @@ def minhash_lsh_pairs(
     # shingle HOF a second time per row for the filter condition —
     # measured 1.8 → 4.5 s at sf0.1 (interleaved A/B minima).
     base = base.filter(F.col("_n") > 0)
-    banded = base.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    hash64_expr(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda h: h.cast("string"),
-                            ),
-                            ",",
-                        ),
-                        hash_algo,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("_band"), F.col("bb.bucket").alias("_bucket"))
+    if small:
+        banded = base.select(
+            "_id",
+            F.explode(
+                _minhash_band_structs_fold(
+                    F.col("_sig"), num_hashes, bands, hash_algo
+                )
+            ).alias("bb"),
+        )
+    else:
+        # big arm: the codegen signature aggregation, pinned — the band
+        # self-join reads it on both sides (ids + 64 longs ≈ 520 B/row,
+        # far smaller than the small arm's _hs/_sig pin).
+        sigs = tracked_persist(
+            _minhash_sigs_by_id(base, num_hashes, hash_algo),
+            release_previous=False,
+        )
+        banded = sigs.select(
+            "_id",
+            F.explode(
+                _minhash_band_structs(num_hashes, bands, hash_algo)
+            ).alias("bb"),
+        )
+    banded = banded.select(
+        "_id", F.col("bb.band").alias("_band"), F.col("bb.bucket").alias("_bucket")
+    )
     cand = (
         banded.alias("x")
         .join(

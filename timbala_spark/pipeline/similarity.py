@@ -104,28 +104,45 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     Returns (query_id, rank, neighbor_id, cos). Ties broken by
     neighbor_id for determinism.
+
+    ``dim`` (r11): pass the expected vector width to run the per-pair
+    dot and the per-row norms through the codegen kernels
+    (:func:`dot_sql` / :func:`norm_sql`) instead of the interpreted
+    fold — bit-identical at every width (the kernel guards on
+    ``size(vec) = dim`` and falls back to the verbatim fold), 3.8× on
+    the pair kernel, which in this brute-force operator is the entire
+    N·Q cost. ``None`` keeps the fold (callers without a known width).
     """
     # norms precomputed once per row (not per pair): bit-identical to
     # cosine_expr — same expression tree, sqrt(dot(v,v)) just evaluated
     # earlier — but the per-pair work drops from 3 interpreted-HOF folds
     # to 1
+    use_kernel = dim is not None and dim > 0
+    _norm = (lambda name: norm_sql(name, dim)) if use_kernel else (
+        lambda name: norm_expr(F.col(name))
+    )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_cn", norm_expr(F.col("_cv")))
+    ).withColumn("_cn", _norm("_cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm_expr(F.col("_qv")))
+    ).withColumn("_qn", _norm("_qv"))
     joined = c.crossJoin(F.broadcast(q)).withColumn(
         "cos",
         cosine_from_parts(
-            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+            dot_sql("_qv", "_cv", dim)
+            if use_kernel
+            else dot_expr(F.col("_qv"), F.col("_cv")),
+            F.col("_qn"),
+            F.col("_cn"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -332,10 +349,14 @@ def ivf_topk(
     partition-order ``avg`` — so the trained centroids, and therefore
     the probed candidate sets, are bit-replayable by a SQL oracle that
     sums in the same order (driver contract ``sim_ivf_topk``)."""
+    # r11: the pin carries (id, vec) only — the corpus norm moves BELOW
+    # the init collect so it can use the codegen kernel once ``dim`` is
+    # known (it was never read by the k-means loop anyway, so the pin
+    # materialization no longer pays an interpreted fold per row)
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_cn", norm_expr(F.col("_cv")))
+    )
     c = tracked_persist(c)
     init = [
         r["_cv"]
@@ -385,11 +406,26 @@ def ivf_topk(
     cent_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in centroids]
     )
-    assigned = c.withColumn("_cell", _nearest_cell_expr(F.col("_cv"), cent_arr))
+    # r11: per-row norm and per-candidate dot through the codegen
+    # kernels — ``dim`` is known here (taken from the collected init
+    # centroids, an action the trainer runs regardless), the kernels
+    # guard on width and fall back to the verbatim fold, so values are
+    # bit-identical for every input.  The cell-assignment fold is
+    # deliberately NOT unrolled: n_cells × dim terms per row is the
+    # same Catalyst-blowup shape the LSH bucket unroll measured 2–4.8×
+    # WORSE (see lsh_bucket_sql's negative-result note).
+    use_kernel = dim > 0
+    assigned = c.withColumn(
+        "_cell", _nearest_cell_expr(F.col("_cv"), cent_arr)
+    ).withColumn(
+        "_cn", norm_sql("_cv", dim) if use_kernel else norm_expr(F.col("_cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm_expr(F.col("_qv"))).withColumn(
+    ).withColumn(
+        "_qn", norm_sql("_qv", dim) if use_kernel else norm_expr(F.col("_qv"))
+    ).withColumn(
         "_cells", _nearest_cells_expr(F.col("_qv"), cent_arr, n_probe)
     )
     qx = q.select("query_id", "_qv", "_qn", F.explode("_cells").alias("_cell"))
@@ -399,7 +435,11 @@ def ivf_topk(
     ranked = cand.withColumn(
         "cos",
         cosine_from_parts(
-            dot_expr(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn")
+            dot_sql("_qv", "_cv", dim)
+            if use_kernel
+            else dot_expr(F.col("_qv"), F.col("_cv")),
+            F.col("_qn"),
+            F.col("_cn"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(
