@@ -129,6 +129,76 @@ class TestTextOps:
             )
             assert bad.count() == 0, (k, window, algo)
 
+    def test_sliding_join_matches_transform_reference(self, spark):
+        """r11: word_shingles_expr / ngrams_expr moved from the
+        O(len²) ``transform(sequence, i -> array_join(slice(toks, i,
+        n)))`` form (lambda body re-evaluates the tokenization per
+        position) to the O(len·n) sliding_join_expr zip_with chain.
+        Values must be bit-identical — including the legacy NULL-text
+        output (a single-NULL array) and short/empty/whitespace
+        texts."""
+        import random
+        import string
+
+        from timbala_spark.pipeline.dedup import word_shingles_expr
+        from timbala_spark.pipeline.text import ngrams_expr, tokens_expr
+
+        rng = random.Random(11)
+        texts = [
+            None,
+            "",
+            "   ",
+            "one",
+            " lead trail  ",
+            "a b c d e",
+            "a b c d e f g",
+            "a a a a a a a a",
+            *(
+                " ".join(
+                    "".join(
+                        rng.choice(string.ascii_lowercase)
+                        for _ in range(rng.randint(1, 8))
+                    )
+                    for _ in range(rng.randint(0, 60))
+                )
+                for _ in range(150)
+            ),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+        def ref(text, n, lowercase, distinct):
+            toks = tokens_expr(F.lower(text) if lowercase else text)
+            cnt = F.size(toks) - F.lit(n - 1)
+            grams = F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+            if distinct:
+                grams = F.array_distinct(grams)
+            return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+                grams
+            )
+
+        for n in (2, 5, 13):
+            for small in (False, True):
+                cases = [
+                    (
+                        word_shingles_expr(F.col("text"), n, small=small),
+                        ref(F.col("text"), n, False, True),
+                    ),
+                    (
+                        ngrams_expr(F.col("text"), n, small=small),
+                        ref(F.col("text"), n, True, False),
+                    ),
+                ]
+                for got_expr, ref_expr in cases:
+                    bad = df.select(
+                        "doc_id", got_expr.alias("_got"), ref_expr.alias("_ref")
+                    ).filter("NOT (_got <=> _ref)")
+                    assert bad.count() == 0, (n, small)
+
     def test_decontamination_known_overlap(self, spark):
         from timbala_spark.pipeline import flag_contaminated
 

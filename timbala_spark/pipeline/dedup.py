@@ -27,7 +27,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import tokens_expr
+from .text import sliding_join_expr, tokens_expr
 from .util import ensure_parallelism, hash64_expr, tracked_persist
 
 
@@ -49,19 +49,33 @@ def exact_dedup(
     )
 
 
-def word_shingles_expr(text: Column, n: int) -> Column:
+def word_shingles_expr(text: Column, n: int, small: bool = False) -> Column:
     """Distinct word n-grams of a document.
+
+    r11: windows built by :func:`~timbala_spark.pipeline.text.
+    sliding_join_expr` — the tokenization let-bound so it evaluates
+    once per row, O(len·n) — instead of ``transform(sequence, i ->
+    array_join(slice(toks, i, n)))``, whose lambda body captured the
+    whole tokenization tree and re-evaluated it per window position
+    under the higher-order-function interpreter: O(len²) token splits
+    per document (the winnowing-minima class; measured 20× on
+    400-token docs, growing with length; invisible at the 54-token
+    bench corpus, which is why it survived to r11).  ``small`` picks
+    the short-document arm (callers thread the shared metadata-only
+    ``_small_corpus`` gate; plan shape only — values bit-identical,
+    parity-tested).  The legacy NULL-text output (a single-NULL
+    array — ``sequence(1, greatest(NULL, 1))`` produced one NULL
+    shingle) is reproduced by the explicit guard.
 
     NB: ``sequence(1, 0)`` in Spark is DESCENDING, so short documents
     need the explicit empty-array guard."""
     toks = tokens_expr(text)
     cnt = F.size(toks) - F.lit(n - 1)
-    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
+    return (
+        F.when(text.isNull(), F.array(F.lit(None).cast("string")))
+        .when(cnt < 1, F.array().cast("array<string>"))
+        .otherwise(
+            F.array_distinct(sliding_join_expr(toks, n, small=small))
         )
     )
 
@@ -288,7 +302,7 @@ def ngram_jaccard_pairs(
     )
     src = _pin(src, _release_previous)
     sh = src.select(
-        "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
+        "_id", word_shingles_expr(F.col("_text"), n, small=small).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     if max_postings is not None:
         # Candidate generation runs on 64-bit shingle HASHES, not the
@@ -404,7 +418,10 @@ def ngram_jaccard_pairs(
         sh_c = (
             src.join(cand_ids, "_id", "left_semi")
             .select(
-                "_id", word_shingles_expr(F.col("_text"), n).alias("_sh")
+                "_id",
+                word_shingles_expr(F.col("_text"), n, small=small).alias(
+                    "_sh"
+                ),
             )
             .withColumn("_n", F.size("_sh"))
         )
@@ -659,7 +676,7 @@ def minhash_lsh_pairs(
     small = _small_corpus(df)
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        word_shingles_expr(F.col(text_col), n).alias("_sh"),
+        word_shingles_expr(F.col(text_col), n, small=small).alias("_sh"),
     ).withColumn("_n", F.size("_sh"))
     if small:
         # small arm: signature inside the pin — it feeds FOUR plan

@@ -327,12 +327,18 @@ def _ngram_postings(
     """(_id, _s): one row per (document, distinct shingle hash).
     Identical hashing to ``ngram_jaccard_pairs``' posting table —
     explode BEFORE hashing so the hash runs in codegen, not inside an
-    interpreted array transform (the §9 HOF trap)."""
+    interpreted array transform (the §9 HOF trap); same r11
+    ``_small_corpus``-gated sliding-join arm for the shingle windows
+    (plan shape only — values identical)."""
     return (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            F.explode(word_shingles_expr(F.col(text_col), n)).alias("_str"),
+            F.explode(
+                word_shingles_expr(
+                    F.col(text_col), n, small=_small_corpus(df)
+                )
+            ).alias("_str"),
         )
         .select("_id", hash64_expr(F.col("_str"), hash_algo).alias("_s"))
     )
@@ -356,15 +362,16 @@ def _minhash_bands(
     (parity-tested both algos), 6.7× on the signature stage, one extra
     ids-keyed exchange of 8 + 8·num_hashes bytes/doc that the map-side
     partial MIN collapses to one row per id)."""
+    small = _small_corpus(df)
     base = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("_id"),
-            word_shingles_expr(F.col(text_col), n).alias("_sh"),
+            word_shingles_expr(F.col(text_col), n, small=small).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)  # unshingleable docs sketch nothing
     )
-    if _small_corpus(df):
+    if small:
         sig = minhash_signature_expr(
             F.transform(
                 F.col("_sh"), lambda s: hash64_expr(s, hash_algo)
@@ -431,7 +438,11 @@ def _verify_pairs(
                     )
                 ).cast("array<string>"),
             )
-            .otherwise(word_shingles_expr(F.col("_text"), n))
+            .otherwise(
+                word_shingles_expr(
+                    F.col("_text"), n, small=_small_corpus(texts)
+                )
+            )
             .alias("_sh"),
         )
         .withColumn("_n", F.size("_sh"))

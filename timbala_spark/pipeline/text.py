@@ -43,6 +43,74 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens_expr(F.col(text_col))))
 
 
+def sliding_join_expr(toks: Column, n: int, small: bool = False) -> Column:
+    """Space-joined ``n``-token windows of ``toks`` at every start
+    position (1-based, positions ``1..size-n+1``) — O(len·n).
+
+    The previous form — ``transform(sequence(1, cnt), i ->
+    array_join(slice(toks, i, n), " "))`` — captured the whole ``toks``
+    subexpression tree (filter+split over the document) in the lambda
+    body, which the higher-order-function interpreter re-evaluates per
+    element: O(len²) token splits per document, the same class as the
+    winnowing-minima defect fixed earlier this round, and invisible at
+    bench scale (54-token docs) while quadratic at corpus scale.
+
+    Both arms here evaluate the tokenization ONCE per row by binding it
+    to a lambda variable: ``transform`` over a single-element
+    ``array(struct(toks))`` evaluates its argument once, and field
+    access on the bound struct is O(1) — a let-binding, expressed in
+    Catalyst.  They differ only in how each window string is built:
+
+    * ``small=True`` — per-position ``array_join(slice(t, i, n))`` over
+      the bound array: one O(n) join per window.  Fastest on SHORT
+      documents at every n (0.85 → 0.42 s at the 54-token bench corpus,
+      n=5; 3.0 → 0.55 s at n=13), where per-pass HOF overhead dominates.
+    * ``small=False`` (default, the scale arm) — a zip_with chain over
+      ``n-1`` shifted slices of the bound array, trivial two-string
+      concat bodies.  Fastest on LONG documents for the shingle widths
+      the operators use (36.5 → 1.8 s per noop pass over 30k docs × 400
+      tokens at n=5 — 20×; 34.2 → 2.5 s at n=13), where per-element
+      cost dominates.
+
+    Values are bit-identical across both arms and the old form
+    (parity-tested on random + edge texts, n ∈ {2, 5, 13}): position
+    i's window is ``toks[i] || ' ' || … || toks[i+n-1]``, exactly
+    ``array_join(slice(toks, i, n), ' ')`` for the NULL-free arrays
+    ``tokens_expr`` produces; zip_with's null padding marks the
+    <n-token tail positions NULL and the final prefix slice keeps
+    positions ``1..max(cnt, 1)`` — the old sequence bounds.  Callers
+    gate the arm on the shared metadata-only ``_small_corpus`` cut
+    (plan-shape only, never results) and must guard NULL/short inputs
+    BEFORE this expression (the arms disagree on bare-NULL ``toks``:
+    join-form yields ``[NULL]``, chain-form ``NULL``)."""
+
+    def windows(t: Column) -> Column:
+        if small:
+            return F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(t) - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        cur = t
+        for j in range(1, n):
+            shifted = F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0)))
+            cur = F.zip_with(
+                cur, shifted, lambda x, y: F.concat(x, F.lit(" "), y)
+            )
+        return F.slice(
+            cur, 1, F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(toks.alias("t"))), lambda s: windows(s["t"])
+        ),
+        1,
+    )
+
+
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cheap quality heuristics: token count, mean token length,
     alphabetic character ratio, English stopword ratio.  At 100 TB this
@@ -175,17 +243,23 @@ def with_fingerprint(
     )
 
 
-def ngrams_expr(text: Column, n: int, lowercase: bool = True) -> Column:
+def ngrams_expr(
+    text: Column, n: int, lowercase: bool = True, small: bool = False
+) -> Column:
     """Lowercased whitespace-token ``n``-grams, space-joined — the
     collision unit of benchmark decontamination (fewer than ``n``
-    tokens → empty array)."""
+    tokens → empty array).
+
+    ``small`` picks :func:`sliding_join_expr`'s short-document arm
+    (plan shape only — values identical); the NULL-text guard preserves
+    the old transform form's [NULL] output there
+    (``sequence(1, greatest(NULL, 1))`` produced one NULL gram)."""
     toks = tokens_expr(F.lower(text) if lowercase else text)
     cnt = F.size(toks) - F.lit(n - 1)
-    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    return (
+        F.when(text.isNull(), F.array(F.lit(None).cast("string")))
+        .when(cnt < 1, F.array().cast("array<string>"))
+        .otherwise(sliding_join_expr(toks, n, small=small))
     )
 
 
@@ -216,15 +290,19 @@ def flag_contaminated(
     Returns ``docs`` plus ``n_contam_ngrams`` (distinct shared grams)
     and ``contaminated``.
     """
-    g = ngrams_expr(F.col(text_col), n)
+    from .dedup import _small_corpus  # lazy: dedup imports this module
+
+    small = _small_corpus(docs)
+    g = ngrams_expr(F.col(text_col), n, small=small)
     if hash_grams:
         g = F.transform(g, lambda s: F.xxhash64(s))
     bench = benchmark.select(
         F.explode(
-            ngrams_expr(F.col(text_col), n)
+            ngrams_expr(F.col(text_col), n, small=small)
             if not hash_grams
             else F.transform(
-                ngrams_expr(F.col(text_col), n), lambda s: F.xxhash64(s)
+                ngrams_expr(F.col(text_col), n, small=small),
+                lambda s: F.xxhash64(s),
             )
         ).alias("_g")
     ).distinct()
