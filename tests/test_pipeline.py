@@ -494,6 +494,46 @@ class TestDedup:
         assert small_arm == big_arm
         assert {(0, 1000), (1, 1001)} <= {(a, b) for a, b, _ in small_arm}
 
+    def test_simhash_votes_fast_path_matches_join_path(self, spark, documents):
+        """r12: on token-filtered input, the assume_tokenized fast path
+        (no ids left-join) must equal the join path row-for-row; and
+        the post-explode codegen hash must equal the fold reference
+        (simhash_expr) on every doc including short ones."""
+        from timbala_spark.pipeline.dedup import (
+            _simhash_votes_by_id,
+            simhash_expr,
+            tokens_expr,
+        )
+
+        docs = documents.limit(30).filter(
+            F.size(tokens_expr(F.col("text"))) > 0
+        )
+        fast = sorted(
+            map(
+                tuple,
+                _simhash_votes_by_id(
+                    docs, "doc_id", "text", "xxhash64", assume_tokenized=True
+                ).collect(),
+            )
+        )
+        joined = sorted(
+            map(
+                tuple,
+                _simhash_votes_by_id(
+                    docs, "doc_id", "text", "xxhash64"
+                ).collect(),
+            )
+        )
+        ref = sorted(
+            map(
+                tuple,
+                docs.select(
+                    "doc_id", simhash_expr(F.col("text"), "xxhash64")
+                ).collect(),
+            )
+        )
+        assert fast == joined == ref and len(fast) == 30
+
     def test_simhash(self, spark, documents):
         from timbala_spark.pipeline import simhash_pairs, with_simhash
 
@@ -532,6 +572,36 @@ class TestSimilarity:
             want = [-nid for _, nid in sims]
             mine = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == qid]
             assert mine == want, (qid, mine, want)
+
+    def test_cosine_topk_kernel_and_fold_arms_identical(
+        self, spark, embeddings, tmp_path, monkeypatch
+    ):
+        """r12 (VERDICT r11 #1): cosine_topk/lsh_cosine_topk's unrolled
+        kernel arm is gated on the shared small-corpus cut; both arms
+        must return identical rows.  Parquet-backed input so the
+        metadata gate can read a size; the generic env knob (r12
+        rename) drives the gate."""
+        from timbala_spark.pipeline import cosine_topk, lsh_cosine_topk
+
+        p = str(tmp_path / "embs")
+        embeddings.limit(40).write.parquet(p)
+        embs = spark.read.parquet(p)
+        q = embs.filter(F.col("vec_id") < 3)
+        c = embs.filter(F.col("vec_id") >= 3)
+
+        def run_both(fn, **kw):
+            monkeypatch.setenv("TIMBALA_SMALL_CORPUS_BYTES", str(1 << 40))
+            fold = sorted(map(tuple, fn(c, q, k=4, **kw).collect()))
+            monkeypatch.setenv("TIMBALA_SMALL_CORPUS_BYTES", "0")
+            kernel = sorted(map(tuple, fn(c, q, k=4, **kw).collect()))
+            return fold, kernel
+
+        fold, kernel = run_both(cosine_topk, dim=64)
+        assert fold == kernel and len(fold) == 12
+        fold, kernel = run_both(
+            lsh_cosine_topk, dim=64, n_planes=2, n_tables=8
+        )
+        assert fold == kernel and fold
 
     def test_lsh_recall(self, spark, embeddings):
         from timbala_spark.pipeline import cosine_topk, lsh_cosine_topk

@@ -28,7 +28,13 @@ import math
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import sliding_join_expr, tokens_expr
-from .util import ensure_parallelism, hash64_expr, tracked_persist
+from .util import (
+    ensure_parallelism,
+    estimated_input_bytes,
+    hash64_expr,
+    small_corpus,
+    tracked_persist,
+)
 
 
 def exact_dedup(
@@ -105,58 +111,15 @@ SHINGLE_PERSIST_BUDGET_BYTES = 16 << 30
 SMALL_CORPUS_INPUT_BYTES = 64 << 20
 
 
-def _estimated_input_bytes(df: DataFrame) -> int | None:
-    """Metadata-only size estimate: the byte sum of the frame's leaf
-    scan files.  No Spark job runs — ``inputFiles()`` is catalog
-    metadata and local ``file:`` sizes come from ``os.stat``.  Returns
-    ``None`` (= "unknown, assume big") for in-memory frames, remote
-    filesystems (at 100 TB the scratch machinery should stay on, and a
-    driver-side remote listing is not worth the RPCs), or any error.
-    Join/agg-derived frames report their LEAF files — an upper bound
-    on the derived frame's text bytes, which is the conservative
-    direction for a small-corpus gate."""
-    import os
-    from urllib.parse import unquote, urlparse
-
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("file", ""):
-            return None
-        try:
-            total += os.path.getsize(unquote(u.path))
-        except OSError:
-            return None
-    return total
-
-
-def _small_corpus(df: DataFrame) -> bool:
-    """The small-corpus gate shared by the candidate-cap operators
-    (n-gram stop-shingles, embedding stop-buckets): ``True`` when the
-    frame's leaf-scan bytes fit under ``SMALL_CORPUS_INPUT_BYTES``
-    (env ``TIMBALA_NGRAM_SMALL_CORPUS_BYTES``; 0 disables, i.e. never
-    small).  Metadata-only (no job), fails CLOSED: unknown size ⇒ big
-    ⇒ full machinery.  Gates PURE-ACTION work (the fired-cap REPORT
-    counts) and result-identical PLAN-SHAPE choices (pack_greedy's
-    single-bucket fast path, the r11 MinHash signature arm) — never
-    anything that changes results."""
-    import os
-
-    cut = int(
-        os.environ.get(
-            "TIMBALA_NGRAM_SMALL_CORPUS_BYTES", SMALL_CORPUS_INPUT_BYTES
-        )
-    )
-    if cut <= 0:
-        return False
-    est = _estimated_input_bytes(df)
-    return est is not None and est <= cut
+# r12: the gate and its size estimate moved to util (similarity.py
+# needs them too and dedup already imports similarity — the other
+# direction would be circular).  Env knob renamed to the generic
+# TIMBALA_SMALL_CORPUS_BYTES (the old TIMBALA_NGRAM_SMALL_CORPUS_BYTES
+# is honored as a fallback — it had grown to control non-ngram paths,
+# r11 ADVICE).  These aliases keep every existing caller and test
+# working unchanged.
+_estimated_input_bytes = estimated_input_bytes
+_small_corpus = small_corpus
 
 
 def _resolve_persist_shingles(
@@ -1323,7 +1286,11 @@ def simhash_expr(text: Column, hash_algo: str = "xxhash64") -> Column:
 
 
 def _simhash_votes_by_id(
-    df: DataFrame, id_col: str, text_col: str, hash_algo: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_algo: str,
+    assume_tokenized: bool = False,
 ) -> DataFrame:
     """(_sh_id, simhash) via explode + 64 whole-stage-codegen SUM
     aggregates. Bit-identical to ``simhash_expr``'s fold — the votes
@@ -1331,14 +1298,26 @@ def _simhash_votes_by_id(
     generated JVM code instead of the interpreted higher-order-function
     evaluator (measured ~20 s → ~1 s on 5k docs at sf0.1). Requires
     ``id_col`` unique. Docs with no tokens get simhash 0 (the fold's
-    zero-count result)."""
+    zero-count result).
+
+    r12: the token hash moved OUT of the array ``transform`` into a
+    post-explode codegen projection — higher-order-function lambda
+    bodies run interpreted, so hashing inside ``transform`` paid the
+    same §4 HOF trap the n-gram posting build and the r11 MinHash
+    signature already avoid.  ``explode(transform(toks, hash)) ≡
+    hash(explode(toks))`` element-for-element, so values are unchanged.
+
+    ``assume_tokenized=True`` (r12): the caller guarantees every row
+    has ≥1 token (``simhash_pairs`` filters ``size(tokens) > 0``
+    first), so every id reaches the vote aggregation and the ids
+    left-join + coalesce that only exist to restore token-empty rows
+    are a per-invocation no-op costing a second source scan, an
+    exchange and a join — skipped.  Values identical by construction;
+    a parity test pins the two paths equal on token-filtered input."""
     toks = tokens_expr(F.col(text_col))
     hashes = df.select(
-        F.col(id_col).alias("_sh_id"),
-        F.explode(
-            F.transform(toks, lambda t: hash64_expr(t, hash_algo))
-        ).alias("_h"),
-    )
+        F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_tok")
+    ).select("_sh_id", hash64_expr(F.col("_tok"), hash_algo).alias("_h"))
     votes = hashes.groupBy("_sh_id").agg(
         *[
             F.sum(
@@ -1356,6 +1335,8 @@ def _simhash_votes_by_id(
             F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     sums = votes.select("_sh_id", sim.alias("simhash"))
+    if assume_tokenized:
+        return sums
     ids = df.select(F.col(id_col).alias("_sh_id"))
     return ids.join(sums, "_sh_id", "left").select(
         "_sh_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
@@ -1411,6 +1392,11 @@ def simhash_pairs(
         id_col,
         text_col,
         hash_algo,
+        # every row here has >=1 token, so the votes cover every id —
+        # the ids left-join that restores token-empty rows would be a
+        # value no-op costing a second scan + exchange + join per
+        # invocation (r12; plan: 16 -> fewer Exchange, one join gone)
+        assume_tokenized=True,
     ).withColumnRenamed("_sh_id", "_id")
     h = tracked_persist(h)
     mask = (1 << band_bits) - 1

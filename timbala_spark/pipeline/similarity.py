@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from .util import ensure_parallelism, tracked_persist
+from .util import ensure_parallelism, small_corpus, tracked_persist
 
 
 def as_double_array(col: Column) -> Column:
@@ -66,7 +66,13 @@ def dot_sql(a_name: str, b_name: str, dim: int) -> Column:
     Measured (2M rows × 64-d, interleaved noop-sink minima): fold
     2.25 s → unrolled 0.60 s, 3.8× — per-ROW cost, so it scales to the
     100 TB verify joins unchanged.
+
+    ``dim <= 0`` returns the verbatim fold (r12, ADVICE r11): an empty
+    unrolled term list would render unparseable SQL, so every caller
+    is safe by construction whatever width it threads through.
     """
+    if dim <= 0:
+        return F.expr(_fold_dot_sql(a_name, b_name))
     terms = " + ".join(
         f"(get(`{a_name}`, {i}) * get(`{b_name}`, {i}))" for i in range(dim)
     )
@@ -118,12 +124,22 @@ def cosine_topk(
     ``size(vec) = dim`` and falls back to the verbatim fold), 3.8× on
     the pair kernel, which in this brute-force operator is the entire
     N·Q cost. ``None`` keeps the fold (callers without a known width).
+
+    r12 (VERDICT r11 #1): the kernel arm is additionally gated on the
+    shared metadata-only small-corpus cut — below it the fold runs.
+    The three ~200-node unrolled projections cost per-invocation
+    Catalyst/codegen time that DOMINATES tiny corpora (driver bench:
+    0.597 → 1.090 s at 2k×5 vectors with the kernel ungated — the
+    same fixed-cost-vs-throughput split ``minhash_lsh_pairs`` gates),
+    while at scale the per-row win is the whole N·Q cost.  Values are
+    bit-identical on both arms (parity-tested), the gate is
+    metadata-only and fails CLOSED to the kernel (scale) arm.
     """
     # norms precomputed once per row (not per pair): bit-identical to
     # cosine_expr — same expression tree, sqrt(dot(v,v)) just evaluated
     # earlier — but the per-pair work drops from 3 interpreted-HOF folds
     # to 1
-    use_kernel = dim is not None and dim > 0
+    use_kernel = dim is not None and dim > 0 and not small_corpus(corpus)
     _norm = (lambda name: norm_sql(name, dim)) if use_kernel else (
         lambda name: norm_expr(F.col(name))
     )
@@ -270,15 +286,24 @@ def lsh_cosine_topk(
     """Approximate top-k: candidates = vectors sharing an LSH bucket with
     the query in ANY of ``n_tables`` independent tables, re-ranked
     exactly. The bucket join replaces the cross join — this is what
-    survives a 100× corpus scale-up."""
+    survives a 100× corpus scale-up.
+
+    r12: the norm/re-rank kernels take the fold arm below the shared
+    small-corpus cut (same gate and rationale as :func:`cosine_topk` —
+    the unrolled projections' per-invocation Catalyst cost dominates
+    tiny corpora; values bit-identical on both arms)."""
+    use_kernel = dim > 0 and not small_corpus(corpus)
+    _norm = (lambda name: norm_sql(name, dim)) if use_kernel else (
+        lambda name: norm_expr(F.col(name))
+    )
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col(vec_col)).alias("_cv"),
-    ).withColumn("_cn", norm_sql("_cv", dim))
+    ).withColumn("_cn", _norm("_cv"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col(vec_col)).alias("_qv"),
-    ).withColumn("_qn", norm_sql("_qv", dim))
+    ).withColumn("_qn", _norm("_qv"))
     # one pass per side: every table's bucket in a single projection
     # (explode of a struct array) instead of one union branch per table
     # re-scanning the source n_tables times — identical values, same
@@ -314,7 +339,11 @@ def lsh_cosine_topk(
     ranked = cand.withColumn(
         "cos",
         cosine_from_parts(
-            dot_sql("_qv", "_cv", dim), F.col("_qn"), F.col("_cn")
+            dot_sql("_qv", "_cv", dim)
+            if use_kernel
+            else dot_expr(F.col("_qv"), F.col("_cv")),
+            F.col("_qn"),
+            F.col("_cn"),
         ),
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -94,6 +94,68 @@ def release_tracked() -> None:
             pass  # session already stopped
 
 
+#: Shared small-corpus gate threshold (see :func:`small_corpus`).
+#: 64 MB of parquet is ~150-200 MB of raw text (~100-200k typical
+#: documents) or ~100M+ 64-d vectors' worth of fixed costs dominating.
+SMALL_CORPUS_INPUT_BYTES = 64 << 20
+
+
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Metadata-only size estimate: the byte sum of the frame's leaf
+    scan files.  No Spark job runs — ``inputFiles()`` is catalog
+    metadata and local ``file:`` sizes come from ``os.stat``.  Returns
+    ``None`` (= "unknown, assume big") for in-memory frames, remote
+    filesystems (at 100 TB the scratch machinery should stay on, and a
+    driver-side remote listing is not worth the RPCs), or any error.
+    Join/agg-derived frames report their LEAF files — an upper bound
+    on the derived frame's bytes, which is the conservative direction
+    for a small-corpus gate."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
+
+
+def small_corpus(df: DataFrame) -> bool:
+    """The small-corpus gate shared by the pipeline operators (n-gram
+    stop-shingles, embedding stop-buckets, MinHash signature arm,
+    pack_greedy fast path, similarity kernels): ``True`` when the
+    frame's leaf-scan bytes fit under :data:`SMALL_CORPUS_INPUT_BYTES`.
+    Env override ``TIMBALA_SMALL_CORPUS_BYTES`` (r12; the historical
+    ``TIMBALA_NGRAM_SMALL_CORPUS_BYTES`` name is honored as a
+    fallback); 0 disables, i.e. never small.  Metadata-only (no job),
+    fails CLOSED: unknown size ⇒ big ⇒ full machinery.  Gates
+    PURE-ACTION work (fired-cap REPORT counts) and result-identical
+    PLAN-SHAPE choices — never anything that changes results."""
+    import os
+
+    raw = os.environ.get("TIMBALA_SMALL_CORPUS_BYTES")
+    if raw is None:
+        raw = os.environ.get(
+            "TIMBALA_NGRAM_SMALL_CORPUS_BYTES", SMALL_CORPUS_INPUT_BYTES
+        )
+    cut = int(raw)
+    if cut <= 0:
+        return False
+    est = estimated_input_bytes(df)
+    return est is not None and est <= cut
+
+
 def ensure_parallelism(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the
     input arrives in fewer partitions.
