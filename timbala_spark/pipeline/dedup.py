@@ -294,6 +294,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("count") > max_postings)
             .select("_s")
         )
+        # r12: pinned — the stop-shingle aggregation is embedded in the
+        # broadcast build side of BOTH anti-joined posting consumers
+        # (the a- and b-side of the candidate join) and the initial
+        # plan does not exchange-reuse across them (job audit: the
+        # posting-wide agg ran twice per invocation).  `hot` is tiny
+        # (over-cap shingles only), the agg over the pinned postings is
+        # the expensive part.  Values unchanged — plan-shape only.
+        hot = _pin(hot, False)
         # fired-cap report, same contract as the LSH bucket cap:
         # a few boilerplate shingles are the design; most shingles
         # over-cap means the corpus is duplicate-dominated and the
@@ -388,6 +396,14 @@ def ngram_jaccard_pairs(
             )
             .withColumn("_n", F.size("_sh"))
         )
+        # r12: pinned — sh_c feeds BOTH verify joins (id_a and id_b
+        # sides); unpinned, each side re-runs the semi join, the
+        # candidate-id union/distinct inside it, and the shingle-array
+        # computation (job audit: the two ~KB/doc array passes were the
+        # invocation's heaviest duplicate jobs).  Candidate-reduced, so
+        # the pin is small by design at every scale — the same pin the
+        # incremental probe's _verify_pairs has always taken.
+        sh_c = _pin(sh_c, False)
         out = (
             cand.join(
                 sh_c.select(
@@ -1318,23 +1334,33 @@ def _simhash_votes_by_id(
     hashes = df.select(
         F.col(id_col).alias("_sh_id"), F.explode(toks).alias("_tok")
     ).select("_sh_id", hash64_expr(F.col("_tok"), hash_algo).alias("_h"))
+    # r12: the 64 vote sums and the 64-term bit reconstruction are
+    # STRING-BUILT (65 F.expr parses) instead of a py4j Column forest
+    # (~900 py4j round trips per invocation) — the same DRIVER-time
+    # pathology lsh_bucket_sql records (PERF §13): a plan-probe read
+    # the DataFrame build at 4.8–18.6 s/invocation on this entry while
+    # Catalyst planning was 0.2 s.  Values identical: same SQL
+    # functions over the same input — ``shiftright(_h,b) & 1`` is the
+    # bitwiseAND, ``shiftleft(1L, b)`` is exactly ``1 << b`` for b<63
+    # and Java's min-long wrap at b=63, the CASE mirrors when/otherwise.
     votes = hashes.groupBy("_sh_id").agg(
         *[
-            F.sum(
-                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)).cast("long")
-                * 2
-                - 1
-            ).alias(f"_c{b}")
+            F.expr(
+                f"sum((shiftright(_h, {b}) & CAST(1 AS BIGINT)) * 2 - 1)"
+                f" AS _c{b}"
+            )
             for b in range(64)
         ]
     )
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim + F.when(
-            F.col(f"_c{b}") > 0,
-            F.lit(1 << b if b < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-    sums = votes.select("_sh_id", sim.alias("simhash"))
+    sim_sql = " + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [
+            f"(CASE WHEN _c{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
+        ]
+    )
+    sums = votes.select("_sh_id", F.expr(sim_sql).alias("simhash"))
     if assume_tokenized:
         return sums
     ids = df.select(F.col(id_col).alias("_sh_id"))
