@@ -42,6 +42,40 @@ class TestTextOps:
         assert 0 <= row["alpha_ratio"] <= 1
         assert 0 <= row["stopword_ratio"] <= 1
 
+    def test_staging_columns_survive_caller_collisions(self, spark):
+        """r12 (ADVICE r11): the operators' internal staging columns
+        (__q / __lid / __fp_hashes) must not clobber caller columns of
+        the same name — the collision-checked temp name must leave the
+        caller's column untouched and produce identical results."""
+        from timbala_spark.pipeline import (
+            with_fingerprint,
+            with_language_id,
+            with_quality_features,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "the quick brown fox the"), (2, "el que la es de")],
+            "doc_id long, text string",
+        )
+        clash = (
+            base.withColumn("__q", F.lit("keep-q"))
+            .withColumn("__lid", F.lit("keep-lid"))
+            .withColumn("__fp_hashes", F.lit("keep-fp"))
+        )
+        for fn in (with_quality_features, with_language_id, with_fingerprint):
+            got = fn(clash)
+            assert set(clash.columns) <= set(got.columns)
+            kept = got.select("doc_id", "__q", "__lid", "__fp_hashes")
+            assert sorted(map(tuple, kept.collect())) == [
+                (1, "keep-q", "keep-lid", "keep-fp"),
+                (2, "keep-q", "keep-lid", "keep-fp"),
+            ]
+            ref = fn(base).drop("__q", "__lid", "__fp_hashes")
+            out_cols = [c for c in got.columns if c not in clash.columns]
+            assert sorted(
+                map(tuple, got.select("doc_id", *out_cols).collect())
+            ) == sorted(map(tuple, ref.select("doc_id", *out_cols).collect()))
+
     def test_quality_langid_match_unbound_reference(self, spark, documents):
         """r11: with_quality_features / with_language_id let-bind the
         tokenization (one evaluation per row instead of ~7 / 5).

@@ -23,6 +23,18 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 _WS = r"\s+"
 
 
+def _staging_name(df: DataFrame, base: str) -> str:
+    """Collision-checked name for an internal staging column (r12,
+    ADVICE r11): the public operators add-then-drop a temp column, and
+    a caller frame that already carries the bare name would be
+    silently overwritten and dropped.  Appending ``_`` until unique
+    keeps the common case (no collision) byte-identical plans."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization; empty tokens removed."""
     return F.filter(F.split(text, _WS), lambda x: x != "")
@@ -153,13 +165,14 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     q = F.element_at(
         F.transform(F.array(F.struct(toks.alias("t"))), features), 1
     )
+    qc = _staging_name(df, "__q")
     return (
-        df.withColumn("__q", q)
-        .withColumn("n_tokens", F.col("__q.n_tokens"))
-        .withColumn("mean_token_len", F.col("__q.mean_token_len"))
-        .withColumn("alpha_ratio", F.col("__q.alpha_ratio"))
-        .withColumn("stopword_ratio", F.col("__q.stopword_ratio"))
-        .drop("__q")
+        df.withColumn(qc, q)
+        .withColumn("n_tokens", F.col(f"{qc}.n_tokens"))
+        .withColumn("mean_token_len", F.col(f"{qc}.mean_token_len"))
+        .withColumn("alpha_ratio", F.col(f"{qc}.alpha_ratio"))
+        .withColumn("stopword_ratio", F.col(f"{qc}.stopword_ratio"))
+        .drop(qc)
     )
 
 
@@ -204,13 +217,14 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # array never yields NULL) — it only restores the non-nullable
     # schema flag the pre-let-bind ``greatest(struct(lit(lang)))``
     # expression carried, so the declared output schema is unchanged
+    lc = _staging_name(df, "__lid")
     return (
-        df.withColumn("__lid", best)
+        df.withColumn(lc, best)
         .withColumn(
-            "pred_lang", F.coalesce(F.col("__lid.lang"), F.lit(""))
+            "pred_lang", F.coalesce(F.col(f"{lc}.lang"), F.lit(""))
         )
-        .withColumn("lang_score", F.col("__lid.hits"))
-        .drop("__lid")
+        .withColumn("lang_score", F.col(f"{lc}.hits"))
+        .drop(lc)
     )
 
 
@@ -257,7 +271,8 @@ def with_fingerprint(
     # positions, so the distinct/sort/join/hash pipeline on top is
     # unchanged.  (The fingerprint oracle replays the whole pipeline;
     # a parity test pins old == new on random + short/empty texts.)
-    h = F.col("__fp_hashes")
+    hc = _staging_name(df, "__fp_hashes")
+    h = F.col(hc)
     mins_full = h
     for j in range(1, window):
         shifted = F.slice(
@@ -278,12 +293,12 @@ def with_fingerprint(
         hash_algo,
     )
     return (
-        df.withColumn("__fp_hashes", hashes)
+        df.withColumn(hc, hashes)
         .withColumn(
             "fingerprint",
             F.when(n_sh > 0, fp).otherwise(F.lit(None).cast("long")),
         )
-        .drop("__fp_hashes")
+        .drop(hc)
     )
 
 
