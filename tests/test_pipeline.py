@@ -76,6 +76,36 @@ class TestTextOps:
                 map(tuple, got.select("doc_id", *out_cols).collect())
             ) == sorted(map(tuple, ref.select("doc_id", *out_cols).collect()))
 
+    def test_fingerprint_small_and_scale_arms_identical(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r12 (ADVICE r11): with_fingerprint gains a small-corpus arm
+        (per-position array_min over the staged hash column) mirroring
+        sliding_join_expr's; both arms must be bit-identical on corpus
+        docs plus short/empty/NULL edges (plan shape only, never
+        values)."""
+        import random
+
+        from timbala_spark.pipeline import with_fingerprint
+
+        rng = random.Random(7)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(40))))
+            for i in range(60)
+        ] + [(100, None), (101, ""), (102, "abc"), (103, "abcdefgh")]
+        p = str(tmp_path / "fp_arms")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(p)
+        df = spark.read.parquet(p)
+
+        monkeypatch.setenv("TIMBALA_SMALL_CORPUS_BYTES", str(1 << 60))
+        small = with_fingerprint(df).select("doc_id", "fingerprint").collect()
+        monkeypatch.setenv("TIMBALA_SMALL_CORPUS_BYTES", "0")
+        big = with_fingerprint(df).select("doc_id", "fingerprint").collect()
+        assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+        assert len({r["fingerprint"] for r in small if r["fingerprint"]}) > 1
+
     def test_quality_langid_match_unbound_reference(self, spark, documents):
         """r11: with_quality_features / with_language_id let-bind the
         tokenization (one evaluation per row instead of ~7 / 5).

@@ -241,8 +241,9 @@ def with_fingerprint(
     a robust near-duplicate signature computed entirely JVM-side.
     ``hash_algo="md5"`` makes the whole pipeline DuckDB-replayable
     (see ``util.hash64_expr``)."""
-    from .util import ensure_parallelism, hash64_expr
+    from .util import ensure_parallelism, hash64_expr, small_corpus
 
+    small = small_corpus(df)
     df = ensure_parallelism(df)
     text = F.col(text_col)
     n_sh = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
@@ -273,19 +274,41 @@ def with_fingerprint(
     # a parity test pins old == new on random + short/empty texts.)
     hc = _staging_name(df, "__fp_hashes")
     h = F.col(hc)
-    mins_full = h
-    for j in range(1, window):
-        shifted = F.slice(
-            h, j + 1, F.greatest(F.size(h) - j, F.lit(0))
+    if small:
+        # small arm (r12, ADVICE r11): per-position
+        # ``array_min(slice(h, i, window))`` over the STAGED column —
+        # one HOF node instead of the chain's ``window-1`` zip_with
+        # passes, cheaper per invocation on short-document corpora
+        # (r11's ab_final measured the chain 1.22× at bench scale).
+        # O(len·window) like the chain (h is a column reference, so
+        # nothing re-evaluates per position — the O(len²) trap was the
+        # unstaged hash array, fixed in r11 for BOTH arms).  Values
+        # bit-identical: position i's least-over-padded-slices equals
+        # array_min(slice(h, i, window)) element-for-element (same
+        # elements, NULL padding skipped by least exactly where the
+        # slice truncates); parity-tested both arms.
+        mins_src = F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(h) - F.lit(window - 1), F.lit(1)),
+            ),
+            lambda i: F.array_min(F.slice(h, i, window)),
         )
-        mins_full = F.zip_with(mins_full, shifted, lambda x, y: F.least(x, y))
-    mins = F.array_distinct(
-        F.slice(
+    else:
+        mins_full = h
+        for j in range(1, window):
+            shifted = F.slice(
+                h, j + 1, F.greatest(F.size(h) - j, F.lit(0))
+            )
+            mins_full = F.zip_with(
+                mins_full, shifted, lambda x, y: F.least(x, y)
+            )
+        mins_src = F.slice(
             mins_full,
             1,
             F.greatest(F.size(h) - F.lit(window - 1), F.lit(1)),
         )
-    )
+    mins = F.array_distinct(mins_src)
     fp = hash64_expr(
         F.array_join(
             F.transform(F.array_sort(mins), lambda x: x.cast("string")), ","
