@@ -1006,6 +1006,15 @@ def embedding_near_dup_pairs(
             import logging
 
             cells = banded.groupBy("_tbl", "_bkt").count()
+            # The anti-joined `banded` feeds BOTH sides of the bucket
+            # self-join below, so the cell aggregation would otherwise
+            # execute once per side (r12: the plan showed the
+            # HashAggregate+Exchange subtree twice — the same
+            # duplicated-subtree shape as the n-gram stop-shingle pin
+            # at `_pin(hot, False)` above).  `cells` is one row per
+            # (table, bucket) cell — tiny next to `banded` — so pin it
+            # on both arms; the pin is lazy and adds no action job.
+            cells = tracked_persist(cells, release_previous=False)
             hot = cells.filter(F.col("count") > max_bucket_rows).select(
                 "_tbl", "_bkt"
             )
@@ -1013,15 +1022,9 @@ def embedding_near_dup_pairs(
             # cell count + fired-cap count — the same r9 gate the
             # n-gram path applies to its stop-shingle report; r11).
             # The anti-join below is UNCONDITIONAL either way, so the
-            # candidate set is identical on both paths; `hot` is then
-            # a single-consumer subplan over the banded cache and
-            # needs no pin of its own.
+            # candidate set is identical on both paths.
             if not _small_corpus(df):
-                cells = tracked_persist(cells, release_previous=False)
                 n_cells = cells.count()
-                hot = cells.filter(
-                    F.col("count") > max_bucket_rows
-                ).select("_tbl", "_bkt")
                 n_hot = hot.count()
                 if n_hot:
                     # the fired-cap report (VERDICT r6 #3 recall

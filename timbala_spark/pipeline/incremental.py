@@ -665,6 +665,11 @@ def ngram_index_probe(
             .filter(F.col("_deg") > max_postings)
             .select("s")
         )
+        # `hot` feeds two broadcast anti-joins (matched + batch side):
+        # unpinned, the union+aggregation executes once per broadcast
+        # build (r12, same duplicated-subtree shape as the batch
+        # operator's stop-shingle pin).  Over-cap shingles only — tiny.
+        hot = tracked_persist(hot, release_previous=False)
         matched = matched.join(F.broadcast(hot), "s", "left_anti")
         bpost_c = bpost.join(
             F.broadcast(hot).withColumnRenamed("s", "_s"), "_s", "left_anti"
@@ -1314,6 +1319,11 @@ def embedding_index_probe(
             .filter(F.col("_deg") > max_bucket_rows)
             .select("tbl", "bkt")
         )
+        # `hot` feeds two broadcast anti-joins (matched + batch side):
+        # unpinned, the union+aggregation executes once per broadcast
+        # build (r12, same duplicated-subtree shape as the batch
+        # operator's cell pin).  Over-cap cells only — tiny.
+        hot = tracked_persist(hot, release_previous=False)
         matched = matched.join(F.broadcast(hot), ["tbl", "bkt"], "left_anti")
         bb_c = bb.join(
             F.broadcast(hot)
